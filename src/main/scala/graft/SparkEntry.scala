@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.QueryDef
+import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query key -> SURVEY §2 operator coverage:
+  *   q01–q22  relational inventory (scans, filters, joins J1–J11, aggs
+  *            A1–A10, dedup/top-k D1–D6, set ops U1–U2, explode G1–G5)
+  *   q30–q34  text analysis: token counting, language-ID, quality scoring,
+  *            fingerprinting, exact dedup
+  *   q35–q37  near-dup: n-gram Jaccard, MinHash+LSH, SimHash
+  *   q40–q41  similarity search: brute-force cosine top-k, sign-LSH ANN
+  *   q50      multimodal frame-sampling plumbing
+  *   q60      time-bucketed event aggregation (streaming-shaped, batch form)
+  */
 object SparkEntry {
+
+  val allQueries: Seq[QueryDef] =
+    Relational.defs ++ TextAnalysis.defs ++ Dedup.defs ++
+      Similarity.defs ++ Multimodal.defs ++ Events.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q32_quality_score")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

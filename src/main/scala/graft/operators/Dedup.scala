@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Near-duplicate detection over `documents`: n-gram Jaccard via an
+  * inverted-index (shared-shingle) join, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design: no crossJoin anywhere. Candidate pairs come only from
+  * docs that share a shingle (q35) or an LSH band key (q36) — the classic
+  * inverted-index blocking that keeps pair generation near-linear at 100 TB
+  * (pairs shuffle on shingle/band keys; skewed "stopword shingles" would be
+  * dropped by a frequency cap at real scale — documented, not needed at sf).
+  *
+  * All hashing is md5 (identical across Spark and the DuckDB oracle), and
+  * "minimum over md5 hex strings per seed" is a valid min-wise permutation
+  * family for MinHash.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** distinct word-3-gram shingles, built WITHOUT outer-capturing lambdas.
+    *
+    * An index-based formulation (`transform(sequence(...), i =>
+    * element_at(t, i)...)`) captures `t` in the lambda body; Catalyst
+    * inlines `t`'s defining expression there (CollapseProject + filter
+    * pushdown from explode's empty-array pruning), re-running the regex
+    * split once per element per evaluation — measured 50x slowdown at
+    * sf0.1. zip_with over shifted slices only ever references lambda
+    * arguments, so any inlining stays O(tokens) per row. zip_with pads the
+    * shorter side with nulls; concat propagates them; filter drops them —
+    * yielding exactly the n-2 trigrams.
+    */
+  private def shinglesOf(t: Column): Column = {
+    val shifted1 = slice(t, lit(2), greatest(size(t) - 1, lit(0)))
+    val shifted2 = slice(t, lit(3), greatest(size(t) - 2, lit(0)))
+    val tri = zip_with(
+      zip_with(t, shifted1, (a, b) => concat(a, lit(" "), b)),
+      shifted2,
+      (ab, c) => concat(ab, lit(" "), c))
+    array_distinct(filter(tri, x => x.isNotNull))
+  }
+
+  /** doc_id + exploded distinct shingles (+ shingle-set size).
+    *
+    * The repartition is both the optimization barrier that keeps the token
+    * array materialized below the shingle lambda, and the scale pattern:
+    * heavy per-row compute is spread over all cores instead of riding the
+    * input file layout (a single parquet file here).
+    */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shinglesOf(col("t")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- n-gram Jaccard near-dup pairs via inverted-index join
+    QueryDef(
+      "q35_ngram_jaccard",
+      (s, dir) => {
+        val ex = shingleIndex(s, dir)
+        ex.as("x").join(ex.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(
+            col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.n_sh").as("s1"), col("y.n_sh").as("s2"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jacc",
+            col("inter").cast("double")
+              / (col("s1") + col("s2") - col("inter")).cast("double"))
+          .filter(col("jacc") >= 0.2)
+          .select("d1", "d2", "s1", "s2", "inter", "jacc")
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+             |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+             |  WHERE len(t) >= 3),
+             |ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
+             |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS s1, y.n_sh AS s2,
+             |        count(*) AS inter
+             |      FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
+             |      GROUP BY 1,2,3,4)
+             |SELECT d1, d2, s1, s2, inter,
+             |  CAST(inter AS DOUBLE)/CAST(s1+s2-inter AS DOUBLE) AS jacc
+             |FROM p WHERE CAST(inter AS DOUBLE)/CAST(s1+s2-inter AS DOUBLE) >= 0.2
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- MinHash (8 hashes) + LSH (4 bands x 2 rows) candidate pairs
+    QueryDef(
+      "q36_minhash_lsh",
+      (s, dir) => {
+        val sh = shingleIndex(s, dir).select("doc_id", "sh")
+        // All 8 minhashes in ONE aggregation pass (8 partial mins with
+        // map-side combine) instead of a seed crossJoin + per-(doc,seed)
+        // shuffle — one shuffle total, no row blowup.
+        val minCols = (0 until 8).map(i =>
+          min(md5(concat_ws(":", lit(i), col("sh")))).as(s"mh$i"))
+        val sig = sh.groupBy("doc_id")
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"), array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
+        val bands = sig.select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, 3), b -> md5(concat(sig[b*2], sig[b*2+1])))")))
+          .toDF("doc_id", "band_idx", "band_key")
+        bands.as("a").join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx")
+              && col("a.band_key") === col("b.band_key")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         generate_series(1, len(t)-2),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             |       FROM tt WHERE len(t) >= 3),
+             |mh AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed || ':' || sh)) AS mh
+             |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+             |       GROUP BY 1,2),
+             |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+             |bands AS (SELECT doc_id, b AS band_idx, md5(sig[2*b+1] || sig[2*b+2]) AS band_key
+             |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b) bb)
+             |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             |FROM bands a JOIN bands b
+             |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- SimHash: 16-bit signature from md5 bits of distinct tokens
+    QueryDef(
+      "q37_simhash",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tok"))
+        val bits = s.range(16).select(col("id").as("b"))
+        tok.crossJoin(broadcast(bits))
+          .withColumn("h", md5(col("tok")))
+          .withColumn("digit", expr("substring(h, cast(b div 4 as int) + 1, 1)"))
+          .withColumn("dv", expr("instr('0123456789abcdef', digit) - 1"))
+          .withColumn("bit", expr(
+            "cast(floor(dv / element_at(array(8,4,2,1), cast(b % 4 as int) + 1)) as int) % 2"))
+          .groupBy("doc_id", "b")
+          .agg(sum(col("bit") * 2 - 1).as("vote"))
+          .withColumn("simbit", when(col("vote") > 0, "1").otherwise("0"))
+          .groupBy("doc_id")
+          .agg(expr(
+            "array_join(transform(array_sort(collect_list(struct(b, simbit))), s -> s.simbit), '')")
+            .as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |         unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok
+             |       FROM documents),
+             |v AS (SELECT doc_id, b, sum(2*bit - 1) AS vote FROM (
+             |        SELECT doc_id, bb.b AS b,
+             |          CAST(floor((strpos('0123456789abcdef',
+             |                             substr(md5(tok), (bb.b//4)+1, 1)) - 1)
+             |                     / ([8,4,2,1][(bb.b%4)+1])) AS INT) % 2 AS bit
+             |        FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS b) bb) t
+             |      GROUP BY 1,2)
+             |SELECT doc_id,
+             |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+}

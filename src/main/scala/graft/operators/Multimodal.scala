@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Multimodal-column plumbing: treat media as opaque bytes + typed metadata,
+  * with decode / frame-sample / feature-extract as per-partition transforms.
+  *
+  * The container has no image/audio codecs, so the oracle-checked query
+  * (q50) does deterministic frame sampling over byte ranges (128-byte
+  * "frames", content-hashed) — the real Spark-side plumbing (schema,
+  * partitioning, batch shape). The typed binary path with a stubbed decoder
+  * lives in [[MediaPipeline]] and is exercised by ScalaTest.
+  */
+object Multimodal {
+
+  /** Typed media record: opaque payload + metadata, as a real dataset row. */
+  final case class MediaRecord(media_id: Long, mime: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, mime: String, n_bytes: Int,
+      n_frames: Int, first_byte: Int, checksum: Long)
+
+  /** Stubbed decode/feature-extract: per-partition (mapPartitions batch
+    * shape, like a codec that amortizes init per batch). The decode step a
+    * real deployment would swap in is deterministic-fake here (no codecs in
+    * the container).
+    */
+  object MediaPipeline {
+    def extract(spark: SparkSession, media: DataFrame): DataFrame = {
+      import spark.implicits._
+      media.as[MediaRecord].mapPartitions { it =>
+        // per-partition init (real codecs would open here, once per batch)
+        it.map { m =>
+          val n = m.payload.length
+          var ck = 0L
+          var i = 0
+          while (i < n) { ck = ck * 31 + (m.payload(i) & 0xff); i += 1 }
+          MediaFeatures(m.media_id, m.mime, n, (n + 255) / 256,
+            if (n > 0) m.payload(0) & 0xff else -1, ck)
+        }
+      }.toDF()
+    }
+
+    /** documents.text re-cast as fake opaque media payloads. */
+    def fakeMedia(spark: SparkSession, dir: String): DataFrame =
+      Tables(spark, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("text/plain").as("mime"),
+          col("text").cast("binary").as("payload"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- deterministic frame sampling + per-frame content hash
+    QueryDef(
+      "q50_media_frames",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, cast(floor((n_chars - 1) / 128) as int))"))
+              .as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            md5(expr("substring(text, frame_idx * 128 + 1, 128)")).as("frame_md5"))
+          .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, frame_idx,
+             |  md5(substr(text, frame_idx * 128 + 1, 128)) AS frame_md5
+             |FROM (SELECT doc_id, text,
+             |        unnest(generate_series(0, CAST(floor((n_chars - 1) / 128) AS INT)))
+             |          AS frame_idx
+             |      FROM documents) t
+             |ORDER BY doc_id, frame_idx""".stripMargin))
+  )
+}

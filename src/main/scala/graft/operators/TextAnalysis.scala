@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * language-ID (stopword-vote heuristic), quality scoring, and document
+  * fingerprinting. These generalize the reference's normalization +
+  * dictionary-scan core (`text_utils.py:49-65`, `tokenizer.py:897-1392`)
+  * into the operators a large-scale training-data pipeline needs.
+  *
+  * Everything here is built from codegen'd built-ins (split / regexp /
+  * higher-order array functions / md5) — no UDFs — so the whole stage stays
+  * inside WholeStageCodegen and parallelizes embarrassingly (per-row, no
+  * shuffle except final ordering).
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** Whitespace tokens of trimmed text (matches DuckDB string_split_regex). */
+  private val toks: Column = split(trim(col("text")), "\\s+")
+
+  private def ratio(num: Column, den: Column): Column =
+    num.cast("double") / den.cast("double")
+
+  // stopword-vote language markers: deliberately tiny dictionaries, one
+  // regex scan per language (the scale path is a broadcast dictionary +
+  // one pass, not per-language passes — acceptable at 4 langs).
+  private val langs: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|in|to)\\b",
+    "es" -> "\\b(el|la|de|los|las|que)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|des|et|est)\\b")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting (whitespace tokenizer; BPE-ish variant in textlib)
+    QueryDef(
+      "q30_token_count",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), col("n_chars"), size(toks).as("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID: per-language stopword hit counts + argmax vote
+    QueryDef(
+      "q31_lang_id",
+      (s, dir) => {
+        val low = lower(col("text"))
+        val withVotes = langs.foldLeft(docs(s, dir))((df, lp) =>
+          df.withColumn(s"${lp._1}_hits", size(regexp_extract_all(low, lit(lp._2), lit(0)))))
+        val Seq(en, es, de, fr) = langs.map(l => col(s"${l._1}_hits"))
+        withVotes
+          .withColumn("lang_guess",
+            when(en >= es && en >= de && en >= fr && en > 0, "en")
+              .when(es >= de && es >= fr && es > 0, "es")
+              .when(de >= fr && de > 0, "de")
+              .when(fr > 0, "fr")
+              .otherwise("und"))
+          .select("doc_id", "en_hits", "es_hits", "de_hits", "fr_hits", "lang_guess", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+             |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+             |       WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+             |       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+             |       WHEN fr_hits > 0 THEN 'fr'
+             |       ELSE 'und' END AS lang_guess,
+             |  lang
+             |FROM (SELECT doc_id, lang,
+             |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS en_hits,
+             |    len(regexp_extract_all(lower(text), '\b(el|la|de|los|las|que)\b')) AS es_hits,
+             |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de_hits,
+             |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|est)\b')) AS fr_hits
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: length / stopword-ratio / mean token length
+    QueryDef(
+      "q32_quality_score",
+      (s, dir) => {
+        val lowToks = split(trim(lower(col("text"))), "\\s+")
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            size(lowToks).as("n_tokens"),
+            aggregate(transform(lowToks, t => length(t)), lit(0), (a, x) => a + x)
+              .as("sum_tok_len"),
+            size(filter(lowToks, t =>
+              t === "the" || t === "a" || t === "and" || t === "of" || t === "in"))
+              .as("n_stop"),
+            length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"),
+            length(col("text")).as("len_chars"))
+          .withColumn("mean_tok_len", ratio(col("sum_tok_len"), col("n_tokens")))
+          .withColumn("stop_ratio", ratio(col("n_stop"), col("n_tokens")))
+          .withColumn("alpha_ratio", ratio(col("n_alpha"), col("len_chars")))
+          .withColumn("quality",
+            when(col("stop_ratio") >= 0.08, "stopword_heavy")
+              .when(col("mean_tok_len") >= 4.5, "long_tokens")
+              .otherwise("ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens, sum_tok_len, n_stop, n_alpha, len_chars,
+             |  CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+             |  CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+             |  CAST(n_alpha AS DOUBLE)/CAST(len_chars AS DOUBLE) AS alpha_ratio,
+             |  CASE WHEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 0.08 THEN 'stopword_heavy'
+             |       WHEN CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 4.5 THEN 'long_tokens'
+             |       ELSE 'ok' END AS quality
+             |FROM (SELECT doc_id,
+             |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+             |    list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+             |                            t -> len(t))) AS sum_tok_len,
+             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        t -> t = 'the' OR t = 'a' OR t = 'and' OR t = 'of' OR t = 'in')) AS n_stop,
+             |    len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             |    len(text) AS len_chars
+             |  FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- document fingerprint: md5 of canonical normalized text
+    //      (normalization mirrors _normalize_text_basic, text_utils.py:40-45)
+    QueryDef(
+      "q33_fingerprint",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact near-key dedup groups: fingerprint on leading-token prefix,
+    //      hash-groupBy (dedup-before-compute pattern, tagger.py:436-441)
+    QueryDef(
+      "q34_exact_dedup",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            md5(concat_ws(" ", slice(toks, 1, 5))).as("key_fp"))
+          .groupBy("key_fp")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .orderBy("key_fp"),
+      Some("""SELECT key_fp, count(*) AS n_docs, min(doc_id) AS first_doc
+             |FROM (SELECT doc_id,
+             |        md5(array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' ')) AS key_fp
+             |      FROM documents) t
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
