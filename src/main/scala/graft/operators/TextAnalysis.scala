@@ -138,6 +138,20 @@ object TextAnalysis {
              |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- textlib-UDF normalization (F2) checked against the SQL oracle:
+    //      proves the Scala UDF row path produces byte-identical output to
+    //      the declarative regexp chain (match_labs.py:18-26 semantics)
+    QueryDef(
+      "q38_udf_normalize",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            graft.functions.GraftFunctions.normalizeBasic(col("text")).as("norm"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- exact near-key dedup groups: fingerprint on leading-token prefix,
     //      hash-groupBy (dedup-before-compute pattern, tagger.py:436-441)
     QueryDef(

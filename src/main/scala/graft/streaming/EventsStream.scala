@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming form of the engine's time-bucketed aggregations
+  * (SURVEY §2.10: the reference is batch-only; the streaming surface
+  * demonstrates the same operator semantics under readStream).
+  *
+  * These are plan-builders over an unbounded DataFrame: the same code path
+  * works for `spark.readStream.schema(...).parquet(dir)` in production and
+  * MemoryStream in tests. Watermarking bounds state; the aggregation is
+  * identical to the batch q60 plan, so batch/stream parity is testable.
+  */
+object EventsStream {
+
+  /** Hourly tumbling-window counts + exact cents sums per event_type.
+    * 2h watermark: late events beyond that are dropped, state is bounded.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(col("window.start").as("hr"), col("event_type"),
+        col("n"), col("sum_value_cents"))
+
+  /** Per-user running value totals with 30min session-style windows keyed
+    * by user — demonstrates keyed stateful aggregation without custom
+    * state: session_window is the built-in (Spark 3.2+).
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value_cents"))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** Smoke + invariant checks for the query surface at sf0.001 (exact value
+  * parity with DuckDB is covered by the driver gate / tools/compare.py —
+  * these specs assert structural invariants instead).
+  */
+class OperatorSpec extends SparkSpec {
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("entry returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has columns and runs at sf0.001") {
+    graft.SparkEntry.allQueries.foreach { q =>
+      val df = q.fn(spark, sf0001)
+      assert(df.columns.nonEmpty, q.name)
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val qs = graft.SparkEntry.queries.keySet
+    assert(graft.SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("fingerprints are unique per distinct text") {
+    val fp = run("q33_fingerprint")
+    assert(fp.count() == fp.select("fp").distinct().count())
+  }
+
+  test("jaccard pairs are symmetric-free and bounded") {
+    val p = run("q35_ngram_jaccard").collect()
+    p.foreach { r =>
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+      val j = r.getAs[Double]("jacc")
+      assert(j >= 0.2 && j <= 1.0)
+    }
+  }
+
+  test("minhash LSH candidates include all high-jaccard pairs (recall)") {
+    val jacc = run("q35_ngram_jaccard").filter(col("jacc") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("q36_minhash_lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc.subsetOf(lsh))
+  }
+
+  test("cosine topk ranks are 1..5 per query and cos in [-1,1]") {
+    val rows = run("q40_cosine_topk").collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-12))
+  }
+
+  test("simhash emits 16-bit signatures") {
+    run("q37_simhash").collect().foreach { r =>
+      val s = r.getAs[String]("simhash")
+      assert(s.length == 16 && s.forall(c => c == '0' || c == '1'))
+    }
+  }
+
+  test("textlib UDFs register and run over documents") {
+    GraftFunctions.register(spark)
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+    val out = docs.select(GraftFunctions.normalizeBasic(col("text")).as("norm"))
+    assert(out.filter(length(col("norm")) > 0).count() == docs.count())
+  }
+
+  test("media pipeline extracts deterministic features") {
+    val media = Multimodal.MediaPipeline.fakeMedia(spark, sf0001)
+    val a = Multimodal.MediaPipeline.extract(spark, media)
+      .orderBy("media_id").collect()
+    val b = Multimodal.MediaPipeline.extract(spark, media)
+      .orderBy("media_id").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getAs[Int]("n_bytes") > 0))
+  }
+}

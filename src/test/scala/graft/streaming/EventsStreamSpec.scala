@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+final case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** Streaming plans run against MemoryStream and must agree with the batch
+  * form of the same aggregation (stream/batch parity).
+  */
+class EventsStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyCounts over a memory stream matches batch aggregation") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      Ev(ts("2024-01-01 10:05:00"), "click", 1L, 1.25),
+      Ev(ts("2024-01-01 10:55:00"), "click", 2L, 2.50),
+      Ev(ts("2024-01-01 11:05:00"), "view", 1L, 0.75),
+      Ev(ts("2024-01-01 11:59:00"), "click", 3L, 4.00))
+    val stream = MemoryStream[Ev]
+    stream.addData(data: _*)
+    val q = EventsStream.hourlyCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hourly")
+      .orderBy("hr", "event_type")
+      .collect().map(r => (r.getAs[Timestamp]("hr").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_value_cents")))
+    val batch = EventsStream.hourlyCounts(data.toDF())
+      .orderBy("hr", "event_type")
+      .collect().map(r => (r.getAs[Timestamp]("hr").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_value_cents")))
+    assert(streamed.sameElements(batch))
+    assert(streamed.exists { case (hr, et, n, cents) =>
+      hr.startsWith("2024-01-01 10:") && et == "click" && n == 2 && cents == 375 })
+  }
+
+  test("userSessions groups by session_window per user") {
+    import spark.implicits._
+    val data = Seq(
+      Ev(ts("2024-01-01 09:00:00"), "click", 7L, 1.00),
+      Ev(ts("2024-01-01 09:10:00"), "view", 7L, 2.00),
+      // >30min gap -> new session
+      Ev(ts("2024-01-01 10:30:00"), "click", 7L, 3.00))
+    val out = EventsStream.userSessions(data.toDF())
+      .filter(col("user_id") === 7L).orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+}
