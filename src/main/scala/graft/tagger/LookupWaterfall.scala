@@ -1,0 +1,78 @@
+package graft.tagger
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's core lookup pattern (SURVEY §2.9 C1): a prioritized
+  * first-match-wins waterfall of exact -> prefix -> fuzzy catalog lookups
+  * (`lookup.py:223-306`), re-expressed set-oriented:
+  *
+  *   - each leg is a broadcast join of the *remaining misses* (anti-join
+  *     chaining encodes the reference's short-circuit semantics — SURVEY
+  *     §7.4 risk 2: without explicit leg priority the results differ);
+  *   - the fuzzy leg therefore only ever sees the small residue, like the
+  *     reference's "fuzzy only on lookup misses" optimization
+  *     (`lookup.py:287-304`);
+  *   - candidate ranking is a row_number window over (leg, score, probe
+  *     position, key) — fully deterministic.
+  *
+  * At scale: the catalog side is always broadcast (reference catalogs are
+  * 10^4–10^5 rows); probes stream through three narrow joins with no
+  * repartition of the big side except the final per-id window (one shuffle
+  * on id).
+  */
+object LookupWaterfall {
+
+  /** @param prefixMode "char": catalog key starts with the first
+    *                   `prefixLen` chars of the probe (q23 demo form);
+    *                   "token": catalog key starts with `probe + " "`
+    *                   (the reference's LIKE 'TOKEN %' fallback,
+    *                   `lookup.py:117-137`)
+    */
+  final case class Config(
+      prefixMode: String = "token",
+      prefixLen: Int = 4,
+      fuzzyMaxDist: Int = 2)
+
+  /** @param probes  (id, probe_pos, probe) — one row per candidate probe
+    * @param catalog (key, ...payload) — broadcastable reference table
+    * @return best match per id: probes cols + catalog cols + leg (1=exact,
+    *         2=prefix, 3=fuzzy) + score; ids with no match are absent
+    *         (callers left-join back and coalesce a no_match reason)
+    */
+  def tag(probes: DataFrame, catalog: DataFrame, cfg: Config = Config()): DataFrame = {
+    val cat = broadcast(catalog)
+
+    val exact = probes.join(cat, col("probe") === col("key"))
+      .withColumn("leg", lit(1)).withColumn("score", lit(0))
+
+    val missExact = probes.join(exact.select("id").distinct(), Seq("id"), "left_anti")
+    val prefixCond: Column = cfg.prefixMode match {
+      case "char" => col("key").startsWith(substring(col("probe"), 1, cfg.prefixLen)) &&
+        col("key") =!= col("probe")
+      case _ => col("key").startsWith(concat(col("probe"), lit(" ")))
+    }
+    val prefix = missExact.join(cat, prefixCond)
+      .withColumn("leg", lit(2)).withColumn("score", length(col("key")))
+
+    val missPrefix = missExact.join(prefix.select("id").distinct(), Seq("id"), "left_anti")
+    val fuzzy = missPrefix.join(cat,
+        levenshtein(col("probe"), col("key")) <= cfg.fuzzyMaxDist &&
+          col("key") =!= col("probe"))
+      .withColumn("leg", lit(3))
+      .withColumn("score", levenshtein(col("probe"), col("key")))
+
+    val all = exact.unionByName(prefix).unionByName(fuzzy)
+    val w = Window.partitionBy("id")
+      .orderBy(col("leg"), col("score"), col("probe_pos"), col("key"))
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** leg number -> human-readable match_reason (null-safe: no leg =>
+    * no_match), mirroring `tagger.py` match_reason values.
+    */
+  def reason(leg: Column): Column =
+    when(leg === 1, "exact").when(leg === 2, "prefix")
+      .when(leg === 3, "fuzzy").otherwise("no_match")
+}

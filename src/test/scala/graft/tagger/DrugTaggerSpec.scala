@@ -1,0 +1,60 @@
+package graft.tagger
+
+import graft.SparkSpec
+
+/** Golden tests for the C1 tagging skeleton with drug-like fixtures
+  * (inputs modeled on FIXTURES.md eSOA coverage cases).
+  */
+class DrugTaggerSpec extends SparkSpec {
+
+  private lazy val catalog = {
+    import spark.implicits._
+    Seq(
+      ("paracetamol", "N02BE01", "DB00316"),
+      ("amoxicillin trihydrate", "J01CA04", "DB01060"),
+      ("ibuprofen", "M01AE01", "DB01050"),
+      ("cefalexin", "J01DB01", "DB00567"))
+      .toDF("key", "atc_code", "drugbank_id")
+  }
+
+  private def tag(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    DrugTagger.tagTexts(spark, rows.toDF("id", "text"), catalog)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("match_reason"), r.getAs[String]("atc_code"))).toMap
+  }
+
+  test("exact match: PARACETAMOL 500MG TAB -> N02BE01") {
+    val out = tag(Seq((1L, "PARACETAMOL 500MG TAB")))
+    assert(out(1L) == ("exact", "N02BE01"))
+  }
+
+  test("token-prefix match: AMOXICILLIN 500 MG CAP -> trihydrate entry") {
+    val out = tag(Seq((1L, "AMOXICILLIN 500 MG CAP")))
+    assert(out(1L) == ("prefix", "J01CA04"))
+  }
+
+  test("fuzzy match catches misspellings: CEPHALEXIN -> CEFALEXIN") {
+    val out = tag(Seq((1L, "CEPHALEXIN 250MG/5ML SYRUP")))
+    assert(out(1L) == ("fuzzy", "J01DB01"))
+  }
+
+  test("normalization feeds the probes: typo + units folded") {
+    // gm must not corrupt the molecule, noise tokens are not probes
+    val out = tag(Seq((1L, "IBUPROFEN 1 GM SUSPENSION 60 CC")))
+    assert(out(1L) == ("exact", "M01AE01"))
+  }
+
+  test("no_match is attributed, not dropped") {
+    val out = tag(Seq((1L, "SURGICAL GLOVES SIZE 7")))
+    assert(out(1L)._1 == "no_match")
+    assert(out(1L)._2 == null)
+  }
+
+  test("exact short-circuits the later legs (first-match-wins)") {
+    // both an exact ('ibuprofen') and a fuzzy candidate in one text: the
+    // exact leg must win regardless of token order
+    val out = tag(Seq((1L, "IBUPROFENE + IBUPROFEN 200MG")))
+    assert(out(1L) == ("exact", "M01AE01"))
+  }
+}
