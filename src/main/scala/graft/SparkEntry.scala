@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Bridge, Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, Waterfall}
+import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Similarity, TextAnalysis, Waterfall}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,9 @@ import graft.operators.{Bridge, Dedup, Events, Multimodal, Relational, Similarit
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
-    Relational.defs ++ Waterfall.defs ++ Bridge.defs ++ TextAnalysis.defs ++
-      Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++ Events.defs
+    Relational.defs ++ Waterfall.defs ++ Bridge.defs ++ Labs.defs ++
+      TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
+      Multimodal.defs ++ Events.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (SURVEY §2.1 S1–S10).
+  *
+  * Schemas are always pinned explicitly (`StructType`) instead of inferred —
+  * the reference re-infers per stage (`pd.read_csv`/`read_csv_auto`) which
+  * erases types at every boundary (SURVEY §1.3); at 100 TB, inference also
+  * costs an extra full scan.
+  */
+object Sources {
+
+  /** S1: header CSV scan with pinned schema. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      sep: String = ","): DataFrame =
+    spark.read.option("header", "true").option("sep", sep)
+      .schema(schema).csv(path)
+
+  /** S4: TSV variant. */
+  def tsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    csv(spark, path, schema, sep = "\t")
+
+  /** S3: parquet scan. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S6: multi-file concat source — Spark reads a glob natively; dedup is
+    * the caller's `dropDuplicates` (`run_drugs_all.py:312-382`).
+    */
+  def csvGlob(spark: SparkSession, glob: String, schema: StructType): DataFrame =
+    csv(spark, glob, schema)
+
+  /** S7: latest-dated-file resolution (`pipeline.py:262-273`): pick the
+    * lexicographically-greatest `<prefix>_YYYY-MM-DD.<ext>` in a dir.
+    * Driver-side FS utility — ISO dates sort correctly as strings.
+    */
+  def latestDatedFile(dir: String, prefix: String, ext: String): Option[String] = {
+    val rx = (java.util.regex.Pattern.quote(prefix) +
+      "_(\\d{4}-\\d{2}-\\d{2})\\." + java.util.regex.Pattern.quote(ext) + "$").r
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+    files.map(_.getName)
+      .flatMap(n => rx.findFirstMatchIn(n).map(m => (m.group(1), n)))
+      .sortBy(_._1)
+      .lastOption
+      .map(p => new File(dir, p._2).getPath)
+  }
+
+  /** S8: single-file CSV sink with header (`io_utils.py:14-22`). The
+    * coalesce(1) mirrors the reference's one-file contract — large outputs
+    * should use [[writeCsvPartitioned]] instead.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Partitioned CSV sink — the 100 TB path (no driver-side funnel). */
+  def writeCsvPartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S10: append-mode metrics sink (`runners.py:1498-1531`). Parquet, not
+    * CSV, so types survive appends.
+    */
+  def appendMetrics(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+}

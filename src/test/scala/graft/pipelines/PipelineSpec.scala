@@ -1,0 +1,66 @@
+package graft.pipelines
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sources.Sources
+
+class PipelineSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("sources: csv/tsv round-trip with pinned schema + glob concat") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-src").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sources.writeCsv(df, s"$dir/part1")
+    Sources.writeCsv(df.withColumn("id", $"id" + 2), s"$dir/part2")
+    val back = Sources.csvGlob(spark, s"$dir/part*/*.csv", schema)
+    assert(back.count() == 4)
+    assert(back.schema == schema)
+  }
+
+  test("latestDatedFile picks the max ISO date") {
+    val dir = Files.createTempDirectory("graft-dated")
+    Seq("fda_drug_2025-01-03.csv", "fda_drug_2025-11-20.csv",
+      "fda_drug_2025-02-14.csv", "other_2026-01-01.csv").foreach { n =>
+      Files.writeString(dir.resolve(n), "x")
+    }
+    val got = Sources.latestDatedFile(dir.toString, "fda_drug", "csv")
+    assert(got.exists(_.endsWith("fda_drug_2025-11-20.csv")))
+    assert(Sources.latestDatedFile(dir.toString, "nope", "csv").isEmpty)
+  }
+
+  test("registry runs hooks in order and records phase metrics") {
+    import spark.implicits._
+    val reg = new PipelineRegistry
+    var postRan = false
+    reg.register(new Pipeline {
+      val itemRefCode = "TestPipe"
+      def prepareInputs(s: SparkSession): DataFrame =
+        Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+      def matchRecords(s: SparkSession, prepared: DataFrame): DataFrame =
+        prepared.filter($"id" === 1L)
+      override def postRun(s: SparkSession, m: DataFrame): Unit = postRan = true
+    })
+    val (out, metrics) = reg.run(spark, "TestPipe")
+    assert(out.count() == 1)
+    assert(postRan)
+    assert(metrics.map(_.phase) == Seq("pre_run", "prepare", "match", "post_run"))
+    assert(metrics.find(_.phase == "match").exists(_.rows == 1L))
+    intercept[IllegalArgumentException](reg.run(spark, "Missing"))
+  }
+
+  test("append metrics sink accumulates rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-metrics").toString + "/m"
+    val m1 = Seq(("r1", 10L)).toDF("run", "rows")
+    Sources.appendMetrics(m1, dir)
+    Sources.appendMetrics(m1.withColumn("rows", $"rows" + 1), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}
