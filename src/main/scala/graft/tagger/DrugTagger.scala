@@ -37,13 +37,22 @@ object DrugTagger {
       cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
     val noise = nonProbeTokens
     val isNoise = udf((t: String) => noise.contains(t))
-    val probes = texts
+    // synonym application happens BEFORE lookup, as in the reference
+    // (`lookup.py:71-94` called from the key-universe build): the
+    // synonym-applied token is itself an exact-leg key, so e.g.
+    // CEPHALEXIN -> CEFALEXIN matches exact, not fuzzy
+    val synonymOf = udf((t: String) =>
+      graft.functions.SaltLib.applySynonym(t).toLowerCase)
+    val tokens = texts
       .select(col("id"), GraftFunctions.normalizeText(col("text")).as("norm"))
       .select(col("id"), posexplode(split(col("norm"), " ")))
       .toDF("id", "probe_pos", "probe")
       // generic-name candidates: alphabetic, >2 chars, not unit/form noise
       .filter(length(col("probe")) > 2 &&
         col("probe").rlike("^[a-z][a-z\\-]*$") && !isNoise(col("probe")))
+    val probes = tokens
+      .unionByName(tokens.withColumn("probe", synonymOf(col("probe"))))
+      .dropDuplicates("id", "probe_pos", "probe")
     val best = LookupWaterfall.tag(probes, catalog, cfg)
     texts.join(best.drop("probe_pos"), Seq("id"), "left")
       .withColumn("match_reason", LookupWaterfall.reason(col("leg")))

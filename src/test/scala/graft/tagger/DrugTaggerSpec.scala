@@ -34,8 +34,15 @@ class DrugTaggerSpec extends SparkSpec {
     assert(out(1L) == ("prefix", "J01CA04"))
   }
 
-  test("fuzzy match catches misspellings: CEPHALEXIN -> CEFALEXIN") {
+  test("synonym probe upgrades CEPHALEXIN to an exact match") {
+    // CEPHALEXIN is in the reference SPELLING_SYNONYMS -> CEFALEXIN, so it
+    // resolves on the exact leg, not fuzzy
     val out = tag(Seq((1L, "CEPHALEXIN 250MG/5ML SYRUP")))
+    assert(out(1L) == ("exact", "J01DB01"))
+  }
+
+  test("fuzzy match catches novel misspellings: CEFALEXIM -> CEFALEXIN") {
+    val out = tag(Seq((1L, "CEFALEXIM 250MG/5ML SYRUP")))
     assert(out(1L) == ("fuzzy", "J01DB01"))
   }
 
