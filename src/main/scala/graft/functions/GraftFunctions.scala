@@ -40,6 +40,11 @@ object GraftFunctions {
       DoseLib.safeRatioMgPerMl(strength, unit, perVal))
 
   def register(spark: SparkSession): Unit = {
+    // native codegen Expression (preferred on hot paths)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize_basic_native",
+      exprs => graft.expressions.NormalizeBasic(exprs.head),
+      "scala_udf")
     spark.udf.register("graft_normalize_text", normalizeText)
     spark.udf.register("graft_normalize_basic", normalizeBasic)
     spark.udf.register("graft_slug_id", slugId)

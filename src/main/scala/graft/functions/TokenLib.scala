@@ -1,0 +1,88 @@
+package graft.functions
+
+/** Tokenizer core (SURVEY §2.8 F14 subset): multiword-generic extraction
+  * with salt-pattern and trailing-salt guards, then punctuation-stripping
+  * tokenization with stopword drop (`tokenizer.py:955-1035`,
+  * `normalize_tokens`).
+  *
+  * Greedy longest-first extraction is the reference's D7 optimization —
+  * the multiword dictionary is sorted once (here at class init, in the
+  * reference per call). Length ties break alphabetically for cross-run
+  * determinism (the reference inherits Python set order, which is not
+  * stable run-to-run).
+  */
+object TokenLib {
+
+  /** `trailing_salt_words` (`tokenizer.py:984-988`): DRUG + <this> is a
+    * salt tail, not a generic, unless preceded by a cation word.
+    */
+  val trailingSaltWords: Set[String] = Set(
+    "SODIUM PHOSPHATE", "DISODIUM PHOSPHATE", "SODIUM SUCCINATE",
+    "SODIUM SULFATE", "POTASSIUM PHOSPHATE", "CALCIUM PHOSPHATE",
+    "MAGNESIUM SULFATE", "SODIUM CHLORIDE")
+
+  private val cationPrefixes = Set(
+    "SODIUM", "DISODIUM", "POTASSIUM", "CALCIUM", "MAGNESIUM")
+
+  private val SaltParenRx = "(?i)\\(\\s*as\\s+([^)]+)\\)".r
+  private val StripChars = ".,;:!?\"'()[]{}".toSet
+
+  private lazy val multiwordSorted: List[String] =
+    Constants.multiwordGenerics.toList.sortBy(m => (-m.length, m))
+
+  private def isTrailingSalt(mwg: String, origText: String): Boolean = {
+    if (origText.isEmpty || !trailingSaltWords.contains(mwg)) return false
+    val origUpper = origText.toUpperCase
+    val pos = origUpper.indexOf(mwg)
+    if (pos < 0) return false
+    val before = origUpper.substring(0, pos).trim
+    if (before.nonEmpty) {
+      val lastWord = before.split("\\s+").last
+      !cationPrefixes.contains(lastWord)
+    } else false
+  }
+
+  private def stripEnds(tok: String): String =
+    tok.dropWhile(StripChars.contains).reverse
+      .dropWhile(StripChars.contains).reverse
+
+  /** `normalize_tokens` (`tokenizer.py:955-1035`): uppercase, extract
+    * multiword generics longest-first (excluding "( as ...)" salt-pattern
+    * content and trailing-salt tails), then split the remainder, strip
+    * edge punctuation, drop stopwords.
+    */
+  def normalizeTokens(tokens: Seq[String], dropStopwords: Boolean = true,
+      multiwordGenerics: List[String] = multiwordSorted,
+      originalText: String = ""): List[String] = {
+    val result = List.newBuilder[String]
+    var text = tokens.mkString(" ").toUpperCase
+
+    val saltPatternContent: Set[String] =
+      SaltParenRx.findAllMatchIn(originalText)
+        .map(_.group(1).trim.toUpperCase).toSet
+
+    for (mwg <- multiwordGenerics) {
+      if (text.contains(mwg)) {
+        val inSaltPattern =
+          saltPatternContent.exists(sc => sc.contains(mwg) || mwg.contains(sc))
+        if (!inSaltPattern && !isTrailingSalt(mwg, originalText)) {
+          result += mwg
+          text = text.replace(mwg, " ")
+        }
+      }
+    }
+
+    for (raw <- text.split("[\\s,;]+") if raw.nonEmpty) {
+      val tok = stripEnds(raw).toUpperCase
+      if (tok.nonEmpty && !(dropStopwords && Constants.stopwords.contains(tok)))
+        result += tok
+    }
+    result.result()
+  }
+
+  /** Convenience: tokenize a free-text description directly. */
+  def tokenizeText(text: String, dropStopwords: Boolean = true): List[String] =
+    if (text == null) Nil
+    else normalizeTokens(text.split("\\s+").toSeq, dropStopwords,
+      originalText = text)
+}
