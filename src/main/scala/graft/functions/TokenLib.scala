@@ -85,4 +85,57 @@ object TokenLib {
     if (text == null) Nil
     else normalizeTokens(text.split("\\s+").toSeq, dropStopwords,
       originalText = text)
+
+  private val comboJunk = Set("+", "MG/5", "MG", "G", "MCG", "ML", "L", "PCT")
+  private val comboSaltSuffixes = List(
+    "HYDROXIDE", "CHLORIDE", "SULFATE", "SULPHATE", "CARBONATE",
+    "PHOSPHATE", "ACETATE", "CITRATE")
+
+  /** G5 `build_combination_keys` (`lookup.py:309-402`): generic tokens ->
+    * the combination lookup key variants ("A + B" sorted/original/
+    * reversed, "A AND B" WHO style, "A, B AND C" for 3+, space-joined).
+    * The reference returns a Python-set order; here the order is
+    * deterministic (probe-set semantics, order never ranked).
+    */
+  def buildCombinationKeys(genericTokens: Seq[String]): List[String] = {
+    val clean = genericTokens.toList.flatMap { g0 =>
+      if (g0 == null || g0.isEmpty) Nil
+      else {
+        val gU = g0.toUpperCase
+        if (comboJunk.contains(gU) || g0.exists(_.isDigit) ||
+          g0.contains("(") || g0.contains(")")) Nil
+        else {
+          val gc = gU.reverse.dropWhile(_ == '+').reverse.trim
+          if (gc.isEmpty) Nil
+          else if (gc.contains("+"))
+            gc.split("\\s*\\+\\s*").toList.map(_.trim)
+              .filter(p => p.nonEmpty && !comboJunk.contains(p))
+          else List(gc)
+        }
+      }
+    }
+    if (clean.size < 2) return Nil
+    val baseParts = clean.flatMap { part =>
+      var stripped = SaltLib.stripSaltSuffix(part)._1
+      comboSaltSuffixes.find(s => stripped.endsWith(" " + s)).foreach { s =>
+        stripped = stripped.dropRight(s.length + 1).trim
+      }
+      if (stripped.nonEmpty) Some(stripped) else None
+    }
+    if (baseParts.size < 2) return Nil
+    val unique = baseParts.distinct
+    if (unique.size < 2) return Nil
+    val sortedParts = unique.sorted
+    val keys = scala.collection.mutable.LinkedHashSet[String]()
+    keys += sortedParts.mkString(" + ")
+    keys += unique.mkString(" + ")
+    keys += unique.reverse.mkString(" + ")
+    keys += sortedParts.mkString(" AND ")
+    keys += sortedParts.reverse.mkString(" AND ")
+    if (sortedParts.size > 2)
+      keys += sortedParts.init.mkString(", ") + " AND " + sortedParts.last
+    keys += unique.mkString(" ")
+    keys += unique.reverse.mkString(" ")
+    keys.toList
+  }
 }

@@ -45,6 +45,28 @@ class EventsStreamSpec extends SparkSpec {
       hr.startsWith("2024-01-01 10:") && et == "click" && n == 2 && cents == 375 })
   }
 
+  test("file-source readStream agrees with batch on the same directory") {
+    import spark.implicits._
+    val data = Seq(
+      Ev(ts("2024-01-01 08:10:00"), "click", 1L, 1.00),
+      Ev(ts("2024-01-01 08:40:00"), "click", 2L, 2.00),
+      Ev(ts("2024-01-01 09:05:00"), "view", 1L, 3.00))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    data.toDF().write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = EventsStream.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("filehourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("filehourly").orderBy("hr", "event_type")
+      .collect().map(_.toSeq)
+    val batch = EventsStream.hourlyCounts(spark.read.parquet(s"$dir/in"))
+      .orderBy("hr", "event_type").collect().map(_.toSeq)
+    assert(streamed.length == 2)
+    assert(streamed.sameElements(batch))
+  }
+
   test("userSessions groups by session_window per user") {
     import spark.implicits._
     val data = Seq(
