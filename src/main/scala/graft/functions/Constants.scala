@@ -18,8 +18,8 @@ object Constants {
     }
 
   // minimal CSV parse: fields are simple tokens, but values may be quoted
-  // and contain commas
-  private def parseCsvLine(line: String): List[String] = {
+  // and contain commas (shared with VaccineLib)
+  private[functions] def parseCsvLine(line: String): List[String] = {
     val out = List.newBuilder[String]
     val cur = new StringBuilder
     var inQ = false
