@@ -38,6 +38,10 @@ object GraftFunctions {
   val ratioMgPerMl: UserDefinedFunction =
     udf((strength: Double, unit: String, perVal: Double) =>
       DoseLib.safeRatioMgPerMl(strength, unit, perVal))
+  /** F12 master extractor as a struct column (20-field DrugDetails). */
+  val extractDrugDetails: UserDefinedFunction =
+    udf((s: String) => if (s == null) None
+    else Some(DetailsLib.extractDrugDetails(s)))
 
   def register(spark: SparkSession): Unit = {
     // native codegen Expression (preferred on hot paths)
@@ -52,5 +56,6 @@ object GraftFunctions {
     spark.udf.register("graft_parse_dose", parseDose)
     spark.udf.register("graft_normalize_dose_ratio", normalizeDoseRatio)
     spark.udf.register("graft_normalize_weight_to_mg", normalizeWeightToMg)
+    spark.udf.register("graft_extract_drug_details", extractDrugDetails)
   }
 }
