@@ -47,8 +47,9 @@ object DoseKeys {
     * (note the reference's Python-truthiness: a 0.0 amount falls through),
     * then the parsed dose string, then NSS/D5/D10 context inference.
     *
-    * @param parsed (total_mg, conc, vol_ml, unit_type) from the dose-string
-    *               parser (F8) — injectable until that parser lands.
+    * @param parsedOverride (total_mg, conc, vol_ml, unit_type) replacing
+    *                       the default [[DoseStringParser.parseDoseToMg]]
+    *                       call (tests inject synthetic parses here)
     */
   def getDoseKey(
       drugAmountMg: Option[Double],
@@ -58,8 +59,8 @@ object DoseKeys {
       doseStr: Option[String],
       description: String = "",
       matchedGeneric: String = "",
-      parsed: (Option[Double], Option[Double], Option[Double], Option[String]) =
-        (None, None, None, None)): Option[DoseKey] = {
+      parsedOverride: Option[(Option[Double], Option[Double], Option[Double],
+        Option[String])] = None): Option[DoseKey] = {
 
     if (ivDiluentType.exists(_.nonEmpty))
       return Some(IvKey(concMgPerMl,
@@ -71,7 +72,10 @@ object DoseKeys {
       return Some(MgKey(drugAmountMg.get))
     }
 
-    val (parsedDose, parsedConc, parsedVol, unitType) = parsed
+    val (parsedDose, parsedConc, parsedVol, unitType) = parsedOverride.getOrElse {
+      val p = DoseStringParser.parseDoseToMg(doseStr.orNull)
+      (p.totalMg, p.concMgPerMl, p.volumeMl, p.unitType)
+    }
     if (parsedConc.isDefined)
       return Some(ConcKey(parsedConc.get, parsedVol, unitType.orNull))
     if (parsedDose.isDefined)
