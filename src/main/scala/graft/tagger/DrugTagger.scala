@@ -36,23 +36,30 @@ object DrugTagger {
   def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
       cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
     val noise = nonProbeTokens
-    val isNoise = udf((t: String) => noise.contains(t))
-    // synonym application happens BEFORE lookup, as in the reference
-    // (`lookup.py:71-94` called from the key-universe build): the
-    // synonym-applied token is itself an exact-leg key, so e.g.
-    // CEPHALEXIN -> CEFALEXIN matches exact, not fuzzy
-    val synonymOf = udf((t: String) =>
-      graft.functions.SaltLib.applySynonym(t).toLowerCase)
-    val tokens = texts
-      .select(col("id"), GraftFunctions.normalizeText(col("text")).as("norm"))
-      .select(col("id"), posexplode(split(col("norm"), " ")))
+    // The key-universe build (`tagger.py:637-699`): per text, in probe-
+    // priority order — raw generic tokens (multiword extraction + stopword
+    // drop via TokenLib), synonym-applied variants (`lookup.py:71-94`; so
+    // CEPHALEXIN -> CEFALEXIN hits the exact leg), salt-stripped bases,
+    // combination keys (G5), and the vaccine canonical name (F19). Probe
+    // position encodes that priority for the ranking window.
+    val probesOf = udf((text: String) => {
+      import graft.functions._
+      val norm = TextNorm.normalizeText(text)
+      val toks = TokenLib.normalizeTokens(norm.split(" ").toSeq,
+        dropStopwords = true, originalText = text)
+      val generics = toks.filter(t => t.length > 2 &&
+        t.matches("^[A-Z][A-Z\\- ']*$") && !noise.contains(t.toLowerCase))
+      val synonyms = generics.map(g => SaltLib.applySynonym(g))
+      val stripped = generics.map(g => SaltLib.stripSaltSuffix(g)._1)
+      val combos = TokenLib.buildCombinationKeys(toks)
+      val vaccine = VaccineLib.normalizeVaccineName(text)._1.toList
+        .filter(_ != "VACCINE")
+      (generics ++ synonyms ++ stripped ++ combos ++ vaccine)
+        .map(_.toLowerCase).distinct
+    })
+    val probes = texts
+      .select(col("id"), posexplode(probesOf(col("text"))))
       .toDF("id", "probe_pos", "probe")
-      // generic-name candidates: alphabetic, >2 chars, not unit/form noise
-      .filter(length(col("probe")) > 2 &&
-        col("probe").rlike("^[a-z][a-z\\-]*$") && !isNoise(col("probe")))
-    val probes = tokens
-      .unionByName(tokens.withColumn("probe", synonymOf(col("probe"))))
-      .dropDuplicates("id", "probe_pos", "probe")
     val best = LookupWaterfall.tag(probes, catalog, cfg)
     texts.join(best.drop("probe_pos"), Seq("id"), "left")
       .withColumn("match_reason", LookupWaterfall.reason(col("leg")))

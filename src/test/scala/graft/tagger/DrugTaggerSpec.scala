@@ -13,7 +13,9 @@ class DrugTaggerSpec extends SparkSpec {
       ("paracetamol", "N02BE01", "DB00316"),
       ("amoxicillin trihydrate", "J01CA04", "DB01060"),
       ("ibuprofen", "M01AE01", "DB01050"),
-      ("cefalexin", "J01DB01", "DB00567"))
+      ("cefalexin", "J01DB01", "DB00567"),
+      ("ibuprofen + paracetamol", "M01AE51", "DBCOMBO"),
+      ("rabies vaccine", "J07BG01", "DBRABV"))
       .toDF("key", "atc_code", "drugbank_id")
   }
 
@@ -63,5 +65,17 @@ class DrugTaggerSpec extends SparkSpec {
     // exact leg must win regardless of token order
     val out = tag(Seq((1L, "IBUPROFENE + IBUPROFEN 200MG")))
     assert(out(1L) == ("exact", "M01AE01"))
+  }
+
+  test("combination keys resolve combo catalog entries") {
+    // 'IBUPROFEN+PARACETAMOL' is not a single token probe, but the G5
+    // combination keys include 'ibuprofen + paracetamol'
+    val out = tag(Seq((1L, "IBUPROFEN+PARACETAMOL 200MG/325MG TABLET")))
+    assert(out(1L)._2 == "M01AE51")
+  }
+
+  test("vaccine canonicalization feeds the probe set") {
+    val out = tag(Seq((1L, "ANTI RABIES VACCINE 2.5 IU VIAL")))
+    assert(out(1L) == ("exact", "J07BG01"))
   }
 }
