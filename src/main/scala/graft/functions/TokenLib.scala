@@ -86,6 +86,48 @@ object TokenLib {
     else normalizeTokens(text.split("\\s+").toSeq, dropStopwords,
       originalText = text)
 
+  private val DosePattern =
+    "(?i)^(\\d+(?:\\.\\d+)?)\\s*(mg|g|mcg|ug|ml|l|iu|unit|units|pct|%|mg/ml|mcg/ml|iu/ml|mg/5ml)".r
+
+  /** A7/F14 `categorize_tokens` (`tokenizer.py:1037-1110`): per-text token
+    * frequency maps per category (generic/salt/dose/form/route/other).
+    * Row-local — no shuffle; the only "aggregate" that lives inside a
+    * row-wise function (SURVEY §2.4).
+    */
+  def categorizeTokens(tokens: Seq[String]): Map[String, Map[String, Int]] = {
+    val cats = scala.collection.mutable.Map(
+      "generic" -> scala.collection.mutable.Map.empty[String, Int],
+      "salt" -> scala.collection.mutable.Map.empty[String, Int],
+      "dose" -> scala.collection.mutable.Map.empty[String, Int],
+      "form" -> scala.collection.mutable.Map.empty[String, Int],
+      "route" -> scala.collection.mutable.Map.empty[String, Int],
+      "other" -> scala.collection.mutable.Map.empty[String, Int])
+    def add(cat: String, tok: String): Unit =
+      cats(cat)(tok) = cats(cat).getOrElse(tok, 0) + 1
+    for (tok <- tokens) {
+      val up = tok.toUpperCase
+      if (DosePattern.findPrefixMatchOf(up).isDefined ||
+        Constants.unitTokens.contains(up)) add("dose", up)
+      else if (Constants.formCanon.contains(up))
+        add("form", Constants.formCanon(up))
+      else if (Constants.routeCanon.contains(up))
+        add("route", Constants.routeCanon(up))
+      else if (Constants.saltTokens.contains(up)) {
+        // element drugs count as the generic ONLY as the first token
+        if (Constants.elementDrugs.contains(up) && tokens.indexOf(tok) == 0)
+          add("generic", up)
+        else add("salt", up)
+      } else if (up.replace(".", "").nonEmpty &&
+        up.replace(".", "").forall(_.isDigit)) add("dose", up)
+      else if (Constants.stopwords.contains(up)) add("other", up)
+      else if (up.trim.isEmpty || up.trim.length < 2 ||
+        !up.exists(_.isLetter) || up.contains("*") ||
+        Set("GENERIC", "OP", "GRAM", "100S").contains(up)) add("other", up)
+      else add("generic", up)
+    }
+    cats.map { case (k, v) => k -> v.toMap }.toMap
+  }
+
   private val comboJunk = Set("+", "MG/5", "MG", "G", "MCG", "ML", "L", "PCT")
   private val comboSaltSuffixes = List(
     "HYDROXIDE", "CHLORIDE", "SULFATE", "SULPHATE", "CARBONATE",
