@@ -28,12 +28,10 @@ object DrugTagger {
     "bottle", "sachet", "drops", "drop", "cream", "ointment", "gel",
     "intravenous", "oral", "per", "and", "with", "in", "of", "for", "as")
 
-  /** @param texts   (id, text) free-text rows
-    * @param catalog (key, ...payload) normalized generic-name catalog
-    * @return one row per input id: id, text, matched key + payload,
-    *         match_reason in {exact, prefix, fuzzy, no_match}
+  /** Probe frame (id, probe_pos, probe) for a (id, text) frame — shared by
+    * the leg-priority tagger below and [[ScoredTagger]].
     */
-  def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
+  def probeFrame(texts: DataFrame,
       cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
     val noise = nonProbeTokens
     // The key-universe build (`tagger.py:637-699`): per text, in probe-
@@ -57,10 +55,19 @@ object DrugTagger {
       (generics ++ synonyms ++ stripped ++ combos ++ vaccine)
         .map(_.toLowerCase).distinct
     })
-    val probes = texts
+    texts
       .select(col("id"), posexplode(probesOf(col("text"))))
       .toDF("id", "probe_pos", "probe")
-    val best = LookupWaterfall.tag(probes, catalog, cfg)
+  }
+
+  /** @param texts   (id, text) free-text rows
+    * @param catalog (key, ...payload) normalized generic-name catalog
+    * @return one row per input id: id, text, matched key + payload,
+    *         match_reason in {exact, prefix, fuzzy, no_match}
+    */
+  def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
+      cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
+    val best = LookupWaterfall.tag(probeFrame(texts, cfg), catalog, cfg)
     texts.join(best.drop("probe_pos"), Seq("id"), "left")
       .withColumn("match_reason", LookupWaterfall.reason(col("leg")))
       .drop("leg")

@@ -42,6 +42,19 @@ object LookupWaterfall {
     *         (callers left-join back and coalesce a no_match reason)
     */
   def tag(probes: DataFrame, catalog: DataFrame, cfg: Config = Config()): DataFrame = {
+    val all = allMatches(probes, catalog, cfg)
+    val w = Window.partitionBy("id")
+      .orderBy(col("leg"), col("score"), col("probe_pos"), col("key"))
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Every leg hit (no top-1 ranking) — the candidate set the scoring
+    * layer consumes (`tagger.py:728-771` collects all candidates before
+    * `select_best_candidate`). Anti-join chaining between legs still
+    * applies: later legs only fire for ids the earlier legs missed.
+    */
+  def allMatches(probes: DataFrame, catalog: DataFrame,
+      cfg: Config = Config()): DataFrame = {
     val cat = broadcast(catalog)
 
     val exact = probes.join(cat, col("probe") === col("key"))
@@ -63,10 +76,7 @@ object LookupWaterfall {
       .withColumn("leg", lit(3))
       .withColumn("score", levenshtein(col("probe"), col("key")))
 
-    val all = exact.unionByName(prefix).unionByName(fuzzy)
-    val w = Window.partitionBy("id")
-      .orderBy(col("leg"), col("score"), col("probe_pos"), col("key"))
-    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    exact.unionByName(prefix).unionByName(fuzzy)
   }
 
   /** leg number -> human-readable match_reason (null-safe: no leg =>

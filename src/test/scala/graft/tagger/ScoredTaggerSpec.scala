@@ -1,0 +1,70 @@
+package graft.tagger
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** End-to-end tests for the composed C1 flow: candidate gathering +
+  * shape classification + rule-based selection.
+  */
+class ScoredTaggerSpec extends SparkSpec {
+
+  private lazy val catalog: DataFrame = {
+    import spark.implicits._
+    Seq(
+      // key, generic_name, atc, drugbank, form, route, source, ref_text
+      ("paracetamol", "PARACETAMOL", "N02BE01", "DB00316", "TABLET", "ORAL",
+        "who", "PARACETAMOL 500 MG TABLET"),
+      ("paracetamol", "PARACETAMOL", "N02BE51", "DB00316", "TABLET", "ORAL",
+        "who", "PARACETAMOL COMBINATIONS"),
+      ("ibuprofen", "IBUPROFEN", "M01AE01", "DB01050", "TABLET", "ORAL",
+        "who", "IBUPROFEN TABLET"),
+      ("ibuprofen + paracetamol", "IBUPROFEN + PARACETAMOL", "M01AE51",
+        "DBCOMBO", "TABLET", "ORAL", "who", "IBUPROFEN AND PARACETAMOL"),
+      ("nifedipine", "NIFEDIPINE", "C08CA05", "DB01115", "TABLET", "ORAL",
+        "who", "NIFEDIPINE TABLET"),
+      ("nifedipine", "NIFEDIPINE", "C08CA05X", "DB01115", "TABLET", "ORAL",
+        "pnf", "NIFEDIPINE MR TABLET"))
+      .toDF("key", "generic_name", "atc_code", "drugbank_id", "form",
+        "route", "source", "reference_text")
+  }
+
+  private def tag(rows: Seq[(Long, String)]): Map[Long, (String, String)] = {
+    import spark.implicits._
+    ScoredTagger.tagTexts(spark, rows.toDF("id", "text"), catalog)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("match_reason"), r.getAs[String]("atc_code"))).toMap
+  }
+
+  test("single drug prefers the single-agent ATC over the combination ATC") {
+    val out = tag(Seq((1L, "PARACETAMOL 500MG TABLET")))
+    assert(out(1L) == ("matched", "N02BE01"))
+  }
+
+  test("combination input selects the combo candidate") {
+    val out = tag(Seq((1L, "IBUPROFEN+PARACETAMOL 200MG/325MG TABLET")))
+    assert(out(1L) == ("matched", "M01AE51"))
+  }
+
+  test("release detail steers the tie-break (MR -> MR reference)") {
+    val out = tag(Seq((1L, "NIFEDIPINE 30 mg MR TABLET")))
+    assert(out(1L) == ("matched", "C08CA05X"))
+    val plain = tag(Seq((2L, "NIFEDIPINE 10 mg TABLET")))
+    assert(plain(2L) == ("matched", "C08CA05"))
+  }
+
+  test("no catalog hits attribute no_candidates") {
+    val out = tag(Seq((1L, "SURGICAL GLOVES SIZE 7")))
+    assert(out(1L)._1 == "no_candidates")
+  }
+
+  test("shape classification flags") {
+    val s1 = ScoredTagger.classify("PARACETAMOL 500MG TABLET")
+    assert(s1.isSingle && !s1.isCombination && !s1.isIv)
+    assert(s1.inputForms.contains("TABLET"))
+    val s2 = ScoredTagger.classify("IBUPROFEN+PARACETAMOL 200MG")
+    assert(s2.isCombination && !s2.isSingle)
+    val s3 = ScoredTagger.classify("5% DEXTROSE IN 0.9% SODIUM CHLORIDE 500 ML")
+    assert(s3.isIv)
+  }
+}
