@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
-import graft.tagger.LookupWaterfall
+import graft.tagger.{LookupWaterfall, ScoredTagger}
 
 /** Oracle-checked demonstration of the C1 lookup waterfall over the
   * synthetic `documents` table, running through the SAME
@@ -70,6 +70,32 @@ object Waterfall {
              |    WHEN 3 THEN 'fuzzy' ELSE 'no_match' END AS match_reason
              |FROM probe p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
              |  ON p.doc_id = b.doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- full C1 composition (candidate gathering + shape classification
+    //      + rule-based selection) through ScoredTagger. The selection
+    //      logic is not SQL-expressible, so this records the driver's
+    //      rows-only check; exact selection parity is covered by the
+    //      ScalaTest goldens against the reference scoring module.
+    QueryDef(
+      "q26_scored_tagger",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val texts = docs.select(col("doc_id").as("id"), col("text"))
+        val catalog = docs
+          .select(explode(split(col("text"), " ")).as("key"))
+          .groupBy("key").agg(count(lit(1)).as("cnt"))
+          .filter(!col("key").isin("vector", "spark", "the"))
+          .select(col("key"), upper(col("key")).as("generic_name"),
+            concat(lit("ATC"), upper(col("key"))).as("atc_code"),
+            concat(lit("DB"), col("key")).as("drugbank_id"),
+            lit("TABLET").as("form"), lit("ORAL").as("route"),
+            lit("corpus").as("source"),
+            upper(col("key")).as("reference_text"))
+        ScoredTagger.tagTexts(s, texts, catalog)
+          .select(col("id").as("doc_id"), col("atc_code"), col("match_reason"))
+          .orderBy("doc_id")
+      },
+      None)
   )
 }
