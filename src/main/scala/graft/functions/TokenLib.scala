@@ -133,13 +133,12 @@ object TokenLib {
     "HYDROXIDE", "CHLORIDE", "SULFATE", "SULPHATE", "CARBONATE",
     "PHOSPHATE", "ACETATE", "CITRATE")
 
-  /** G5 `build_combination_keys` (`lookup.py:309-402`): generic tokens ->
-    * the combination lookup key variants ("A + B" sorted/original/
-    * reversed, "A AND B" WHO style, "A, B AND C" for 3+, space-joined).
-    * The reference returns a Python-set order; here the order is
-    * deterministic (probe-set semantics, order never ranked).
+  /** Unique, salt-stripped combination components in original order —
+    * shared by the key-variant builder below and the mixture
+    * component-key (J11: sorted '|'-joined key,
+    * `build_unified_reference.py:486-500`, probed `tagger.py:309-360`).
     */
-  def buildCombinationKeys(genericTokens: Seq[String]): List[String] = {
+  def combinationComponents(genericTokens: Seq[String]): List[String] = {
     val clean = genericTokens.toList.flatMap { g0 =>
       if (g0 == null || g0.isEmpty) Nil
       else {
@@ -165,7 +164,17 @@ object TokenLib {
       if (stripped.nonEmpty) Some(stripped) else None
     }
     if (baseParts.size < 2) return Nil
-    val unique = baseParts.distinct
+    baseParts.distinct
+  }
+
+  /** G5 `build_combination_keys` (`lookup.py:309-402`): generic tokens ->
+    * the combination lookup key variants ("A + B" sorted/original/
+    * reversed, "A AND B" WHO style, "A, B AND C" for 3+, space-joined).
+    * The reference returns a Python-set order; here the order is
+    * deterministic (probe-set semantics, order never ranked).
+    */
+  def buildCombinationKeys(genericTokens: Seq[String]): List[String] = {
+    val unique = combinationComponents(genericTokens)
     if (unique.size < 2) return Nil
     val sortedParts = unique.sorted
     val keys = scala.collection.mutable.LinkedHashSet[String]()

@@ -30,9 +30,15 @@ object DrugTagger {
 
   /** Probe frame (id, probe_pos, probe) for a (id, text) frame — shared by
     * the leg-priority tagger below and [[ScoredTagger]].
+    *
+    * @param brandMap brand -> generic swaps (J10, `lookup.py:34-49`;
+    *                 build side = FDA/DrugBank brand frequency ranking,
+    *                 `tagger.py:233-265`) — swapped generics join the
+    *                 probe set so brand-only texts resolve
     */
   def probeFrame(texts: DataFrame,
-      cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
+      cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
+      brandMap: Map[String, String] = Map.empty): DataFrame = {
     val noise = nonProbeTokens
     // The key-universe build (`tagger.py:637-699`): per text, in probe-
     // priority order — raw generic tokens (multiword extraction + stopword
@@ -47,12 +53,22 @@ object DrugTagger {
         dropStopwords = true, originalText = text)
       val generics = toks.filter(t => t.length > 2 &&
         t.matches("^[A-Z][A-Z\\- ']*$") && !noise.contains(t.toLowerCase))
-      val synonyms = generics.map(g => SaltLib.applySynonym(g))
-      val stripped = generics.map(g => SaltLib.stripSaltSuffix(g)._1)
+      // brand -> generic swap BEFORE synonym/salt processing, as in the
+      // reference (swap_brand_to_generic runs in the per-text prep loop)
+      val swapped = generics.flatMap(g => brandMap.get(g.toUpperCase))
+      val withSwaps = generics ++ swapped
+      val synonyms = withSwaps.map(g => SaltLib.applySynonym(g))
+      val stripped = withSwaps.map(g => SaltLib.stripSaltSuffix(g)._1)
       val combos = TokenLib.buildCombinationKeys(toks)
+      // mixture component key (J11): sorted '|'-joined components probe
+      // catalogs keyed like unified_mixtures.component_key
+      val mixtureKey = TokenLib.combinationComponents(toks) match {
+        case parts if parts.size >= 2 => List(parts.sorted.mkString("|"))
+        case _ => Nil
+      }
       val vaccine = VaccineLib.normalizeVaccineName(text)._1.toList
         .filter(_ != "VACCINE")
-      (generics ++ synonyms ++ stripped ++ combos ++ vaccine)
+      (withSwaps ++ synonyms ++ stripped ++ combos ++ mixtureKey ++ vaccine)
         .map(_.toLowerCase).distinct
     })
     texts
@@ -66,8 +82,9 @@ object DrugTagger {
     *         match_reason in {exact, prefix, fuzzy, no_match}
     */
   def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
-      cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
-    val best = LookupWaterfall.tag(probeFrame(texts, cfg), catalog, cfg)
+      cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
+      brandMap: Map[String, String] = Map.empty): DataFrame = {
+    val best = LookupWaterfall.tag(probeFrame(texts, cfg, brandMap), catalog, cfg)
     texts.join(best.drop("probe_pos"), Seq("id"), "left")
       .withColumn("match_reason", LookupWaterfall.reason(col("leg")))
       .drop("leg")

@@ -15,7 +15,9 @@ class DrugTaggerSpec extends SparkSpec {
       ("ibuprofen", "M01AE01", "DB01050"),
       ("cefalexin", "J01DB01", "DB00567"),
       ("ibuprofen + paracetamol", "M01AE51", "DBCOMBO"),
-      ("rabies vaccine", "J07BG01", "DBRABV"))
+      ("rabies vaccine", "J07BG01", "DBRABV"),
+      // mixture table row keyed by sorted component_key (J11)
+      ("lamivudine|zidovudine", "J05AR01", "DBMIX1"))
       .toDF("key", "atc_code", "drugbank_id")
   }
 
@@ -77,5 +79,23 @@ class DrugTaggerSpec extends SparkSpec {
   test("vaccine canonicalization feeds the probe set") {
     val out = tag(Seq((1L, "ANTI RABIES VACCINE 2.5 IU VIAL")))
     assert(out(1L) == ("exact", "J07BG01"))
+  }
+
+  test("mixture component-key probes hit component-keyed catalogs") {
+    val out = tag(Seq((1L, "LAMIVUDINE + ZIDOVUDINE 150MG/300MG TABLET")))
+    assert(out(1L) == ("exact", "J05AR01"))
+  }
+
+  test("brand swap resolves brand-only texts (BIOGESIC -> PARACETAMOL)") {
+    import spark.implicits._
+    val out = DrugTagger.tagTexts(spark,
+        Seq((1L, "BIOGESIC 500MG TAB")).toDF("id", "text"), catalog,
+        brandMap = Map("BIOGESIC" -> "PARACETAMOL"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("match_reason"), r.getAs[String]("atc_code"))).toMap
+    assert(out(1L) == ("exact", "N02BE01"))
+    // without the map: no match
+    val bare = tag(Seq((2L, "BIOGESIC 500MG TAB")))
+    assert(bare(2L)._1 == "no_match")
   }
 }
