@@ -1,0 +1,202 @@
+package graft.refbuild
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unified reference-table builders (SURVEY §2 A4–A6, U1–U2, D2; port of
+  * `build_unified_reference.py`): layer DrugBank lean exports with
+  * WHO/PNF/FDA/canonical sources into the unified_* lookup tables the
+  * tagger consumes.
+  *
+  * Determinism: the reference's add-only-if-absent layering is pandas
+  * concat + isin; here each layer is a left_anti join and every keep-first
+  * dedup is a row_number window over an explicit source-precedence column
+  * (the FDA-before-DrugBank brand rule, `build_unified_reference.py:
+  * 425-459`, depends on it — SURVEY §7.4 risk 4).
+  */
+object UnifiedReference {
+
+  private def nameKey(c: Column): Column =
+    lower(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+
+  private def cleanName(c: Column): Column = upper(trim(c))
+
+  /** add-only-if-absent layering on generic_name (U2). */
+  private def addLayer(base: DataFrame, layer: DataFrame): DataFrame =
+    base.unionByName(
+      layer.join(base.select("generic_name"), Seq("generic_name"), "left_anti"))
+
+  /** unified_generics (`:160-288`): drugbank ⊕ who ⊕ pnf ⊕ canonical ⊕
+    * pnf_raw layers; canonicals WITH a DrugBank id overwrite the id+source
+    * of already-present names.
+    */
+  def buildGenerics(spark: SparkSession, drugbankGenerics: DataFrame,
+      whoAtc: DataFrame, pnfPrepared: Option[DataFrame]): DataFrame = {
+    val db = drugbankGenerics
+      .filter(col("drugbank_id").isNotNull &&
+        col("generic_name").isNotNull && col("generic_name") =!= "")
+      .select(col("drugbank_id"), cleanName(col("generic_name")).as("generic_name"),
+        col("name_key"), lit("drugbank").as("source"))
+      .distinct()
+    val who = whoAtc
+      .filter(col("atc_name").isNotNull && col("atc_name") =!= "")
+      .select(lit(null).cast("string").as("drugbank_id"),
+        cleanName(col("atc_name")).as("generic_name"),
+        nameKey(col("atc_name")).as("name_key"), lit("who").as("source"))
+      .distinct()
+    var out = addLayer(db, who)
+    pnfPrepared.foreach { pnf =>
+      val p = pnf.filter(col("generic_normalized").isNotNull &&
+          col("generic_normalized") =!= "")
+        .select(lit(null).cast("string").as("drugbank_id"),
+          cleanName(col("generic_normalized")).as("generic_name"),
+          nameKey(col("generic_normalized")).as("name_key"),
+          lit("pnf").as("source"))
+        .distinct()
+      out = addLayer(out, p)
+    }
+    out = dedupFirst(out, Seq("generic_name"),
+      Seq(sourcePrecedence(col("source")), col("drugbank_id")))
+
+    // canonical layer: entries with a DrugBank id overwrite in place
+    val canonical = spark.read.option("header", "true")
+      .csv(getClass.getResource("/graft/canonical_generics.csv").toString)
+      .select(cleanName(col("generic_name")).as("generic_name"),
+        when(col("drugbank_id") === "", null).otherwise(col("drugbank_id"))
+          .as("canon_db_id"),
+        nameKey(col("generic_name")).as("canon_name_key"))
+    val withDb = canonical.filter(col("canon_db_id").isNotNull)
+    val noDb = canonical.filter(col("canon_db_id").isNull)
+    out = out.join(withDb.select("generic_name", "canon_db_id"),
+        Seq("generic_name"), "left")
+      .withColumn("drugbank_id",
+        coalesce(col("canon_db_id"), col("drugbank_id")))
+      .withColumn("source",
+        when(col("canon_db_id").isNotNull, "canonical").otherwise(col("source")))
+      .drop("canon_db_id")
+    val newWithDb = withDb
+      .join(out.select("generic_name"), Seq("generic_name"), "left_anti")
+      .select(col("canon_db_id").as("drugbank_id"), col("generic_name"),
+        col("canon_name_key").as("name_key"), lit("canonical").as("source"))
+    val newNoDb = noDb
+      .join(out.select("generic_name"), Seq("generic_name"), "left_anti")
+      .select(lit(null).cast("string").as("drugbank_id"), col("generic_name"),
+        col("canon_name_key").as("name_key"), lit("canonical").as("source"))
+    out = out.unionByName(newWithDb).unionByName(newNoDb)
+    pnfPrepared.foreach { pnf =>
+      val raw = pnf.filter(col("raw_molecule").isNotNull &&
+          col("raw_molecule") =!= "")
+        .select(lit(null).cast("string").as("drugbank_id"),
+          cleanName(col("raw_molecule")).as("generic_name"),
+          nameKey(col("raw_molecule")).as("name_key"),
+          lit("pnf_raw").as("source"))
+        .distinct()
+      out = addLayer(out, raw)
+    }
+    dedupFirst(out, Seq("generic_name"),
+      Seq(sourcePrecedence(col("source")), col("drugbank_id")))
+  }
+
+  private def sourcePrecedence(source: Column): Column =
+    when(source === "drugbank", 0).when(source === "who", 1)
+      .when(source === "pnf", 2).when(source === "canonical", 3)
+      .otherwise(4)
+
+  /** keep-first with explicit precedence (D2). */
+  def dedupFirst(df: DataFrame, keys: Seq[String],
+      precedence: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(precedence.map(_.asc_nulls_last): _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** unified_synonyms (`:296-306`): pipe-joined distinct synonyms per
+    * (drugbank_id, generic_name) — A4. Sorted for determinism (the
+    * reference inherits DuckDB STRING_AGG order).
+    */
+  def buildSynonyms(drugbankSynonyms: DataFrame,
+      drugbankGenerics: DataFrame): DataFrame =
+    drugbankSynonyms
+      .filter(col("drugbank_id").isNotNull &&
+        col("synonyms").isNotNull && col("synonyms") =!= "")
+      .join(drugbankGenerics.select(col("drugbank_id"),
+        cleanName(col("generic_name")).as("generic_name")),
+        Seq("drugbank_id"), "left")
+      .groupBy("drugbank_id", "generic_name")
+      .agg(array_join(array_sort(collect_set(cleanName(col("synonyms")))), "|")
+        .as("synonyms"))
+
+  /** unified_atc (`:314-364`): DrugBank atc layered with WHO names. */
+  def buildAtcMap(drugbankAtc: DataFrame, drugbankGenerics: DataFrame,
+      whoAtc: DataFrame): DataFrame = {
+    val db = drugbankAtc
+      .filter(col("drugbank_id").isNotNull &&
+        col("atc_code").isNotNull && col("atc_code") =!= "")
+      .join(drugbankGenerics.select(col("drugbank_id"),
+        cleanName(col("generic_name")).as("generic_name")),
+        Seq("drugbank_id"), "left")
+      .select(col("drugbank_id"), col("generic_name"),
+        trim(col("atc_code")).as("atc_code"))
+      .distinct()
+    val who = whoAtc
+      .filter(col("atc_name").isNotNull && col("atc_name") =!= "" &&
+        col("atc_code").isNotNull && col("atc_code") =!= "")
+      .select(lit(null).cast("string").as("drugbank_id"),
+        cleanName(col("atc_name")).as("generic_name"),
+        trim(col("atc_code")).as("atc_code"))
+      .distinct()
+    db.unionByName(
+      who.join(db.select("generic_name", "atc_code").distinct(),
+        Seq("generic_name", "atc_code"), "left_anti"))
+  }
+
+  /** unified_brands (`:425-459`): FDA rows win over DrugBank on the same
+    * brand_name (keep-first with source precedence).
+    */
+  def buildBrands(fdaBrands: DataFrame, drugbankBrands: DataFrame,
+      drugbankGenerics: DataFrame): DataFrame = {
+    val fda = fdaBrands
+      .filter(col("brand_name").isNotNull && col("brand_name") =!= "")
+      .select(cleanName(col("brand_name")).as("brand_name"),
+        cleanName(col("generic_name")).as("generic_name"),
+        lit("").as("drugbank_id"), lit("fda").as("source"))
+      .distinct()
+    val db = drugbankBrands
+      .filter(col("brand_name").isNotNull && col("brand_name") =!= "")
+      .join(drugbankGenerics.select(col("drugbank_id"),
+        cleanName(col("generic_name")).as("generic_name")),
+        Seq("drugbank_id"), "left")
+      .select(cleanName(col("brand_name")).as("brand_name"),
+        coalesce(col("generic_name"), lit("")).as("generic_name"),
+        coalesce(col("drugbank_id"), lit("")).as("drugbank_id"),
+        lit("drugbank").as("source"))
+      .distinct()
+    dedupFirst(fda.unionByName(db), Seq("brand_name"),
+      Seq(when(col("source") === "fda", 0).otherwise(1),
+        col("generic_name"), col("drugbank_id")))
+  }
+
+  /** unified_mixtures (`:486-500`): keep-first per sorted component_key. */
+  def buildMixtures(drugbankMixtures: DataFrame): DataFrame =
+    dedupFirst(
+      drugbankMixtures
+        .filter(col("drugbank_id").isNotNull &&
+          col("component_generics").isNotNull &&
+          col("component_generics") =!= "")
+        .select(col("drugbank_id"),
+          cleanName(col("mixture_name")).as("mixture_name"),
+          col("component_generics"), col("component_keys"),
+          col("component_key_sorted").as("component_key"),
+          col("component_count"))
+        .distinct(),
+      Seq("component_key"),
+      Seq(col("drugbank_id"), col("mixture_name")))
+
+  /** engineered component key for mixture rows built from scratch (J11):
+    * sorted pipe-joined normalized components.
+    */
+  def componentKey(components: Column): Column =
+    array_join(array_sort(components), "|")
+}
