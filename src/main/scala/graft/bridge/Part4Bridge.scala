@@ -1,0 +1,111 @@
+package graft.bridge
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SaltLib
+
+/** Full-fidelity Part-4 bridge (C2): [[BridgeMatcher]]'s explode-join +
+  * conditional-aggregation attribution, with the COMPLETE dose semantics
+  * of [[DoseKeys]] (all five key kinds incl. IV diluent classes and
+  * cross-type equivalence), route-aware form compatibility from
+  * [[SaltLib]], and dose keys built by [[DoseKeys.getDoseKey]] from
+  * structured columns + dose strings + description context.
+  *
+  * Dose keys travel as a struct column (kind, v1, v2, s):
+  *   mg/iu/combo: v1 = value; conc: v1 = strength, v2 = volume, s = unit;
+  *   iv: v1 = concentration, v2 = volume, s = diluent class.
+  */
+object Part4Bridge {
+
+  final case class DoseKeyCol(kind: String, v1: Option[Double],
+      v2: Option[Double], s: Option[String])
+
+  private def toCol(k: Option[DoseKeys.DoseKey]): Option[DoseKeyCol] = k.map {
+    case DoseKeys.MgKey(v) => DoseKeyCol("mg", Some(v), None, None)
+    case DoseKeys.IuKey(v) => DoseKeyCol("iu", Some(v), None, None)
+    case DoseKeys.ComboKey(v) => DoseKeyCol("combo", Some(v), None, None)
+    case DoseKeys.ConcKey(c, v, u) => DoseKeyCol("conc", Some(c), v, Option(u))
+    case DoseKeys.IvKey(c, d, v) => DoseKeyCol("iv", c, v, Option(d))
+  }
+
+  private def fromCol(r: org.apache.spark.sql.Row): Option[DoseKeys.DoseKey] = {
+    if (r == null || r.isNullAt(0)) return None
+    def d(i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    def s(i: Int): Option[String] =
+      if (r.isNullAt(i)) None else Some(r.getString(i))
+    r.getString(0) match {
+      case "mg" => d(1).map(DoseKeys.MgKey)
+      case "iu" => d(1).map(DoseKeys.IuKey)
+      case "combo" => d(1).map(DoseKeys.ComboKey)
+      case "conc" => d(1).map(DoseKeys.ConcKey(_, d(2), s(3).orNull))
+      case "iv" => Some(DoseKeys.IvKey(d(1), s(3).orNull, d(2)))
+      case _ => None
+    }
+  }
+
+  /** dose-key struct from structured columns + dose string + description
+    * (F10 via [[DoseKeys.getDoseKey]], incl. NSS/D5/D10 inference).
+    */
+  val doseKeyUdf = udf((drugMg: java.lang.Double, conc: java.lang.Double,
+      ivType: String, vol: java.lang.Double, doseStr: String,
+      description: String, generic: String) =>
+    toCol(DoseKeys.getDoseKey(
+      Option(drugMg).map(_.doubleValue()),
+      Option(conc).map(_.doubleValue()),
+      Option(ivType), Option(vol).map(_.doubleValue()),
+      Option(doseStr), Option(description).getOrElse(""),
+      Option(generic).getOrElse(""))))
+
+  private val dosesMatchUdf =
+    udf((a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
+      DoseKeys.dosesMatch(fromCol(a), fromCol(b)))
+
+  private val formsCompatUdf = udf((a: String, b: String) =>
+    SaltLib.formsCompatible(a, b))
+
+  /** @param items   id, generic_key, dose_key (struct), form,
+    *                routes (array<string>)
+    * @param catalog generic_key, drug_code, dose_key (struct), form, routes
+    * @return items + drug_code + drug_code_match_reason (the C2 cascade)
+    */
+  def matchDrugCodes(items: DataFrame, catalog: DataFrame): DataFrame = {
+    val cat = broadcast(catalog.select(
+      col("generic_key"), col("drug_code"),
+      col("dose_key").as("cand_dose_key"),
+      col("form").as("cand_form"), col("routes").as("cand_routes")))
+
+    val joined = items.join(cat, Seq("generic_key"), "left")
+      .withColumn("dose_ok",
+        coalesce(dosesMatchUdf(col("dose_key"), col("cand_dose_key")), lit(false)))
+      .withColumn("form_ok",
+        coalesce(formsCompatUdf(col("form"), col("cand_form")), lit(false)))
+      .withColumn("route_ok",
+        coalesce(arrays_overlap(col("routes"), col("cand_routes")), lit(false)))
+      .withColumn("perfect", col("dose_ok") && col("form_ok") && col("route_ok"))
+
+    val agg = joined.groupBy("id").agg(
+      count(col("drug_code")).as("n_cand"),
+      count(when(col("dose_ok"), 1)).as("n_dose_ok"),
+      count(when(col("form_ok"), 1)).as("n_form_ok"),
+      count(when(col("route_ok"), 1)).as("n_route_ok"),
+      min(when(col("perfect"),
+        struct(
+          when(col("cand_form") === col("form"), 0).otherwise(1).as("form_rank"),
+          col("drug_code").as("drug_code")))).as("best"))
+
+    items.join(agg, Seq("id"), "left")
+      .withColumn("drug_code", col("best.drug_code"))
+      .withColumn("drug_code_match_reason",
+        when(col("generic_key").isNull, "no_generic")
+          .when(col("n_cand") === 0, "generic_not_in_annex")
+          .when(col("dose_key").isNull, "no_perfect_match:no_dose_in_esoa")
+          .when(col("best").isNotNull, "matched_perfect")
+          .when(col("n_dose_ok") === 0, "no_perfect_match:dose_mismatch")
+          .when(col("n_form_ok") === 0, "no_perfect_match:form_mismatch")
+          .when(col("n_route_ok") === 0, "no_perfect_match:route_mismatch")
+          .otherwise("no_perfect_match:combined_mismatch"))
+      .drop("best")
+  }
+}
