@@ -59,10 +59,15 @@ object DrugTagger {
       val withSwaps = generics ++ swapped
       val synonyms = withSwaps.map(g => SaltLib.applySynonym(g))
       val stripped = withSwaps.map(g => SaltLib.stripSaltSuffix(g)._1)
-      val combos = TokenLib.buildCombinationKeys(toks)
+      // combination keys build from GENERIC candidates only (the reference
+      // feeds extract_generic_tokens output, not the full token list —
+      // otherwise surviving form tokens like TAB pollute the components)
+      val comboSource = toks.filter(t =>
+        generics.contains(t) || t.contains("+"))
+      val combos = TokenLib.buildCombinationKeys(comboSource)
       // mixture component key (J11): sorted '|'-joined components probe
       // catalogs keyed like unified_mixtures.component_key
-      val mixtureKey = TokenLib.combinationComponents(toks) match {
+      val mixtureKey = TokenLib.combinationComponents(comboSource) match {
         case parts if parts.size >= 2 => List(parts.sorted.mkString("|"))
         case _ => Nil
       }
