@@ -103,7 +103,16 @@ object ScoredTagger {
       .as[CandRow]
 
     val selected = hits.groupByKey(_.id).mapGroups { (id, it) =>
-      val rows = it.toList.sortBy(r => (r.leg, r.probe_pos, r.key))
+      val rows0 = it.toList.sortBy(r => (r.leg, r.probe_pos, r.key))
+      // G2 ATC explode (`tagger.py:839-856`): a candidate carrying several
+      // pipe-joined ATC codes becomes one candidate per code, in
+      // preference order (singles before combinations, D4)
+      val rows = rows0.flatMap { r =>
+        if (r.atc_code != null && r.atc_code.contains("|"))
+          Scoring.sortAtcCodes(r.atc_code.split("\\|").toSeq)
+            .map(a => r.copy(atc_code = a))
+        else List(r)
+      }
       val shape = classify(rows.head.text)
       val cands = rows.map(r => Scoring.Candidate(r.generic_name, r.atc_code,
         r.form, r.route, r.source, r.reference_text))

@@ -58,6 +58,20 @@ class ScoredTaggerSpec extends SparkSpec {
     assert(out(1L)._1 == "no_candidates")
   }
 
+  test("pipe-joined ATC codes explode and prefer the single-agent code") {
+    import spark.implicits._
+    val cat = Seq(
+      ("aspirin", "ACETYLSALICYLIC ACID", "N02BA51|N02BA01", "DB00945",
+        "TABLET", "ORAL", "who", "ASPIRIN TABLET"))
+      .toDF("key", "generic_name", "atc_code", "drugbank_id", "form",
+        "route", "source", "reference_text")
+    val out = ScoredTagger.tagTexts(spark,
+        Seq((1L, "ASPIRIN 80MG TABLET")).toDF("id", "text"), cat)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("atc_code")).toMap
+    assert(out(1L) == "N02BA01") // single-agent code wins over the 51 combo
+  }
+
   test("shape classification flags") {
     val s1 = ScoredTagger.classify("PARACETAMOL 500MG TABLET")
     assert(s1.isSingle && !s1.isCombination && !s1.isIv)
