@@ -94,9 +94,12 @@ object ScoredTagger {
       cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
     import spark.implicits._
 
-    val probes = DrugTagger.probeFrame(texts, cfg)
+    // spread the regex-heavy probe/classify work across cores even when
+    // the input is one file (same pattern as Dedup.shingleIndex)
+    val spread = texts.repartition(col("id"))
+    val probes = DrugTagger.probeFrame(spread, cfg)
     val hits = LookupWaterfall.allMatches(probes, catalog, cfg)
-      .join(texts, Seq("id"))
+      .join(spread, Seq("id"))
       .select(col("id"), col("text"), col("leg"), col("probe_pos"),
         col("key"), col("generic_name"), col("atc_code"), col("drugbank_id"),
         col("form"), col("route"), col("source"), col("reference_text"))
