@@ -95,7 +95,12 @@ object ScoredTagger {
     import spark.implicits._
 
     // spread the regex-heavy probe/classify work across cores even when
-    // the input is one file (same pattern as Dedup.shingleIndex)
+    // the input is one file (same pattern as Dedup.shingleIndex). Shape
+    // classification happens once per id inside the grouped selection —
+    // computing it as a column instead gets re-evaluated per joined
+    // candidate row by Catalyst (measured 3x slower, even pinned
+    // nondeterministic, because unused nondeterministic columns also
+    // defeat pruning on the probe branch).
     val spread = texts.repartition(col("id"))
     val probes = DrugTagger.probeFrame(spread, cfg)
     val hits = LookupWaterfall.allMatches(probes, catalog, cfg)
