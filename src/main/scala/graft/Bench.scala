@@ -24,14 +24,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
     // per-query: one untimed warm-up run, a GC point so neighbor cleanup
-    // doesn't bleed into the measurement, then the timed run
+    // doesn't bleed into the measurement, then best-of-2 timed runs
+    // (GC pauses during allocation-heavy queries otherwise add several
+    // seconds of run-to-run noise)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try fn(spark, sfDir).count() catch { case _: Throwable => }
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val timed = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> timed.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

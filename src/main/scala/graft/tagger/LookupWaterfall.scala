@@ -53,9 +53,15 @@ object LookupWaterfall {
     * `select_best_candidate`). Anti-join chaining between legs still
     * applies: later legs only fire for ids the earlier legs missed.
     */
-  def allMatches(probes: DataFrame, catalog: DataFrame,
+  def allMatches(probes0: DataFrame, catalog: DataFrame,
       cfg: Config = Config()): DataFrame = {
     val cat = broadcast(catalog)
+    // the probe frame feeds four plan branches (three legs + two anti-join
+    // id sets); without persistence a UDF-derived probe frame is
+    // re-evaluated per branch — the dominant cost when probes come from
+    // the tagger's tokenization UDF
+    val probes = probes0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val exact = probes.join(cat, col("probe") === col("key"))
       .withColumn("leg", lit(1)).withColumn("score", lit(0))
