@@ -35,7 +35,7 @@ object Events {
           .orderBy("hr", "event_type"),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
              |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-             |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
              |  min(value) AS min_value, max(value) AS max_value
              |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
   )

@@ -45,8 +45,10 @@ object Relational {
             count(lit(1)).as("n_rows"),
             countDistinct(col("l_orderkey")).as("n_orders"))
           .orderBy("l_returnflag", "l_linestatus"),
+      // CAST the outer sum: DuckDB sum(BIGINT) yields HUGEINT (pandas
+      // float64) while Spark emits int64 — values identical, hash differs.
       Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-             |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
              |  count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
              |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 

@@ -91,7 +91,7 @@ object TextAnalysis {
             col("doc_id"),
             size(lowToks).as("n_tokens"),
             aggregate(transform(lowToks, t => length(t)), lit(0), (a, x) => a + x)
-              .as("sum_tok_len"),
+              .cast("long").as("sum_tok_len"),
             size(filter(lowToks, t =>
               t === "the" || t === "a" || t === "and" || t === "of" || t === "in"))
               .as("n_stop"),
@@ -115,8 +115,8 @@ object TextAnalysis {
              |       ELSE 'ok' END AS quality
              |FROM (SELECT doc_id,
              |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
-             |    list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
-             |                            t -> len(t))) AS sum_tok_len,
+             |    CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+             |                                 t -> len(t))) AS BIGINT) AS sum_tok_len,
              |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
              |        t -> t = 'the' OR t = 'a' OR t = 'and' OR t = 'of' OR t = 'in')) AS n_stop,
              |    len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,

@@ -52,21 +52,51 @@ object LookupWaterfall {
     * layer consumes (`tagger.py:728-771` collects all candidates before
     * `select_best_candidate`). Anti-join chaining between legs still
     * applies: later legs only fire for ids the earlier legs missed.
+    *
+    * Lifecycle: the probe frame is persisted for the duration of ONE
+    * eager materialization (it feeds five plan branches; an unpersisted
+    * UDF-derived probe frame is re-evaluated per branch — the dominant
+    * cost when probes come from the tagger's tokenization UDF), then
+    * unpersisted, so repeated calls in a long-lived session do not
+    * accumulate cached probe partitions. The materialized result is a
+    * local checkpoint: it frees itself via the ContextCleaner when the
+    * returned frame is dropped. (On a multi-executor cluster a lost
+    * executor invalidates local checkpoints; there, prefer a reliable
+    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()` — the
+    * candidate frame is small, one row per (id, candidate).)
     */
   def allMatches(probes0: DataFrame, catalog: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val cat = broadcast(catalog)
-    // the probe frame feeds four plan branches (three legs + two anti-join
-    // id sets); without persistence a UDF-derived probe frame is
-    // re-evaluated per branch — the dominant cost when probes come from
-    // the tagger's tokenization UDF
     val probes = probes0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = legsUnion(probes, catalog, cfg)
+    val mat = all.localCheckpoint(eager = true)
+    probes.unpersist()
+    mat
+  }
+
+  /** The lazy three-leg union plan over an (ideally cached) probe frame.
+    * Callers that already manage probe persistence (ScoredTagger) use
+    * this directly to avoid a second materialization barrier.
+    *
+    * Waterfall granularity is the PROBE STRING, matching the reference:
+    * `lookup.py:223-306` short-circuits exact -> prefix -> fuzzy per
+    * looked-up string, and `tagger.py:704-707` batch-caches one result
+    * set per unique generic string. A probe string that exact-matched
+    * never reaches the fuzzy leg, but a *different* probe of the same id
+    * still can — mixed exact + fuzzy candidate sets per id are the norm
+    * (that is what feeds the fuzzy-correction feedback, tagger.py:884-896).
+    * The anti-join right sides are distinct matched strings (bounded by
+    * the broadcastable catalog's key universe), so AQE broadcasts them.
+    */
+  private[tagger] def legsUnion(probes: DataFrame, catalog: DataFrame,
+      cfg: Config = Config()): DataFrame = {
+    val cat = broadcast(catalog)
 
     val exact = probes.join(cat, col("probe") === col("key"))
       .withColumn("leg", lit(1)).withColumn("score", lit(0))
 
-    val missExact = probes.join(exact.select("id").distinct(), Seq("id"), "left_anti")
+    val missExact = probes.join(exact.select("probe").distinct(), Seq("probe"), "left_anti")
     val prefixCond: Column = cfg.prefixMode match {
       case "char" => col("key").startsWith(substring(col("probe"), 1, cfg.prefixLen)) &&
         col("key") =!= col("probe")
@@ -75,7 +105,7 @@ object LookupWaterfall {
     val prefix = missExact.join(cat, prefixCond)
       .withColumn("leg", lit(2)).withColumn("score", length(col("key")))
 
-    val missPrefix = missExact.join(prefix.select("id").distinct(), Seq("id"), "left_anti")
+    val missPrefix = missExact.join(prefix.select("probe").distinct(), Seq("probe"), "left_anti")
     val fuzzy = missPrefix.join(cat,
         levenshtein(col("probe"), col("key")) <= cfg.fuzzyMaxDist &&
           col("key") =!= col("probe"))

@@ -116,11 +116,87 @@ object Scoring {
     }
   }
 
+  /** Validity filter + rank tuple for ONE candidate — the per-candidate
+    * body of `select_best_candidate` (`scoring.py:203-387`): None when the
+    * candidate is filtered out (no generic match, IV active-over-vehicle
+    * skip, or combination-input-requires-combination-candidate); otherwise
+    * `Some((match_priority, atc_priority, form_priority, details_score))`.
+    * The reference's final rank terms (-len(generic), atc_code) are plain
+    * column expressions left to callers, so the whole selection is
+    * expressible as a row_number window (SURVEY §2.10 D3 preferred form)
+    * as well as the list-local [[selectBestCandidate]].
+    */
+  def candidateRank(
+      cand: Candidate,
+      inputForms: Set[String],
+      inputGenericsNormalized: Set[String],
+      isSingleDrug: Boolean,
+      isCombination: Boolean,
+      isIvSolution: Boolean,
+      strippedGenerics: List[String],
+      inputDetails: Map[String, String] = Map.empty,
+      applySyn: String => String = g => SaltLib.applySynonym(g)): Option[(Int, Int, Int, Int)] = {
+    val candGeneric = cand.genericName.toUpperCase
+    val (matches, reason) =
+      genericsMatch(inputGenericsNormalized, candGeneric, applySyn)
+    if (!matches) return None
+    val vehicleSkip =
+      if (isIvSolution && strippedGenerics.length > 1) {
+        val active = applySyn(strippedGenerics.head.toUpperCase)
+        val vehicle = applySyn(strippedGenerics(1).toUpperCase)
+        val candNorm = applySyn(candGeneric)
+        val isVehicle = candGeneric.contains(vehicle) ||
+          vehicle.contains(candGeneric) || vehicle == candNorm
+        val isActive = candGeneric.contains(active) ||
+          active.contains(candGeneric) || active == candNorm
+        isVehicle && !isActive
+      } else false
+    val candIsCombo =
+      candGeneric.contains(" + ") || candGeneric.contains(" AND ")
+    if (vehicleSkip || (isCombination && !candIsCombo)) return None
+
+    val candRef = cand.referenceText.toUpperCase
+    val candForm = cand.form.toUpperCase
+    val matchPriority = reason match {
+      case "exact" | "exact_with_subtype" => 0
+      case "combo_match" => 1
+      case "substring" => 2
+      case "combo_partial" => 3
+      case _ => 4
+    }
+    val comboAtc = isCombinationAtc(cand.atcCode)
+    val atcPriority =
+      if (isSingleDrug) { if (comboAtc) 1 else 0 }
+      else if (isCombination) { if (comboAtc) 0 else 1 }
+      else 0
+    val formPriority =
+      if (inputForms.isEmpty) 0
+      else if (inputForms.contains(candForm)) 0
+      else if (inputForms.exists(formsAreEquivalent(candForm, _))) 1
+      else 2
+    def det(k: String): String = inputDetails.getOrElse(k, "").toUpperCase
+    var detailsScore = 0
+    def hit(d: String): Boolean =
+      d.nonEmpty && (candRef.contains(d) || candGeneric.contains(d))
+    if (hit(det("release_details"))) detailsScore -= 10
+    if (hit(det("type_details"))) detailsScore -= 5
+    if (hit(det("form_details"))) detailsScore -= 5
+    if (hit(det("indication_details"))) detailsScore -= 5
+    if (hit(det("salt_details"))) detailsScore -= 3
+    if (det("brand_details").nonEmpty && candRef.contains(det("brand_details")))
+      detailsScore -= 1
+    if (hit(det("alias_details"))) detailsScore -= 2
+    if (hit(det("iv_diluent_type"))) detailsScore -= 5
+    Some((matchPriority, atcPriority, formPriority, detailsScore))
+  }
+
   /** `select_best_candidate` (`scoring.py:203-387`): generic-match filter
     * (with IV active-over-vehicle and combo-requires-combo rules), then
     * the lexicographic rank tuple (match type, ATC preference, form
     * equivalence, details score, name length, ATC) — D3. Sort is stable,
-    * so ties keep candidate input order, as in the reference.
+    * so ties keep candidate input order, as in the reference. Delegates
+    * the per-candidate work to [[candidateRank]], the same function the
+    * windowed [[ScoredTagger]] selection evaluates per candidate row.
     */
   def selectBestCandidate(
       candidates: List[Candidate],
@@ -132,81 +208,14 @@ object Scoring {
       strippedGenerics: List[String],
       inputDetails: Map[String, String] = Map.empty,
       applySyn: String => String = g => SaltLib.applySynonym(g)): Option[Candidate] = {
-
-    val valid = candidates.flatMap { cand =>
-      val candGeneric = cand.genericName.toUpperCase
-      val (matches, reason) =
-        genericsMatch(inputGenericsNormalized, candGeneric, applySyn)
-      if (!matches) None
-      else {
-        val vehicleSkip =
-          if (isIvSolution && strippedGenerics.length > 1) {
-            val active = applySyn(strippedGenerics.head.toUpperCase)
-            val vehicle = applySyn(strippedGenerics(1).toUpperCase)
-            val candNorm = applySyn(candGeneric)
-            val isVehicle = candGeneric.contains(vehicle) ||
-              vehicle.contains(candGeneric) || vehicle == candNorm
-            val isActive = candGeneric.contains(active) ||
-              active.contains(candGeneric) || active == candNorm
-            isVehicle && !isActive
-          } else false
-        val candIsCombo =
-          candGeneric.contains(" + ") || candGeneric.contains(" AND ")
-        if (vehicleSkip || (isCombination && !candIsCombo)) None
-        else Some((cand, reason))
-      }
+    val ranked = candidates.flatMap { cand =>
+      candidateRank(cand, inputForms, inputGenericsNormalized, isSingleDrug,
+        isCombination, isIvSolution, strippedGenerics, inputDetails, applySyn)
+        .map(r => (cand, r))
     }
-
-    if (valid.isEmpty) return None
-    if (valid.length == 1) return Some(valid.head._1)
-
-    def det(k: String): String = inputDetails.getOrElse(k, "").toUpperCase
-    val inputType = det("type_details")
-    val inputRelease = det("release_details")
-    val inputFormDet = det("form_details")
-    val inputIndication = det("indication_details")
-    val inputSalt = det("salt_details")
-    val inputBrand = det("brand_details")
-    val inputAlias = det("alias_details")
-    val inputIvType = det("iv_diluent_type")
-
-    def rank(item: (Candidate, String)): (Int, Int, Int, Int, Int, String) = {
-      val (cand, reason) = item
-      val candGeneric = cand.genericName.toUpperCase
-      val candRef = cand.referenceText.toUpperCase
-      val candForm = cand.form.toUpperCase
-      val matchPriority = reason match {
-        case "exact" | "exact_with_subtype" => 0
-        case "combo_match" => 1
-        case "substring" => 2
-        case "combo_partial" => 3
-        case _ => 4
-      }
-      val comboAtc = isCombinationAtc(cand.atcCode)
-      val atcPriority =
-        if (isSingleDrug) { if (comboAtc) 1 else 0 }
-        else if (isCombination) { if (comboAtc) 0 else 1 }
-        else 0
-      val formPriority =
-        if (inputForms.isEmpty) 0
-        else if (inputForms.contains(candForm)) 0
-        else if (inputForms.exists(formsAreEquivalent(candForm, _))) 1
-        else 2
-      var detailsScore = 0
-      def hit(d: String): Boolean =
-        d.nonEmpty && (candRef.contains(d) || candGeneric.contains(d))
-      if (hit(inputRelease)) detailsScore -= 10
-      if (hit(inputType)) detailsScore -= 5
-      if (hit(inputFormDet)) detailsScore -= 5
-      if (hit(inputIndication)) detailsScore -= 5
-      if (hit(inputSalt)) detailsScore -= 3
-      if (inputBrand.nonEmpty && candRef.contains(inputBrand)) detailsScore -= 1
-      if (hit(inputAlias)) detailsScore -= 2
-      if (hit(inputIvType)) detailsScore -= 5
-      (matchPriority, atcPriority, formPriority, detailsScore,
-        -candGeneric.length, cand.atcCode)
-    }
-
-    Some(valid.sortBy(rank).head._1)
+    if (ranked.isEmpty) None
+    else Some(ranked.sortBy { case (cand, (mp, ap, fp, ds)) =>
+      (mp, ap, fp, ds, -cand.genericName.length, cand.atcCode)
+    }.head._1)
   }
 }

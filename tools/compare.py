@@ -24,6 +24,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def dtypes_equal(a, b) -> bool:
+    # The driver's hash is dtype-sensitive across FAMILIES (int64 vs float64
+    # of identical values fails — round-1 q01/q32/q60), but width-insensitive
+    # within a family (Spark int32 vs DuckDB int64 passed the round-1 hash on
+    # q09/q15/q16/q30-q32/q35/q40/q41/q50). Mirror that: compare the pandas
+    # dtype KIND (i/u one family, f, b, O/string one family), not the width.
+    sa, sb = str(a), str(b)
+    stringish = {"object", "string", "large_string[pyarrow]", "string[pyarrow]"}
+    if sa in stringish and sb in stringish:
+        return True
+    ka = getattr(a, "kind", "?")
+    kb = getattr(b, "kind", "?")
+    int_kinds = {"i", "u"}
+    if ka in int_kinds and kb in int_kinds:
+        return True
+    return ka == kb
+
+
 def values_equal(a, b) -> bool:
     if a is b:
         return True
@@ -60,6 +78,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} "
                   f"vs {list(duck_df.columns)}")
+            ok = False
+        elif any(not dtypes_equal(spark_df[c].dtype, duck_df[c].dtype)
+                 for c in spark_df.columns):
+            bad = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                   for c in spark_df.columns
+                   if not dtypes_equal(spark_df[c].dtype, duck_df[c].dtype)]
+            print(f"FAIL {name}: dtype mismatch {bad}")
             ok = False
         elif len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
