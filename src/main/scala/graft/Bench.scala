@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
 
 /** Driver-run benchmark: one JSON line with per-query wall-clock at the
   * SPARK_GRAFT_SF_DIR scale factor.
@@ -11,6 +12,16 @@ import org.apache.spark.sql.SparkSession
   * long-lived cluster never pays per-query.
   */
 object Bench {
+  /** Materialize EVERY column of every row. A bare `count()` lets Catalyst
+    * prune unreferenced projections and eliminate final sorts, so map-only
+    * queries would time little more than the parquet scan; hashing a struct
+    * of all columns into one sum forces the full projection through codegen
+    * while still returning a single driver-side long (no collect).
+    */
+  private def materialize(df: DataFrame): Unit = {
+    df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).head()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,11 +40,11 @@ object Bench {
     // seconds of run-to-run noise)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
       val timed = (1 to 2).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
       name -> timed.min

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -11,14 +12,40 @@ import graft.core.{QueryDef, Tables}
   * Scale design: no crossJoin anywhere. Candidate pairs come only from
   * docs that share a shingle (q35) or an LSH band key (q36) — the classic
   * inverted-index blocking that keeps pair generation near-linear at 100 TB
-  * (pairs shuffle on shingle/band keys; skewed "stopword shingles" would be
-  * dropped by a frequency cap at real scale — documented, not needed at sf).
+  * (pairs shuffle on shingle/band keys). Skewed keys — a stopword shingle
+  * or a boilerplate-heavy LSH band shared by millions of docs — would make
+  * the self-join quadratic in that key's frequency, so [[capHotKeys]] drops
+  * keys hotter than [[HotKeyCap]] BEFORE pair generation (on by default).
   *
   * All hashing is md5 (identical across Spark and the DuckDB oracle), and
   * "minimum over md5 hex strings per seed" is a valid min-wise permutation
   * family for MinHash.
   */
 object Dedup {
+
+  /** Default inverted-index hot-key cap: a key shared by more docs than
+    * this is dropped before the self-join, bounding any single key's pair
+    * contribution to cap² (256² ≈ 65k pairs) regardless of corpus size. A
+    * shingle/band this common carries no near-dup signal (it's boilerplate
+    * by definition), and the docs it would have connected still pair
+    * through their rarer shared keys. Chosen an order of magnitude above
+    * the max observed frequency at sf0.1 (25), so test-scale results are
+    * byte-identical with the cap on.
+    */
+  val HotKeyCap = 256
+
+  /** Drop rows whose `keys` value occurs more than `cap` times. The window
+    * count partitions by exactly the key the following self-join shuffles
+    * on, so the filter rides the join's own exchange (one shuffle total —
+    * `.explain` shows the Window and both join sides over the same
+    * Exchange, AQE-reused) instead of adding a count+join roundtrip.
+    */
+  private[operators] def capHotKeys(df: DataFrame, cap: Int, keys: String*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_kfreq", count(lit(1)).over(w))
+      .filter(col("_kfreq") <= cap)
+      .drop("_kfreq")
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
@@ -64,7 +91,7 @@ object Dedup {
     QueryDef(
       "q35_ngram_jaccard",
       (s, dir) => {
-        val ex = shingleIndex(s, dir)
+        val ex = capHotKeys(shingleIndex(s, dir), HotKeyCap, "sh")
         ex.as("x").join(ex.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(
@@ -106,10 +133,12 @@ object Dedup {
         val sig = sh.groupBy("doc_id")
           .agg(minCols.head, minCols.tail: _*)
           .select(col("doc_id"), array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
-        val bands = sig.select(col("doc_id"),
-            posexplode(expr(
-              "transform(sequence(0, 3), b -> md5(concat(sig[b*2], sig[b*2+1])))")))
-          .toDF("doc_id", "band_idx", "band_key")
+        val bands = capHotKeys(
+          sig.select(col("doc_id"),
+              posexplode(expr(
+                "transform(sequence(0, 3), b -> md5(concat(sig[b*2], sig[b*2+1])))")))
+            .toDF("doc_id", "band_idx", "band_key"),
+          HotKeyCap, "band_idx", "band_key")
         bands.as("a").join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx")
               && col("a.band_key") === col("b.band_key")
