@@ -76,12 +76,15 @@ object Dedup {
     * The repartition is both the optimization barrier that keeps the token
     * array materialized below the shingle lambda, and the scale pattern:
     * heavy per-row compute is spread over all cores instead of riding the
-    * input file layout (a single parquet file here).
+    * input file layout (a single parquet file here). The count is PINNED
+    * so AQE cannot byte-coalesce the CPU-heavy shingle stage down to a
+    * few partitions (see [[graft.core.CpuSpread]]).
     */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .repartition(col("doc_id"))
+    graft.core.CpuSpread.byKey(
+      docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")),
+      col("doc_id"))
       .select(col("doc_id"), shinglesOf(col("t")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 

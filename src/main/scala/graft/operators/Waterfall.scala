@@ -72,30 +72,128 @@ object Waterfall {
              |  ON p.doc_id = b.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
-    // ---- full C1 composition (candidate gathering + shape classification
-    //      + rule-based selection) through ScoredTagger. The selection
-    //      logic is not SQL-expressible, so this records the driver's
-    //      rows-only check; exact selection parity is covered by the
-    //      ScalaTest goldens against the reference scoring module.
+    // ---- full C1 selection core (waterfall candidate gathering + G2 ATC
+    //      explode + rank-tuple validity filter + row_number selection)
+    //      through ScoredTagger.tagCandidates, oracle-checked end to end.
+    //      Probes and shapes are SQL-defined over the fixed demo
+    //      vocabulary (31 words, inert under synonym/salt normalization —
+    //      asserted by ScoredTaggerSpec), so the DuckDB oracle replicates
+    //      the REAL Scoring.genericsMatch/candidateRank semantics exactly:
+    //      exact vs substring vs combo_match generic matching, the
+    //      single-before-combination ATC sort, the -len(generic) and
+    //      full-tuple deterministic tie-break. The free-text probe/classify
+    //      UDFs of tagTexts are covered by reference-generated goldens.
     QueryDef(
       "q26_scored_tagger",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val texts = docs.select(col("doc_id").as("id"), col("text"))
-        val catalog = docs
-          .select(explode(split(col("text"), " ")).as("key"))
-          .groupBy("key").agg(count(lit(1)).as("cnt"))
+        val toks = docs.select(col("doc_id").as("id"), split(col("text"), " ").as("t"))
+        // every word occurrence probes, position = tie-break rank; the
+        // pinned spread keeps the waterfall legs at full parallelism over
+        // the single-file demo scan (core.CpuSpread)
+        val probes = graft.core.CpuSpread.byKey(
+          toks.select(col("id"),
+            posexplode(col("t")).as(Seq("probe_pos", "probe"))),
+          col("id"))
+        // catalog: vocabulary minus a holdout; generic_name SHAPES drive
+        // the three genericsMatch outcomes (plain word -> exact, s-words
+        // -> "W PLUS" substring, b/c-words -> "W + DATA" combo), and the
+        // pipe-joined ATC payload is deliberately reverse-sorted to prove
+        // the D4 explode order
+        val catalog = toks.select(explode(col("t")).as("key")).distinct()
           .filter(!col("key").isin("vector", "spark", "the"))
-          .select(col("key"), upper(col("key")).as("generic_name"),
-            concat(lit("ATC"), upper(col("key"))).as("atc_code"),
+          .select(col("key"),
+            when(col("key").startsWith("s"),
+                concat(upper(col("key")), lit(" PLUS")))
+              .when(col("key").startsWith("b") || col("key").startsWith("c"),
+                concat(upper(col("key")), lit(" + DATA")))
+              .otherwise(upper(col("key"))).as("generic_name"),
+            concat(lit("Y"), upper(col("key")), lit("|X"), upper(col("key")))
+              .as("atc_code"),
             concat(lit("DB"), col("key")).as("drugbank_id"),
             lit("TABLET").as("form"), lit("ORAL").as("route"),
             lit("corpus").as("source"),
             upper(col("key")).as("reference_text"))
-        ScoredTagger.tagTexts(s, texts, catalog)
-          .select(col("id").as("doc_id"), col("atc_code"), col("match_reason"))
+        // shapes: the doc's generic set = its distinct words longer than
+        // 3 chars, uppercased; no forms/details, single iff one generic
+        val gens = array_sort(array_distinct(
+          transform(filter(col("t"), w => length(w) > 3), w => upper(w))))
+        val shapes = toks.select(col("id"),
+          typedLit(Seq.empty[String]).as("input_forms"),
+          gens.as("generics_norm"),
+          when(size(gens) === 1, 1).otherwise(0).as("shape_flags"),
+          gens.as("stripped"),
+          typedLit(Map.empty[String, String]).as("details"))
+        val tagged = ScoredTagger.tagCandidates(probes, catalog, shapes)
+        toks.select(col("id"))
+          .join(tagged, Seq("id"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("generic_name"), lit("")).as("generic_name"),
+            coalesce(col("atc_code"), lit("")).as("atc_code"),
+            coalesce(col("match_reason"), lit("no_candidates")).as("match_reason"))
           .orderBy("doc_id")
       },
-      None)
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |probe AS (SELECT doc_id, r.s.i - 1 AS probe_pos, r.s.w AS probe FROM (
+             |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+             |      i -> struct_pack(i := i, w := t[i]))) AS s FROM tok) r),
+             |cat AS (SELECT key,
+             |    CASE WHEN key LIKE 's%' THEN upper(key) || ' PLUS'
+             |         WHEN key LIKE 'b%' OR key LIKE 'c%' THEN upper(key) || ' + DATA'
+             |         ELSE upper(key) END AS generic_name,
+             |    'DB' || key AS drugbank_id, upper(key) AS reference_text
+             |  FROM (SELECT DISTINCT unnest(t) AS key FROM tok) v
+             |  WHERE key NOT IN ('vector', 'spark', 'the')),
+             |exact AS (SELECT p.doc_id, p.probe_pos, p.probe, c.*, 1 AS leg
+             |          FROM probe p JOIN cat c ON p.probe = c.key),
+             |missE AS (SELECT * FROM probe
+             |          WHERE probe NOT IN (SELECT DISTINCT probe FROM exact)),
+             |-- token-prefix leg: key LIKE probe || ' %' never matches the
+             |-- single-word keys, so the prefix miss-set equals missE
+             |fuzz AS (SELECT m.doc_id, m.probe_pos, m.probe, c.*, 3 AS leg
+             |         FROM missE m JOIN cat c
+             |           ON levenshtein(m.probe, c.key) <= 2 AND c.key <> m.probe),
+             |cand0 AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzz),
+             |cand AS (SELECT c2.* EXCLUDE (s), c2.s.idx AS atc_idx, c2.s.code AS atc_code
+             |         FROM (SELECT *, unnest([
+             |             struct_pack(idx := 0, code := 'X' || upper(key)),
+             |             struct_pack(idx := 1, code := 'Y' || upper(key))]) AS s
+             |           FROM cand0) c2),
+             |gen AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+             |          list_filter(t, w -> len(w) > 3), w -> upper(w)))) AS gens FROM tok),
+             |scored AS (SELECT c.*, CASE
+             |    WHEN generic_name LIKE '% + %' THEN
+             |      CASE WHEN len(list_intersect(g.gens,
+             |               string_split(generic_name, ' + '))) > 0 THEN 1
+             |           WHEN len(list_filter(g.gens, x -> len(list_filter(
+             |               string_split(generic_name, ' + '),
+             |               p -> contains(p, x) OR contains(x, p))) > 0)) > 0 THEN 3
+             |           ELSE NULL END
+             |    ELSE
+             |      CASE WHEN list_filter(g.gens, x -> x = generic_name
+             |               OR contains(generic_name, x)
+             |               OR contains(x, generic_name))[1] = generic_name THEN 0
+             |           WHEN len(list_filter(g.gens, x -> x = generic_name
+             |               OR contains(generic_name, x)
+             |               OR contains(x, generic_name))) > 0 THEN 2
+             |           ELSE NULL END
+             |    END AS mp
+             |  FROM cand c JOIN gen g USING (doc_id)),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY mp, len(generic_name) DESC, atc_code, leg, probe_pos,
+             |      key, atc_idx, generic_name, reference_text, drugbank_id) AS rn
+             |  FROM scored WHERE mp IS NOT NULL),
+             |ids AS (SELECT DISTINCT doc_id FROM tok),
+             |candids AS (SELECT DISTINCT doc_id FROM cand),
+             |best AS (SELECT * FROM ranked WHERE rn = 1)
+             |SELECT i.doc_id,
+             |  coalesce(b.generic_name, '') AS generic_name,
+             |  coalesce(b.atc_code, '') AS atc_code,
+             |  CASE WHEN b.doc_id IS NOT NULL THEN 'matched'
+             |       WHEN c.doc_id IS NOT NULL THEN 'no_match'
+             |       ELSE 'no_candidates' END AS match_reason
+             |FROM ids i LEFT JOIN candids c USING (doc_id)
+             |  LEFT JOIN best b USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -116,15 +116,18 @@ object Scoring {
     }
   }
 
+  /** Rank tuple of [[candidateRank]]; lower sorts first on every field. */
+  final case class Rank(mp: Int, ap: Int, fp: Int, ds: Int)
+
   /** Validity filter + rank tuple for ONE candidate — the per-candidate
     * body of `select_best_candidate` (`scoring.py:203-387`): None when the
     * candidate is filtered out (no generic match, IV active-over-vehicle
     * skip, or combination-input-requires-combination-candidate); otherwise
-    * `Some((match_priority, atc_priority, form_priority, details_score))`.
-    * The reference's final rank terms (-len(generic), atc_code) are plain
-    * column expressions left to callers, so the whole selection is
-    * expressible as a row_number window (SURVEY §2.10 D3 preferred form)
-    * as well as the list-local [[selectBestCandidate]].
+    * `Some(Rank(match_priority, atc_priority, form_priority,
+    * details_score))`. The reference's final rank terms (-len(generic),
+    * atc_code) are plain column expressions left to callers, so the whole
+    * selection is expressible as a row_number window (SURVEY §2.10 D3
+    * preferred form) as well as the list-local [[selectBestCandidate]].
     */
   def candidateRank(
       cand: Candidate,
@@ -135,7 +138,7 @@ object Scoring {
       isIvSolution: Boolean,
       strippedGenerics: List[String],
       inputDetails: Map[String, String] = Map.empty,
-      applySyn: String => String = g => SaltLib.applySynonym(g)): Option[(Int, Int, Int, Int)] = {
+      applySyn: String => String = g => SaltLib.applySynonym(g)): Option[Rank] = {
     val candGeneric = cand.genericName.toUpperCase
     val (matches, reason) =
       genericsMatch(inputGenericsNormalized, candGeneric, applySyn)
@@ -187,7 +190,7 @@ object Scoring {
       detailsScore -= 1
     if (hit(det("alias_details"))) detailsScore -= 2
     if (hit(det("iv_diluent_type"))) detailsScore -= 5
-    Some((matchPriority, atcPriority, formPriority, detailsScore))
+    Some(Rank(matchPriority, atcPriority, formPriority, detailsScore))
   }
 
   /** `select_best_candidate` (`scoring.py:203-387`): generic-match filter
@@ -214,8 +217,8 @@ object Scoring {
         .map(r => (cand, r))
     }
     if (ranked.isEmpty) None
-    else Some(ranked.sortBy { case (cand, (mp, ap, fp, ds)) =>
-      (mp, ap, fp, ds, -cand.genericName.length, cand.atcCode)
+    else Some(ranked.sortBy { case (cand, r) =>
+      (r.mp, r.ap, r.fp, r.ds, -cand.genericName.length, cand.atcCode)
     }.head._1)
   }
 }

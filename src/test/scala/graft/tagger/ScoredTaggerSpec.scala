@@ -72,6 +72,34 @@ class ScoredTaggerSpec extends SparkSpec {
     assert(out(1L) == "N02BA01") // single-agent code wins over the 51 combo
   }
 
+  test("q26 demo vocabulary is inert under the scoring normalizers") {
+    // The q26 oracle replicates Scoring.genericsMatch in SQL assuming
+    // applySynonym is identity, no subtype commas, and no generated ATC
+    // hits the combination-pattern table over the fixed demo vocabulary.
+    import graft.functions.SaltLib
+    val vocab = graft.core.Tables(spark, sf0001, "documents")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .distinct().collect().map(_.getString(0))
+    assert(vocab.nonEmpty)
+    vocab.foreach { w =>
+      val u = w.toUpperCase
+      assert(SaltLib.applySynonym(u) == u, s"synonym not identity for $w")
+      assert(!u.contains(","), s"subtype comma in $w")
+      assert(!Scoring.isCombinationAtc("X" + u) && !Scoring.isCombinationAtc("Y" + u),
+        s"generated ATC for $w collides with a combination pattern")
+    }
+  }
+
+  test("duplicated texts tag identically to their unique representative") {
+    // D1 dedup-before-tag: the per-text result must be a pure function of
+    // the text — duplicating rows changes ids only.
+    val once = tag(Seq((1L, "PARACETAMOL 500MG TABLET"), (2L, "NIFEDIPINE 30 mg MR TABLET")))
+    val duped = tag(Seq((10L, "PARACETAMOL 500MG TABLET"), (11L, "NIFEDIPINE 30 mg MR TABLET"),
+      (12L, "PARACETAMOL 500MG TABLET"), (13L, "NIFEDIPINE 30 mg MR TABLET")))
+    assert(duped(10L) == once(1L) && duped(12L) == once(1L))
+    assert(duped(11L) == once(2L) && duped(13L) == once(2L))
+  }
+
   test("shape classification flags") {
     val s1 = ScoredTagger.classify("PARACETAMOL 500MG TABLET")
     assert(s1.isSingle && !s1.isCombination && !s1.isIv)
