@@ -3,13 +3,12 @@ package graft.bridge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.SaltLib
-
 /** Full-fidelity Part-4 bridge (C2): [[BridgeMatcher]]'s explode-join +
   * conditional-aggregation attribution, with the COMPLETE dose semantics
   * of [[DoseKeys]] (all five key kinds incl. IV diluent classes and
-  * cross-type equivalence), route-aware form compatibility from
-  * [[SaltLib]], and dose keys built by [[DoseKeys.getDoseKey]] from
+  * cross-type equivalence), the reference's route/form compatibility
+  * closures from [[RouteForms]] (missing side = compatible, route
+  * synonym groups), and dose keys built by [[DoseKeys.getDoseKey]] from
   * structured columns + dose strings + description context.
   *
   * Dose keys travel as a struct column (kind, v1, v2, s):
@@ -62,29 +61,63 @@ object Part4Bridge {
     udf((a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
       DoseKeys.dosesMatch(fromCol(a), fromCol(b)))
 
-  private val formsCompatUdf = udf((a: String, b: String) =>
-    SaltLib.formsCompatible(a, b))
+  private val formsCompatUdf = udf((cf: String, ef: String, cr: String,
+      er: String) => RouteForms.formsCompatible(cf, ef, cr, er))
 
-  /** @param items   id, generic_key, dose_key (struct), form,
-    *                routes (array<string>)
-    * @param catalog generic_key, drug_code, dose_key (struct), form, routes
+  private val routeMatchesUdf = udf((cr: String, er: String) =>
+    RouteForms.routeMatches(cr, er))
+
+  /** The eight `*_details` columns the Part-4 tie-break scores, with the
+    * reference's weights (`rank_candidate_for_drug_code`,
+    * `runners.py:959-1009`). A detail scores when it appears as a
+    * substring of the candidate's Annex description; lower total wins.
+    */
+  val detailWeights: Seq[(String, Int)] = Seq(
+    "release_details" -> 10, "type_details" -> 5, "form_details" -> 5,
+    "indication_details" -> 5, "salt_details" -> 3, "alias_details" -> 2,
+    "iv_diluent_type" -> 5, "iv_diluent_amount" -> 3)
+
+  /** @param items   id, generic_key, dose_key (struct), form, route
+    *                (+ the optional `*_details` tie-break columns —
+    *                missing ones are treated as null)
+    * @param catalog generic_key, drug_code, dose_key (struct), form,
+    *                route, description
     * @return items + drug_code + drug_code_match_reason (the C2 cascade)
     */
   def matchDrugCodes(items: DataFrame, catalog: DataFrame): DataFrame = {
     val cat = broadcast(catalog.select(
       col("generic_key"), col("drug_code"),
       col("dose_key").as("cand_dose_key"),
-      col("form").as("cand_form"), col("routes").as("cand_routes")))
+      col("form").as("cand_form"), col("route").as("cand_route"),
+      col("description").as("cand_description")))
 
-    val joined = items.join(cat, Seq("generic_key"), "left")
+    val itemsD = detailWeights.map(_._1).foldLeft(items) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null: String))
+    }
+
+    // rank_candidate_for_drug_code as pure Catalyst: -w per detail found
+    // in the candidate description (all upper-cased, substring semantics)
+    val candDesc = upper(coalesce(col("cand_description"), lit("")))
+    val detailsScore = detailWeights.map { case (c, w) =>
+      when(col(c).isNotNull && upper(col(c)) =!= "" &&
+        candDesc.contains(upper(col(c))), -w).otherwise(0)
+    }.reduce(_ + _)
+
+    val joined = itemsD.join(cat, Seq("generic_key"), "left")
       .withColumn("dose_ok",
         coalesce(dosesMatchUdf(col("dose_key"), col("cand_dose_key")), lit(false)))
       .withColumn("form_ok",
-        coalesce(formsCompatUdf(col("form"), col("cand_form")), lit(false)))
+        coalesce(formsCompatUdf(col("cand_form"), col("form"),
+          col("cand_route"), col("route")), lit(false)))
       .withColumn("route_ok",
-        coalesce(arrays_overlap(col("routes"), col("cand_routes")), lit(false)))
+        coalesce(routeMatchesUdf(col("cand_route"), col("route")), lit(false)))
       .withColumn("perfect", col("dose_ok") && col("form_ok") && col("route_ok"))
 
+    // The reference sorts perfect matches by details score with a STABLE
+    // sort (ties keep Annex row order, `runners.py:1368-1370`); row order
+    // is not a distributed concept, so drug_code is the deterministic
+    // final key here — divergence only when two perfect matches tie on
+    // details score AND the Annex order differs from code order.
     val agg = joined.groupBy("id").agg(
       count(col("drug_code")).as("n_cand"),
       count(when(col("dose_ok"), 1)).as("n_dose_ok"),
@@ -92,7 +125,7 @@ object Part4Bridge {
       count(when(col("route_ok"), 1)).as("n_route_ok"),
       min(when(col("perfect"),
         struct(
-          when(col("cand_form") === col("form"), 0).otherwise(1).as("form_rank"),
+          detailsScore.as("details_score"),
           col("drug_code").as("drug_code")))).as("best"))
 
     items.join(agg, Seq("id"), "left")

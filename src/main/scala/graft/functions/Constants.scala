@@ -66,6 +66,17 @@ object Constants {
   lazy val routeCanon: Map[String, String] = strMap("route_canon")
   lazy val formToRoute: Map[String, String] = strMap("form_to_route")
   lazy val formToRoutes: Map[String, Set[String]] = multiMap("form_to_routes")
+  /** FORM_TO_ROUTES in the reference's dict-insertion order — the Part-4
+    * partial-key fallback (`runners.py:1224-1234`) takes the FIRST key
+    * that substring-matches, so iteration order is semantic.
+    */
+  lazy val formToRoutesOrdered: List[(String, Set[String])] =
+    rows("form_to_routes").map(r =>
+      r.head -> r(1).split("\\|").filter(_.nonEmpty).toSet)
+  lazy val routeSynonyms: Map[String, Set[String]] = multiMap("route_synonyms")
+  lazy val routeGroups: Map[String, Set[String]] = multiMap("route_groups")
+  lazy val compatibleFormPairs: List[Set[String]] =
+    rows("compatible_form_pairs").map(_.head.split("\\|").toSet)
   lazy val formEquivalents: Map[String, Set[String]] = multiMap("form_equivalents")
   lazy val genericSynonyms: Map[String, String] = strMap("generic_synonyms")
   lazy val spellingSynonyms: Map[String, String] = strMap("spelling_synonyms")

@@ -68,7 +68,7 @@ class DrugsPipelineSpec extends SparkSpec {
         lit(null).cast("string"), lit(null).cast("double"),
         col("dose"), col("description"), col("generic_key")))
       .withColumn("form", lit("TABLET"))
-      .withColumn("routes", array(lit("ORAL")))
+      .withColumn("route", lit("ORAL"))
     val annex = Seq(
       ("paracetamol", "DR-P500", "500MG", "TABLET"),
       ("ibuprofen + paracetamol", "DR-COMBO", "200MG+325MG", "TABLET"))
@@ -77,10 +77,13 @@ class DrugsPipelineSpec extends SparkSpec {
         lit(null).cast("double"), lit(null).cast("double"),
         lit(null).cast("string"), lit(null).cast("double"),
         col("dose"), col("dose"), col("generic_key")))
-      .withColumn("routes", array(lit("ORAL")))
-      .select("generic_key", "drug_code", "dose_key", "form", "routes")
+      .withColumn("route", lit("ORAL"))
+      .withColumn("description", concat(upper(col("generic_key")),
+        lit(" "), col("dose"), lit(" "), col("form")))
+      .select("generic_key", "drug_code", "dose_key", "form", "route",
+        "description")
     val bridged = Part4Bridge.matchDrugCodes(
-      tagged.select("id", "generic_key", "dose_key", "form", "routes"), annex)
+      tagged.select("id", "generic_key", "dose_key", "form", "route"), annex)
       .collect().map(r => r.getAs[Long]("id") ->
         (r.getAs[String]("drug_code"), r.getAs[String]("drug_code_match_reason")))
       .toMap
