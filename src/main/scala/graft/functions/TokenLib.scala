@@ -80,11 +80,37 @@ object TokenLib {
     result.result()
   }
 
-  /** Convenience: tokenize a free-text description directly. */
+  /** F14 `detect_compound_salts` (`tokenizer.py:929-955`): pair adjacent
+    * tokens that form a known pure-salt compound into one token
+    * ("SODIUM" "CHLORIDE" -> "SODIUM CHLORIDE"), greedy left-to-right,
+    * each token used at most once.
+    */
+  def detectCompoundSalts(tokens: Seq[String]): List[String] = {
+    val result = List.newBuilder[String]
+    var i = 0
+    val ts = tokens.toIndexedSeq
+    while (i < ts.length) {
+      val up = ts(i).toUpperCase
+      if (i + 1 < ts.length &&
+        Constants.pureSaltCompounds.contains(s"$up ${ts(i + 1).toUpperCase}")) {
+        result += s"$up ${ts(i + 1).toUpperCase}"
+        i += 2
+      } else {
+        result += ts(i)
+        i += 1
+      }
+    }
+    result.result()
+  }
+
+  /** Convenience: tokenize a free-text description directly (raw split ->
+    * compound-salt pairing -> normalize, the `extract_generic_tokens`
+    * tokenization path `tokenizer.py:1193-1195`).
+    */
   def tokenizeText(text: String, dropStopwords: Boolean = true): List[String] =
     if (text == null) Nil
-    else normalizeTokens(text.split("\\s+").toSeq, dropStopwords,
-      originalText = text)
+    else normalizeTokens(detectCompoundSalts(text.split("\\s+").toSeq),
+      dropStopwords, originalText = text)
 
   private val DosePattern =
     "(?i)^(\\d+(?:\\.\\d+)?)\\s*(mg|g|mcg|ug|ml|l|iu|unit|units|pct|%|mg/ml|mcg/ml|iu/ml|mg/5ml)".r
@@ -95,13 +121,17 @@ object TokenLib {
     * row-wise function (SURVEY §2.4).
     */
   def categorizeTokens(tokens: Seq[String]): Map[String, Map[String, Int]] = {
-    val cats = scala.collection.mutable.Map(
-      "generic" -> scala.collection.mutable.Map.empty[String, Int],
-      "salt" -> scala.collection.mutable.Map.empty[String, Int],
-      "dose" -> scala.collection.mutable.Map.empty[String, Int],
-      "form" -> scala.collection.mutable.Map.empty[String, Int],
-      "route" -> scala.collection.mutable.Map.empty[String, Int],
-      "other" -> scala.collection.mutable.Map.empty[String, Int])
+    // LinkedHashMaps: the reference's dicts preserve insertion order, and
+    // the tagger output emits category keys in first-seen token order
+    // (`tagger.py:936-938`)
+    import scala.collection.mutable.LinkedHashMap
+    val cats = LinkedHashMap(
+      "generic" -> LinkedHashMap.empty[String, Int],
+      "salt" -> LinkedHashMap.empty[String, Int],
+      "dose" -> LinkedHashMap.empty[String, Int],
+      "form" -> LinkedHashMap.empty[String, Int],
+      "route" -> LinkedHashMap.empty[String, Int],
+      "other" -> LinkedHashMap.empty[String, Int])
     def add(cat: String, tok: String): Unit =
       cats(cat)(tok) = cats(cat).getOrElse(tok, 0) + 1
     for (tok <- tokens) {
@@ -125,7 +155,9 @@ object TokenLib {
         Set("GENERIC", "OP", "GRAM", "100S").contains(up)) add("other", up)
       else add("generic", up)
     }
-    cats.map { case (k, v) => k -> v.toMap }.toMap
+    cats.iterator.map { case (k, v) =>
+      k -> v.to(scala.collection.immutable.SeqMap): (String, Map[String, Int])
+    }.to(scala.collection.immutable.SeqMap)
   }
 
   private val comboJunk = Set("+", "MG/5", "MG", "G", "MCG", "ML", "L", "PCT")

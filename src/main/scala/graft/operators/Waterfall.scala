@@ -115,16 +115,22 @@ object Waterfall {
             lit("corpus").as("source"),
             upper(col("key")).as("reference_text"))
         // shapes: the doc's generic set = its distinct words longer than
-        // 3 chars, uppercased; no forms/details, single iff one generic
+        // 3 chars, uppercased; no forms/details/combos. The demo
+        // vocabulary is inert under applySynonym (asserted by
+        // ScoredTaggerSpec), so finalizeShape's normalized set equals
+        // `stripped` exactly, which is what the oracle replicates.
+        // fuzzyMaxDist=0 keeps the fuzzy-correction feedback out of the
+        // oracle (covered by ScoredTaggerSpec goldens instead).
         val gens = array_sort(array_distinct(
           transform(filter(col("t"), w => length(w) > 3), w => upper(w))))
         val shapes = toks.select(col("id"),
           typedLit(Seq.empty[String]).as("input_forms"),
-          gens.as("generics_norm"),
-          when(size(gens) === 1, 1).otherwise(0).as("shape_flags"),
+          typedLit(Seq.empty[String]).as("extra_norm"),
+          lit(false).as("has_plus"), lit(false).as("has_in"),
           gens.as("stripped"),
           typedLit(Map.empty[String, String]).as("details"))
-        val tagged = ScoredTagger.tagCandidates(probes, catalog, shapes)
+        val tagged = ScoredTagger.tagCandidates(probes, catalog, shapes,
+          LookupWaterfall.Config(fuzzyMaxDist = 0))
         toks.select(col("id"))
           .join(tagged, Seq("id"), "left")
           .select(col("id").as("doc_id"),
@@ -144,16 +150,10 @@ object Waterfall {
              |    'DB' || key AS drugbank_id, upper(key) AS reference_text
              |  FROM (SELECT DISTINCT unnest(t) AS key FROM tok) v
              |  WHERE key NOT IN ('vector', 'spark', 'the')),
-             |exact AS (SELECT p.doc_id, p.probe_pos, p.probe, c.*, 1 AS leg
+             |-- token-prefix leg never matches single-word keys and the
+             |-- demo runs with fuzzyMaxDist=0, so exact is the only leg
+             |cand0 AS (SELECT p.doc_id, p.probe_pos, p.probe, c.*, 1 AS leg
              |          FROM probe p JOIN cat c ON p.probe = c.key),
-             |missE AS (SELECT * FROM probe
-             |          WHERE probe NOT IN (SELECT DISTINCT probe FROM exact)),
-             |-- token-prefix leg: key LIKE probe || ' %' never matches the
-             |-- single-word keys, so the prefix miss-set equals missE
-             |fuzz AS (SELECT m.doc_id, m.probe_pos, m.probe, c.*, 3 AS leg
-             |         FROM missE m JOIN cat c
-             |           ON levenshtein(m.probe, c.key) <= 2 AND c.key <> m.probe),
-             |cand0 AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzz),
              |cand AS (SELECT c2.* EXCLUDE (s), c2.s.idx AS atc_idx, c2.s.code AS atc_code
              |         FROM (SELECT *, unnest([
              |             struct_pack(idx := 0, code := 'X' || upper(key)),

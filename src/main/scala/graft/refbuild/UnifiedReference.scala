@@ -199,4 +199,30 @@ object UnifiedReference {
     */
   def componentKey(components: Column): Column =
     array_join(array_sort(components), "|")
+
+  /** J12 mixture-name fallback rows (`tagger.py:782-804`): mixtures keyed
+    * by UPPER(mixture_name), so a synonym-applied probe like CO-AMOXICLAV
+    * -> "AMOXICILLIN AND CLAVULANATE POTASSIUM" resolves by name when the
+    * generics catalog missed. Marked `fallback_only`: [[graft.tagger
+    * .ScoredTagger.tagCandidates]] admits these candidates only for ids
+    * with NO regular candidate, the reference's "unique_matches empty"
+    * gate. ATC stays null (mixtures often have none); such candidates
+    * survive selection through their drugbank_id (`tagger.py:857-868`).
+    *
+    * Union the result with the generics-keyed catalog before tagging.
+    */
+  def mixtureNameRows(mixtures: DataFrame): DataFrame =
+    mixtures
+      .filter(col("mixture_name").isNotNull && col("mixture_name") =!= "")
+      .select(
+        lower(col("mixture_name")).as("key"),
+        cleanName(col("mixture_name")).as("generic_name"),
+        lit(null: String).as("atc_code"),
+        col("drugbank_id"),
+        lit(null: String).as("form"),
+        lit(null: String).as("route"),
+        lit("mixtures").as("source"),
+        cleanName(col("mixture_name")).as("reference_text"),
+        lit(true).as("fallback_only"))
+      .dropDuplicates("key")
 }

@@ -49,7 +49,8 @@ object DrugTagger {
     val probesOf = udf((text: String) => {
       import graft.functions._
       val norm = TextNorm.normalizeText(text)
-      val toks = TokenLib.normalizeTokens(norm.split(" ").toSeq,
+      val toks = TokenLib.normalizeTokens(
+        TokenLib.detectCompoundSalts(norm.split(" ").toSeq),
         dropStopwords = true, originalText = text)
       val generics = toks.filter(t => t.length > 2 &&
         t.matches("^[A-Z][A-Z\\- ']*$") && !noise.contains(t.toLowerCase))

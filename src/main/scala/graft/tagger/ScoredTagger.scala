@@ -1,15 +1,16 @@
 package graft.tagger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DetailsLib, SaltLib, TextNorm, TokenLib}
+import graft.functions.{Constants, DetailsLib, SaltLib, TextNorm, TokenLib, VaccineLib}
 
 /** The composed C1 tagging flow (`tagger.py:560-1030`, Parts 2/3): probe
   * generation -> waterfall candidate gathering (ALL hits, not top-1) ->
-  * per-text input-shape classification -> rule-based candidate selection
-  * -> result with match_reason in {matched, no_candidates, no_match}.
+  * per-text input-shape classification -> fuzzy-correction feedback ->
+  * rule-based candidate selection -> the reference's full ~25-column
+  * result schema with match_reason in {matched, no_candidates, no_match}.
   *
   * Execution shape (100 TB design):
   *   - distinct texts are tagged ONCE and re-joined by text (D1, the
@@ -26,27 +27,67 @@ import graft.functions.{DetailsLib, SaltLib, TextNorm, TokenLib}
   *     window over a TOTAL order (SURVEY §2.10 D3 preferred form):
   *     whole-stage codegen spans the join/window path instead of the
   *     round-1 `mapGroups` object path, and the selection is
-  *     oracle-expressible (q26).
-  *
-  * Round-2 scope note: the reference's fuzzy-correction feedback into the
-  * normalized-generic set (`tagger.py:880-896`) is not yet wired.
+  *     oracle-expressible (q26);
+  *   - the fuzzy-correction feedback (`tagger.py:880-908`) is a tiny
+  *     per-id aggregate over the leg-3 hits joined back into the shape
+  *     finalization — no extra pass over the text.
   */
 object ScoredTagger {
 
-  final case class TagResult(id: Long, generic_name: String, atc_code: String,
-      drugbank_id: String, reference_text: String, match_reason: String)
-
-  /** Input-shape classification (`tagger.py:915-920`) + scoring inputs. */
+  /** Input-shape classification (`tagger.py:915-920`) + scoring inputs —
+    * the PRE-fuzzy view kept for spec-level reasoning about one text.
+    */
   private[tagger] final case class InputShape(
       inputForms: Set[String], genericsNormalized: Set[String],
       isSingle: Boolean, isCombination: Boolean, isIv: Boolean,
       strippedGenerics: List[String], details: Map[String, String])
 
   private[tagger] def classify(text: String): InputShape = {
+    val s = shapeRowOf(text)
+    val f = finalizeShape(s.stripped, s.extra_norm, s.has_plus, s.has_in, Nil)
+    InputShape(
+      inputForms = s.input_forms.toSet,
+      genericsNormalized = f.generics_norm.toSet,
+      isSingle = (f.shape_flags & 1) != 0,
+      isCombination = (f.shape_flags & 2) != 0,
+      isIv = (f.shape_flags & 4) != 0,
+      strippedGenerics = s.stripped.toList,
+      details = s.details)
+  }
+
+  /** Column-shaped per-unique-text analysis: everything the selection and
+    * the output schema need, computed in ONE UDF eval per text. The
+    * normalized-generic set and the shape flags are NOT here — they
+    * depend on the fuzzy-correction feedback and are finalized per id
+    * after candidate gathering ([[finalizeShape]]).
+    */
+  final case class ShapeRow(
+      input_forms: Seq[String],    // categorized forms, first-seen order
+      extra_norm: Seq[String],     // combo-key synonyms (syn != key)
+      has_plus: Boolean,
+      has_in: Boolean,             // " IN " present in the raw upper text
+      stripped: Seq[String],       // ordered stripped generics (+ vehicle)
+      details: Map[String, String], // rank-scoring details (vaccine-augmented)
+      input_doses: Seq[String], input_routes: Seq[String],
+      out_type_details: String, out_release_details: String,
+      out_form_details: String,
+      salt_details: String, brand_details: String,
+      indication_details: String, alias_details: String,
+      diluent_details: String, iv_diluent_type: String,
+      iv_diluent_amount: String,
+      dose_values: Seq[Double], dose_units: Seq[String],
+      dose_types: Seq[String],
+      total_volume_ml: Option[Double], drug_amount_mg: Option[Double],
+      diluent_amount_mg: Option[Double],
+      concentration_mg_per_ml: Option[Double],
+      is_vaccine: Boolean, vaccine_name: String)
+
+  private[tagger] def shapeRowOf(text: String): ShapeRow = {
     // keep stopwords: form/route words are members of the stopword set and
-    // must reach categorize_tokens to land in their categories
+    // must reach categorize_tokens to land in their categories; adjacent
+    // pure-salt pairs fuse first (F14, `tokenizer.py:1194`)
     val tokens = TokenLib.normalizeTokens(
-      TextNorm.normalizeText(text).split(" ").toSeq,
+      TokenLib.detectCompoundSalts(TextNorm.normalizeText(text).split(" ").toSeq),
       dropStopwords = false, originalText = text)
     val cats = TokenLib.categorizeTokens(tokens)
     // '+'-combination splitting (extract_generic_tokens, tokenizer.py):
@@ -63,56 +104,97 @@ object ScoredTagger {
     val vehicle =
       if (inIdx >= 0) {
         val right = upNorm.substring(inIdx + 4)
-        graft.functions.Constants.pureSaltCompounds.toList.sorted
-          .find(right.contains).toList
+        Constants.pureSaltCompounds.toList.sorted.find(right.contains).toList
       } else Nil
     val stripped = (genericToks ++ vehicle).map(t => SaltLib.stripSaltSuffix(t)._1)
-    var normalized = stripped.map(s => SaltLib.applySynonym(s))
-      .filterNot(Set("+", "MG/5")).toSet
-    val comboKeys = TokenLib.buildCombinationKeys(tokens)
-    for (ck <- comboKeys) {
+    val extraNorm = TokenLib.buildCombinationKeys(tokens).flatMap { ck =>
       val ckSyn = SaltLib.applySynonym(ck)
-      if (ckSyn != ck && ckSyn != "+" && ckSyn != "MG/5") normalized += ckSyn
-    }
+      if (ckSyn != ck && ckSyn != "+" && ckSyn != "MG/5") Some(ckSyn) else None
+    }.distinct
+
     val up = text.toUpperCase
-    val hasPlus = text.contains("+")
-    val hasIn = up.contains(" IN ") && normalized.size > 1
     val d = DetailsLib.extractDrugDetails(text)
+
+    // vaccine canonicalization (`tagger.py:578-590`): canonical name +
+    // type-detail augmentation feed both scoring and the output override
+    val (vaccineName, vaccineDetails) = VaccineLib.normalizeVaccineName(text)
+    val typeAug: Option[String] = (d.typeDetails, vaccineDetails) match {
+      case (Some(t), Some(v)) => Some(t + "; " + v)
+      case (None, v @ Some(_)) => v
+      case (t, None) => t
+    }
     val details = Seq(
-      "type_details" -> d.typeDetails, "release_details" -> d.releaseDetails,
+      "type_details" -> typeAug, "release_details" -> d.releaseDetails,
       "form_details" -> d.formDetails, "indication_details" -> d.indicationDetails,
       "salt_details" -> d.saltDetails, "alias_details" -> d.aliasDetails,
       "iv_diluent_type" -> d.ivDiluentType)
       .collect { case (k, Some(v)) => k -> v }.toMap
-    InputShape(
-      inputForms = cats("form").keySet,
-      genericsNormalized = normalized,
-      isSingle = normalized.size == 1,
-      isCombination = normalized.size > 1 && hasPlus,
-      isIv = hasIn && !hasPlus,
-      strippedGenerics = stripped,
-      details = details)
+
+    // output detail precedence (`_build_result_dict`, `tagger.py:69-118`):
+    // per-output extraction first, drug_details field as fallback
+    val tokenText = tokens.mkString(" ")
+    val outType = DetailsLib.extractTypeDetail(text)._2.orElse(typeAug)
+    val rel = DetailsLib.extractReleaseDetail(tokenText)._2
+    val formDet = if (rel.isEmpty) DetailsLib.extractFormDetail(tokenText)._2 else None
+    ShapeRow(
+      input_forms = cats("form").keys.toSeq,
+      extra_norm = extraNorm,
+      has_plus = text.contains("+"),
+      has_in = up.contains(" IN "),
+      stripped = stripped,
+      details = details,
+      input_doses = cats("dose").keys.toSeq,
+      input_routes = cats("route").keys.toSeq,
+      out_type_details = outType.orNull,
+      out_release_details = rel.orElse(d.releaseDetails).orNull,
+      out_form_details = formDet.orElse(d.formDetails).orNull,
+      salt_details = d.saltDetails.orNull,
+      brand_details = null, // initialized but never filled by the reference
+      indication_details = d.indicationDetails.orNull,
+      alias_details = d.aliasDetails.orNull,
+      diluent_details = d.diluentDetails.orNull,
+      iv_diluent_type = d.ivDiluentType.orNull,
+      iv_diluent_amount = d.ivDiluentAmount.orNull,
+      dose_values = d.doseValues, dose_units = d.doseUnits,
+      dose_types = d.doseTypes,
+      total_volume_ml = d.totalVolumeMl, drug_amount_mg = d.drugAmountMg,
+      diluent_amount_mg = d.diluentAmountMg,
+      concentration_mg_per_ml = d.concentrationMgPerMl,
+      is_vaccine = vaccineName.isDefined,
+      vaccine_name = vaccineName.orNull)
   }
 
-  /** Column-shaped input classification: one row per unique text id.
-    * Sequences are sorted where the source is a Set so the frame is
-    * deterministic; `genericsMatch` re-sorts internally anyway. The three
-    * booleans pack into a bitmask (1=single, 2=combination, 4=iv) to stay
-    * under the UDF arity limit downstream.
+  /** Post-gathering shape finalization with the fuzzy-correction feedback
+    * (`tagger.py:880-920`): fuzzy-matched candidate names are assigned
+    * positionally to the first not-yet-corrected stripped generic; the
+    * normalized set uses the correction instead of the synonym, then the
+    * single/combination/IV flags derive from the CORRECTED set size.
     */
-  final case class ShapeRow(input_forms: Seq[String],
-      generics_norm: Seq[String], shape_flags: Int,
-      stripped: Seq[String], details: Map[String, String])
+  final case class FinalShape(generics_norm: Seq[String], shape_flags: Int)
 
-  private[tagger] def shapeRowOf(text: String): ShapeRow = {
-    val s = classify(text)
-    ShapeRow(
-      s.inputForms.toSeq.sorted,
-      s.genericsNormalized.toSeq.sorted,
-      (if (s.isSingle) 1 else 0) | (if (s.isCombination) 2 else 0) |
-        (if (s.isIv) 4 else 0),
-      s.strippedGenerics,
-      s.details)
+  private[tagger] def finalizeShape(stripped: Seq[String],
+      extraNorm: Seq[String], hasPlus: Boolean, hasIn: Boolean,
+      fuzzyNames: Seq[String]): FinalShape = {
+    val corrections = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (name <- fuzzyNames; if name != null) {
+      stripped.map(_.toUpperCase)
+        .find(sg => !corrections.contains(sg))
+        .foreach(sg => corrections(sg) = name.toUpperCase)
+    }
+    var normalized = Set.empty[String]
+    for (sg <- stripped) {
+      val sgU = sg.toUpperCase
+      val n = corrections.getOrElse(sgU, SaltLib.applySynonym(sgU))
+      if (n.nonEmpty && n != "+" && n != "MG/5") normalized += n
+    }
+    normalized ++= extraNorm
+    val num = normalized.size
+    val isSingle = num == 1
+    val isCombination = num > 1 && hasPlus
+    val isIv = hasIn && num > 1 && !hasPlus
+    FinalShape(normalized.toSeq.sorted,
+      (if (isSingle) 1 else 0) | (if (isCombination) 2 else 0) |
+        (if (isIv) 4 else 0))
   }
 
   // asNondeterministic is an OPTIMIZER BARRIER here, not a semantic
@@ -123,6 +205,11 @@ object ScoredTagger {
   // field reads are GetStructField over the attribute.
   private val shapeUdf = udf((text: String) => shapeRowOf(text))
     .asNondeterministic()
+
+  private val finalizeUdf = udf((stripped: Seq[String], extra: Seq[String],
+      hasPlus: Boolean, hasIn: Boolean, fuzzyNames: Seq[String]) =>
+    finalizeShape(stripped, extra, hasPlus, hasIn, fuzzyNames))
+    .asNondeterministic() // same barrier as shapeUdf
 
   /** [[Scoring.candidateRank]] as a row-level expression: null when the
     * candidate is filtered (invalid), else a (mp, ap, fp, ds) struct.
@@ -139,7 +226,7 @@ object ScoredTagger {
         if (refText == null) "" else refText),
       inputForms.toSet, genericsNorm.toSet,
       (flags & 1) != 0, (flags & 2) != 0, (flags & 4) != 0,
-      stripped.toList, details)).asNondeterministic() // same barrier as shapeUdf
+      stripped.toList, details)).asNondeterministic() // same barrier
 
   /** G2 ATC explode (`tagger.py:839-856`): a pipe-joined ATC payload
     * becomes one candidate per code in preference order (singles before
@@ -150,24 +237,59 @@ object ScoredTagger {
       Scoring.sortAtcCodes(atc.split("\\|").toSeq)
     else Seq(atc))
 
-  /** Candidate gathering + windowed selection over explicit probe and
-    * shape frames — the engine core of C1, also driven directly by the
-    * q26 oracle demo with SQL-defined probes/shapes.
+  /** Candidate gathering + fuzzy feedback + windowed selection over
+    * explicit probe and shape frames — the engine core of C1, also driven
+    * directly by the q26 oracle demo with SQL-defined probes/shapes.
     *
     * @param probes  (id, probe_pos, probe)
     * @param catalog (key, generic_name, atc_code, drugbank_id, form,
-    *                route, source, reference_text) — broadcastable
-    * @param shapes  (id, input_forms, generics_norm, shape_flags,
-    *                stripped, details) — one row per id
+    *                route, source, reference_text) — broadcastable. An
+    *                optional boolean `fallback_only` column marks rows
+    *                (J12 mixture-name entries) that participate only for
+    *                ids with NO regular candidate, the reference's
+    *                "unique_matches empty" gate (`tagger.py:782-804`).
+    * @param shapes  (id, input_forms, extra_norm, has_plus, has_in,
+    *                stripped, details) — one row per id ([[ShapeRow]]
+    *                prefix; extra output columns are allowed and ignored)
     * @return one row per id that had ANY candidate: id, generic_name,
-    *         atc_code, drugbank_id, reference_text, match_reason in
-    *         {matched, no_match}; ids with zero candidates are absent
-    *         (callers left-join and coalesce no_candidates)
+    *         atc_code, drugbank_id, reference_text, source, key,
+    *         match_reason in {matched, no_match}; ids with zero
+    *         candidates are absent (callers left-join and coalesce
+    *         no_candidates)
     */
   def tagCandidates(probes: DataFrame, catalog: DataFrame,
       shapes: DataFrame,
       cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
-    val hits = LookupWaterfall.allMatches(probes, catalog, cfg)
+    val cat = if (catalog.columns.contains("fallback_only")) catalog
+      else catalog.withColumn("fallback_only", lit(false))
+    val hits0 = LookupWaterfall.allMatches(probes, cat, cfg)
+
+    // J12 gate: fallback-only rows count only for ids with no regular
+    // candidate (anti-join on the primary id set — both sides tiny
+    // projections of the checkpointed hits)
+    val primaryIds = hits0.filter(!col("fallback_only")).select("id").distinct()
+    val hits = hits0.filter(!col("fallback_only"))
+      .unionByName(hits0.filter(col("fallback_only"))
+        .join(primaryIds, Seq("id"), "left_anti"))
+
+    // fuzzy-correction feedback inputs: leg-3 candidate names per id, in
+    // deterministic candidate order, first occurrence kept
+    val fuzzyNames = hits0.filter(col("leg") === 3 && !col("fallback_only"))
+      .groupBy("id")
+      .agg(array_distinct(transform(
+        array_sort(collect_list(struct(col("probe_pos"), col("key"),
+          col("generic_name")))),
+        s => s.getField("generic_name"))).as("fuzzy_names"))
+
+    val finShapes = shapes
+      .join(fuzzyNames, Seq("id"), "left")
+      .withColumn("fin", finalizeUdf(col("stripped"), col("extra_norm"),
+        col("has_plus"), col("has_in"),
+        coalesce(col("fuzzy_names"), typedLit(Seq.empty[String]))))
+      .select(col("id"), col("input_forms"), col("stripped"), col("details"),
+        col("fin.generics_norm").as("generics_norm"),
+        col("fin.shape_flags").as("shape_flags"))
+
     // pinned-count spread: the rank-UDF stage below is CPU-bound on a
     // byte-small frame — AQE would coalesce its exchange to ~1 partition
     // (see graft.core.CpuSpread). The pin also fixes the join and window
@@ -181,7 +303,7 @@ object ScoredTagger {
     // Join the compact per-id shape (no raw text) onto candidate rows:
     // both sides hash-partition on id, which is exactly the partitioning
     // the selection window needs — one exchange, reused.
-    val ranked = exploded.join(shapes, Seq("id"))
+    val ranked = exploded.join(finShapes, Seq("id"))
       .withColumn("rank", rankUdf(
         col("generic_name"), col("atc_code"), col("form"),
         col("reference_text"), col("input_forms"), col("generics_norm"),
@@ -202,7 +324,7 @@ object ScoredTagger {
     val best = ranked.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("generic_name"), col("atc_code"),
-        col("drugbank_id"), col("reference_text"))
+        col("drugbank_id"), col("reference_text"), col("source"), col("key"))
 
     hits.select("id").distinct()
       .join(best, Seq("id"), "left")
@@ -211,9 +333,24 @@ object ScoredTagger {
           .otherwise(lit("no_match")))
   }
 
+  private val regionalUdf = udf((g: String) =>
+    if (g == null) null
+    else Constants.regionalCanonical.getOrElse(g.toUpperCase, g.toUpperCase))
+
+  private def emptyToNull(c: Column): Column = when(c =!= "", c)
+
   /** @param texts   (id: Long, text: String)
     * @param catalog (key, generic_name, atc_code, drugbank_id, form,
-    *                route, source, reference_text)
+    *                route, source, reference_text [, fallback_only])
+    * @return the reference Part-2/3 output schema (`tagger.py:69-118`,
+    *         `:953-1028`): id, text, atc_code, drugbank_id, generic_name,
+    *         reference_text, dose, form, route, type/release/form
+    *         details, match_score, match_reason, sources, plus the
+    *         DRUG_DETAILS columns (salt/brand/indication/alias/diluent
+    *         details, IV diluent type/amount, dose value/unit/type
+    *         arrays, volumes and computed mg amounts). `row_idx` is
+    *         deliberately absent — a positional index has no meaning in a
+    *         distributed frame; `id` is the stable key.
     */
   def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
       cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
@@ -226,8 +363,8 @@ object ScoredTagger {
     val uniq = graft.core.CpuSpread.byKey(
       texts.groupBy("text").agg(min(col("id")).as("id")), col("id"))
     val probes = DrugTagger.probeFrame(uniq, cfg)
-    // Shape classification once per unique text, as a compact keyed frame
-    // — computing it as a column on the candidate path instead gets
+    // Shape analysis once per unique text, as a compact keyed frame —
+    // computing it as a column on the candidate path instead gets
     // re-evaluated per joined candidate row by Catalyst (measured 3x
     // slower in round 1).
     val shapes = uniq
@@ -235,12 +372,59 @@ object ScoredTagger {
       .select(col("id"), col("shape.*"))
     val selected = tagCandidates(probes, catalog, shapes, cfg)
 
-    texts
-      .join(uniq.join(selected, Seq("id"), "left").drop("id"),
-        Seq("text"), "left")
+    val matched = col("match_reason") === "matched"
+    // component-key mixture hits carry the reference's score-100 marker
+    // (`tagger.py:807-823`); everything else matched scores 1
+    val isComponentMixture =
+      col("best_source") === "mixtures" && col("key").contains("|")
+    val vaccineOverride = matched && col("is_vaccine") &&
+      col("vaccine_name").isNotNull
+
+    val perText = uniq
+      .join(shapes, Seq("id"), "left")
+      .join(selected.withColumnRenamed("generic_name", "best_generic")
+          .withColumnRenamed("source", "best_source"),
+        Seq("id"), "left")
       .withColumn("match_reason",
         coalesce(col("match_reason"), lit("no_candidates")))
-      .select(col("id"), col("text"), col("generic_name"), col("atc_code"),
-        col("drugbank_id"), col("reference_text"), col("match_reason"))
+      .select(
+        col("text"),
+        col("atc_code"),
+        col("drugbank_id"),
+        // matched: regional canonical (vaccines override with the
+        // canonical vaccine name); no_candidates: pipe-joined stripped
+        // generics; no_match: null (`tagger.py:955-1028`)
+        when(vaccineOverride, col("vaccine_name"))
+          .when(matched, regionalUdf(col("best_generic")))
+          .when(col("match_reason") === "no_candidates" && size(col("stripped")) > 0,
+            array_join(transform(col("stripped"), s => upper(s)), "|"))
+          .as("generic_name"),
+        when(vaccineOverride, col("vaccine_name"))
+          .when(matched, upper(coalesce(
+            emptyToNull(col("reference_text")), col("best_generic"), lit(""))))
+          .as("reference_text"),
+        emptyToNull(array_join(col("input_doses"), "|")).as("dose"),
+        try_element_at(col("input_forms"), lit(1)).as("form"),
+        emptyToNull(array_join(col("input_routes"), "|")).as("route"),
+        col("out_type_details").as("type_details"),
+        col("out_release_details").as("release_details"),
+        col("out_form_details").as("form_details"),
+        when(matched && isComponentMixture, 100)
+          .when(matched, 1).otherwise(0).as("match_score"),
+        col("match_reason"),
+        col("best_source").as("sources"),
+        col("salt_details"), col("brand_details"),
+        col("indication_details"), col("alias_details"),
+        col("diluent_details"), col("iv_diluent_type"),
+        col("iv_diluent_amount"),
+        col("dose_values"), col("dose_units"), col("dose_types"),
+        col("total_volume_ml"), col("drug_amount_mg"),
+        col("diluent_amount_mg"), col("concentration_mg_per_ml"))
+
+    texts.join(perText, Seq("text"), "left")
+      .withColumn("match_reason",
+        coalesce(col("match_reason"), lit("no_candidates")))
+      .select(Seq(col("id"), col("text")) ++
+        perText.columns.filter(_ != "text").map(col): _*)
   }
 }

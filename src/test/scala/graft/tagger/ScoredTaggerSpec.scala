@@ -1,6 +1,7 @@
 package graft.tagger
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
@@ -98,6 +99,65 @@ class ScoredTaggerSpec extends SparkSpec {
       (12L, "PARACETAMOL 500MG TABLET"), (13L, "NIFEDIPINE 30 mg MR TABLET")))
     assert(duped(10L) == once(1L) && duped(12L) == once(1L))
     assert(duped(11L) == once(2L) && duped(13L) == once(2L))
+  }
+
+  test("fuzzy-correction feedback: misspelling scores against the corrected name") {
+    // tagger.py:880-908 — without the feedback, AMOXICILIN (typo) gets an
+    // AMOXICILLIN fuzzy candidate but genericsMatch fails on the raw
+    // input (no containment between the spellings) and the row would be
+    // no_match; the correction replaces the input with the fuzzy-matched
+    // name, so the candidate ranks as exact.
+    import spark.implicits._
+    val cat = Seq(
+      ("amoxicillin", "AMOXICILLIN", "J01CA04", "DB01060", "CAPSULE", "ORAL",
+        "who", "AMOXICILLIN CAPSULE"))
+      .toDF("key", "generic_name", "atc_code", "drugbank_id", "form",
+        "route", "source", "reference_text")
+    val out = ScoredTagger.tagTexts(spark,
+        Seq((1L, "AMOXICILIN 500MG CAPSULE")).toDF("id", "text"), cat)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("match_reason"), r.getAs[String]("generic_name"))).toMap
+    assert(out(1L) == (("matched", "AMOXICILLIN")))
+  }
+
+  test("J12: mixture-name fallback fires only when the generics catalog misses") {
+    import spark.implicits._
+    val mixtures = Seq(("DB-MIX1", "AMOXICILLIN + CLAVULANIC ACID"))
+      .toDF("drugbank_id", "mixture_name")
+    val nameRows = graft.refbuild.UnifiedReference.mixtureNameRows(mixtures)
+    // generics catalog has no co-amoxiclav entry; synonym-applied probe
+    // resolves through the mixture NAME key (tagger.py:782-804)
+    val cat = catalog.withColumn("fallback_only", lit(false))
+      .unionByName(nameRows)
+    val out = ScoredTagger.tagTexts(spark,
+        Seq((1L, "CO-AMOXICLAV 625MG TABLET"),
+          (2L, "PARACETAMOL 500MG TABLET")).toDF("id", "text"), cat)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("match_reason"), r.getAs[String]("drugbank_id"),
+          r.getAs[String]("sources"))).toMap
+    assert(out(1L) == (("matched", "DB-MIX1", "mixtures")))
+    // a text with regular candidates never sees the fallback rows
+    assert(out(2L)._3 == "who")
+  }
+
+  test("output carries the reference Part-2/3 schema") {
+    import spark.implicits._
+    val df = ScoredTagger.tagTexts(spark,
+      Seq((1L, "PARACETAMOL 500MG TABLET")).toDF("id", "text"), catalog)
+    val expected = Seq("id", "text", "atc_code", "drugbank_id",
+      "generic_name", "reference_text", "dose", "form", "route",
+      "type_details", "release_details", "form_details", "match_score",
+      "match_reason", "sources", "salt_details", "brand_details",
+      "indication_details", "alias_details", "diluent_details",
+      "iv_diluent_type", "iv_diluent_amount", "dose_values", "dose_units",
+      "dose_types", "total_volume_ml", "drug_amount_mg",
+      "diluent_amount_mg", "concentration_mg_per_ml")
+    assert(df.columns.toSeq == expected)
+    val r = df.collect().head
+    assert(r.getAs[String]("dose") == "500MG")
+    assert(r.getAs[String]("form") == "TABLET")
+    assert(r.getAs[Int]("match_score") == 1)
+    assert(r.getAs[String]("sources") == "who")
   }
 
   test("shape classification flags") {
