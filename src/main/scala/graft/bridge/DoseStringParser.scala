@@ -126,6 +126,30 @@ object DoseStringParser {
     else (None, None, None)
   }
 
+  private val ComboGenericSplit = "\\s*\\+\\s*|\\s+AND\\s+".r
+
+  /** Per-generic combo-dose attribution: positionally zip a combination
+    * generic's components with [[parseComboDose]]'s component doses —
+    * combo dose strings list amounts in the generic's component order
+    * (CO-AMOXICLAV "AMOXICILLIN + CLAVULANIC ACID" with "400|MG|57|ML|35"
+    * -> AMOXICILLIN 400 mg, CLAVULANIC ACID 57 mg per 5 mL). Components
+    * beyond the shorter list are dropped (a trailing vial size never
+    * reaches here — the parser's vial-size disambiguation already
+    * excluded it, `runners.py:481-536`). Empty when the dose string is
+    * not a combo or the generic has fewer than two components.
+    */
+  def associateComponentDoses(genericKey: String,
+      doseStr: String): List[(String, Double)] = {
+    if (genericKey == null) return Nil
+    val comps = ComboGenericSplit.split(genericKey.toUpperCase)
+      .map(_.trim).filter(_.nonEmpty).toList
+    if (comps.length < 2) return Nil
+    parseComboDose(doseStr)._1 match {
+      case Some(doses) => comps.zip(doses)
+      case None => Nil
+    }
+  }
+
   /** `parse_dose_to_mg` (`runners.py:546-723`). */
   def parseDoseToMg(doseStr0: String): ParsedDose = {
     if (doseStr0 == null) return ParsedDose(None, None, None, None)
