@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
   * volume for conc keys. Zero-tolerance compare (abs < 0.01) with the
   * reference's cross-type equivalences (mg↔conc·vol, iu↔conc[iu]·vol).
   *
-  * Round-1 scope: form equivalence groups are caller-provided (the full
-  * FORM_EQUIVALENTS/FORM_TO_ROUTES tables arrive with the constants port).
+  * ROLE SPLIT vs [[Part4Bridge]]: this object is the SQL-expressible
+  * demonstration of the C2 execution shape — every predicate is a plain
+  * column expression, which is what lets q24 be DuckDB-oracle-checked.
+  * Its condensed dose/form semantics deliberately differ from the
+  * reference in known ways (conc-vs-conc compares volumes and exact unit
+  * strings; mg tolerance 0.01 abs instead of 0.5 abs / 1% rel; no
+  * missing-side leniency; no route synonym groups). [[Part4Bridge]] +
+  * [[DoseKeys]] + [[RouteForms]] are the REFERENCE-PARITY path
+  * (golden-tested against `runners.py`) — production flows must use
+  * those; new code should not grow this matcher's semantics.
   */
 object BridgeMatcher {
 

@@ -67,6 +67,18 @@ object SaltLib {
     Constants.formCanon.getOrElse(up, up)
   }
 
+  /** G4 `explode_kit_forms` (`form_route_mapping.py:86-101`): kit forms
+    * split on ';' into canon-normalized components ("KIT; TABLET" ->
+    * KIT, TABLET); non-kits yield their single canon form.
+    */
+  def explodeKitForms(form: String): List[String] = {
+    if (form == null || form.isEmpty) return Nil
+    val up = form.toUpperCase.trim
+    if (up.contains(";"))
+      up.split(";").toList.map(_.trim).filter(_.nonEmpty).map(canonForm)
+    else List(canonForm(up))
+  }
+
   /** F20 route canonicalization (`form_route_mapping.py:44-50`). */
   def canonRoute(route: String): String = {
     if (route == null || route.isEmpty) return ""

@@ -49,6 +49,45 @@ object Sources {
       .map(p => new File(dir, p._2).getPath)
   }
 
+  /** S12: old-dated-file purge (`run_drugs_all.py:124-166`): group files
+    * matching `name_YYYY-MM-DD[_suffix].ext` by (name, ext), delete all
+    * but the latest date per group. Driver-side FS utility; returns the
+    * number of deleted files.
+    */
+  def purgeOldDatedFiles(dir: String): Int = {
+    val rx = "^(.+?)_(\\d{4}-\\d{2}-\\d{2})(?:_.*)?(\\.\\w+)$".r
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+    val groups = files.flatMap { f =>
+      rx.findFirstMatchIn(f.getName).map(m =>
+        ((m.group(1), m.group(3)), (m.group(2), f)))
+    }.groupBy(_._1).values
+    var deleted = 0
+    for (g <- groups if g.length > 1) {
+      val sorted = g.map(_._2).sortBy(_._1).reverse
+      for ((_, f) <- sorted.tail if f.delete()) deleted += 1
+    }
+    deleted
+  }
+
+  /** P3 `reorder_columns_after` (`io_utils.py:25-40`): move one column to
+    * sit right after another; no-op when either is absent or already in
+    * place. Pure projection — Catalyst prunes/reorders at zero cost.
+    */
+  def reorderColumnAfter(df: DataFrame, targetCol: String,
+      moveCol: String): DataFrame = {
+    val cols = df.columns.toList
+    val ti = cols.indexOf(targetCol)
+    val mi = cols.indexOf(moveCol)
+    if (ti < 0 || mi < 0 || mi == ti + 1) df
+    else {
+      val without = cols.filterNot(_ == moveCol)
+      val insertAt = without.indexOf(targetCol) + 1
+      val (pre, post) = without.splitAt(insertAt)
+      df.select((pre ++ (moveCol :: post)).map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
   /** S8: single-file CSV sink with header (`io_utils.py:14-22`). The
     * coalesce(1) mirrors the reference's one-file contract — large outputs
     * should use [[writeCsvPartitioned]] instead.

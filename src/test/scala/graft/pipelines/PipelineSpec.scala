@@ -35,6 +35,32 @@ class PipelineSpec extends SparkSpec {
     assert(Sources.latestDatedFile(dir.toString, "nope", "csv").isEmpty)
   }
 
+  test("purgeOldDatedFiles keeps only the latest date per (name, ext) group") {
+    val dir = Files.createTempDirectory("graft-purge")
+    Seq("fda_drug_2025-01-03.csv", "fda_drug_2025-11-20.csv",
+      "fda_drug_2025-02-14_extra.csv", "fda_drug_2025-11-20.parquet",
+      "other_2026-01-01.csv", "undated.csv").foreach { n =>
+      Files.writeString(dir.resolve(n), "x")
+    }
+    val deleted = Sources.purgeOldDatedFiles(dir.toString)
+    assert(deleted == 2) // the two older fda_drug .csv versions
+    val left = dir.toFile.listFiles().map(_.getName).toSet
+    assert(left == Set("fda_drug_2025-11-20.csv", "fda_drug_2025-11-20.parquet",
+      "other_2026-01-01.csv", "undated.csv"))
+  }
+
+  test("reorderColumnAfter moves a column right after the target (P3)") {
+    import spark.implicits._
+    val df = Seq((1, "a", 2.0, true)).toDF("w", "x", "y", "z")
+    assert(Sources.reorderColumnAfter(df, "w", "y").columns.toSeq ==
+      Seq("w", "y", "x", "z"))
+    // already in place / missing columns: no-op
+    assert(Sources.reorderColumnAfter(df, "w", "x").columns.toSeq ==
+      Seq("w", "x", "y", "z"))
+    assert(Sources.reorderColumnAfter(df, "nope", "y").columns.toSeq ==
+      Seq("w", "x", "y", "z"))
+  }
+
   test("registry runs hooks in order and records phase metrics") {
     import spark.implicits._
     val reg = new PipelineRegistry
