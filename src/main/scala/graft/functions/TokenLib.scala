@@ -112,6 +112,195 @@ object TokenLib {
     else normalizeTokens(detectCompoundSalts(text.split("\\s+").toSeq),
       dropStopwords, originalText = text)
 
+  private val ParensRx = "\\([^)]*\\)".r
+  private val SaltParenContentRx = "(?i)\\(\\s*as\\s+([^)]+)\\)".r
+
+  /** `split_with_parentheses` (`tokenizer.py:897-926`): whitespace/comma/
+    * semicolon split that keeps parenthetical content as single tokens.
+    */
+  def splitWithParentheses(text: String): List[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val norm = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    val parens = ParensRx.findAllIn(norm).toList
+    val temp = ParensRx.replaceAllIn(norm, " __PAREN__ ")
+    var pi = 0
+    val out = List.newBuilder[String]
+    for (tok <- temp.split("[\\s,;]+") if tok.nonEmpty) {
+      if (tok == "__PAREN__" && pi < parens.length) {
+        out += parens(pi); pi += 1
+      } else if (tok != "__PAREN__") out += tok
+    }
+    out.result()
+  }
+
+  /** F14 `extract_generic_tokens` (`tokenizer.py:1113-1392`), the C1
+    * front door, ported 1:1 in rule order: multiword extraction with
+    * salt-pattern/trailing-salt guards and positional insertion, pure-
+    * salt-compound additions, the `+`-combination part walk (packaging
+    * skips, form-word drops, dose break, known-multiword short-circuit,
+    * standalone-salt retention), the `" IN "` IV active/base reorder, and
+    * the trailing form-modifier filter. Returns (tokens, generic_tokens).
+    *
+    * Determinism notes vs the reference: pure-salt iteration is sorted
+    * (Python set order is arbitrary) and multiword length-ties sort
+    * alphabetically — both only affect orders the reference itself does
+    * not pin.
+    */
+  def extractGenericTokens(text: String,
+      multiwordGenerics: List[String] = multiwordSorted): (List[String], List[String]) = {
+    if (text == null) return (Nil, Nil)
+    val textUpper = text.toUpperCase
+
+    val saltRanges = SaltParenContentRx.findAllMatchIn(textUpper)
+      .map(m => (m.start, m.end)).toList
+    def insideSaltPattern(pos: Int, len: Int): Boolean =
+      saltRanges.exists { case (s, e) => pos >= s && pos + len <= e }
+    def isTrailingSaltSuffix(mw: String): Boolean = {
+      if (!trailingSaltWords.contains(mw)) return false
+      val pos = textUpper.indexOf(mw)
+      if (pos < 0) return false
+      val before = textUpper.substring(0, pos).trim
+      if (before.nonEmpty) {
+        if (before.contains(" IN ")) return false
+        !cationPrefixes.contains(before.split("\\s+").last)
+      } else false
+    }
+
+    // multiword matches with positions (longest-first, substring-of-
+    // matched suppression), then sorted by position
+    var matchedMw = List.empty[(Int, String)]
+    for (mw <- multiwordGenerics if textUpper.contains(mw)) {
+      val pos = textUpper.indexOf(mw)
+      if (!insideSaltPattern(pos, mw.length) && !isTrailingSaltSuffix(mw) &&
+        !matchedMw.exists { case (_, ex) => ex.contains(mw) })
+        matchedMw ::= (pos, mw)
+    }
+    val mwByPos = matchedMw.sortBy(_._1)
+
+    val rawTokens = detectCompoundSalts(splitWithParentheses(text))
+    val tokens = normalizeTokens(rawTokens, dropStopwords = true,
+      multiwordGenerics, originalText = text)
+    val cats = categorizeTokens(tokens)
+    var generics = cats("generic").keys.toList
+
+    // positional insertion of matched multiwords the tokenizer split
+    for ((pos, mw) <- mwByPos if !generics.contains(mw)) {
+      val at = generics.indexWhere(gt => textUpper.indexOf(gt) > pos)
+      if (at >= 0) generics = generics.patch(at, List(mw), 0)
+      else generics = generics :+ mw
+    }
+
+    // pure salt compounds present in text (skip "( as )" content and
+    // trailing-salt suffixes); sorted iteration for determinism
+    val saltContent = SaltParenContentRx.findAllMatchIn(textUpper)
+      .map(_.group(1).trim).toSet
+    for (psc <- Constants.pureSaltCompounds.toList.sorted
+        if textUpper.contains(psc) && !generics.contains(psc)
+          && !saltContent.exists(_.contains(psc))
+          && !isTrailingSaltSuffix(psc))
+      generics = generics :+ psc
+
+    // '+' combination parts
+    if (textUpper.contains("+")) {
+      val skipComboWords = Set("DILUENT", "SOLVENT", "DOSE", "DOSES",
+        "VIAL", "AMPULE", "SYRINGE")
+      val formWords = Set("TABLET", "CAPSULE", "SOLUTION", "INJECTION",
+        "SYRUP", "OINTMENT", "CREAM")
+      var addedParts = List.empty[String]
+      for (part0 <- textUpper.split("\\+", -1)) {
+        val part = part0.trim
+        val partWords = part.split("\\s+").filter(_.nonEmpty)
+        if (!(partWords.nonEmpty && skipComboWords.contains(partWords.head))) {
+          var partClean = SaltParenContentRx.replaceAllIn(part, "")
+          partClean = partClean.replaceAll("\\(\\s*\\)", "")
+          val allWords = List.newBuilder[String]
+          var break = false
+          for (w <- partClean.split("\\s+") if !break) {
+            if (w.nonEmpty && !w.exists(_.isDigit) &&
+              !Constants.unitTokens.contains(w)) {
+              if (!formWords.contains(w)) allWords += w
+            } else break = true
+          }
+          val aw = allWords.result()
+          val fullCombo = aw.mkString(" ")
+          if (multiwordGenerics.contains(fullCombo)) {
+            if (fullCombo.nonEmpty && !generics.contains(fullCombo)) {
+              generics = generics :+ fullCombo
+              addedParts ::= fullCombo
+            }
+          } else {
+            val words = aw.filter(w =>
+              !(Constants.stopwords.contains(w) || Constants.saltTokens.contains(w)) ||
+                aw.length == 1)
+            if (words.nonEmpty) {
+              val comboPart = words.mkString(" ")
+              if (!generics.contains(comboPart)) {
+                generics = generics :+ comboPart
+                addedParts ::= comboPart
+              }
+            }
+          }
+        }
+      }
+      if (addedParts.length >= 2)
+        generics = generics.filter(g => !g.contains("+") && !g.startsWith("+"))
+    }
+
+    // " IN " IV solutions: active ingredient first, base second
+    if (textUpper.contains(" IN ") && !textUpper.contains("+")) {
+      val parts = textUpper.split(" IN ", 2)
+      if (parts.length == 2) {
+        val skipWords = Set("SOLUTION", "BOTTLE", "BAG", "VIAL", "AMPULE",
+          "L", "ML", "WATER")
+        val activeWords = parts(0).trim.split("\\s+").filter(w =>
+          w.nonEmpty && !w.exists(_.isDigit) &&
+            !Constants.unitTokens.contains(w) && !skipWords.contains(w))
+        val activeName = if (activeWords.nonEmpty) Some(activeWords.mkString(" ")) else None
+        val baseWords = List.newBuilder[String]
+        var started = false
+        var stop = false
+        for (w <- parts(1).trim.split("\\s+") if !stop) {
+          if (!started && (w.exists(_.isDigit) || Constants.unitTokens.contains(w))) {
+            // skip leading dose tokens
+          } else {
+            started = true
+            if (w.nonEmpty && !skipWords.contains(w)) {
+              if (w.exists(_.isDigit) || Constants.unitTokens.contains(w)) stop = true
+              else baseWords += w
+            } else stop = true
+          }
+        }
+        val bw = baseWords.result()
+        val baseName = if (bw.nonEmpty) Some(bw.mkString(" ")) else None
+        if (activeName.nonEmpty || baseName.nonEmpty) {
+          var rest = generics
+          val newOrder = List.newBuilder[String]
+          for (an <- activeName) { rest = rest.filterNot(_ == an); newOrder += an }
+          for (bn <- baseName) { rest = rest.filterNot(_ == bn); newOrder += bn }
+          generics = newOrder.result() ++ rest
+        }
+      }
+    }
+
+    // trailing form-modifier filter (GELATIN after CAPSULE, etc.)
+    val filterFormWords = Set("CAPSULE", "CAPSULES", "TABLET", "TABLETS",
+      "SOLUTION", "SOLUTIONS", "SUSPENSION", "CREAM", "OINTMENT", "GEL",
+      "LOTION", "POWDER")
+    val formPositions = filterFormWords.toList
+      .map(textUpper.indexOf(_)).filter(_ >= 0)
+    if (formPositions.nonEmpty) {
+      val formPos = formPositions.min
+      val filtered = generics.filter { g =>
+        val gU = g.toUpperCase
+        !(Constants.formModifierIgnore.contains(gU) &&
+          textUpper.indexOf(gU) > formPos)
+      }
+      if (filtered.nonEmpty) generics = filtered
+    }
+
+    (tokens, generics)
+  }
+
   private val DosePattern =
     "(?i)^(\\d+(?:\\.\\d+)?)\\s*(mg|g|mcg|ug|ml|l|iu|unit|units|pct|%|mg/ml|mcg/ml|iu/ml|mg/5ml)".r
 

@@ -48,33 +48,31 @@ object DrugTagger {
     // position encodes that priority for the ranking window.
     val probesOf = udf((text: String) => {
       import graft.functions._
-      val norm = TextNorm.normalizeText(text)
-      val toks = TokenLib.normalizeTokens(
-        TokenLib.detectCompoundSalts(norm.split(" ").toSeq),
-        dropStopwords = true, originalText = text)
-      val generics = toks.filter(t => t.length > 2 &&
-        t.matches("^[A-Z][A-Z\\- ']*$") && !noise.contains(t.toLowerCase))
+      // the reference probe universe (`tagger.py:637-699`) builds from
+      // extract_generic_tokens output (F14 front door), not raw tokens
+      val generics0 = TokenLib.extractGenericTokens(text)._2
+        .filter(t => t.length > 2 && !noise.contains(t.toLowerCase))
       // brand -> generic swap BEFORE synonym/salt processing, as in the
       // reference (swap_brand_to_generic runs in the per-text prep loop)
-      val swapped = generics.flatMap(g => brandMap.get(g.toUpperCase))
-      val withSwaps = generics ++ swapped
+      val swapped = generics0.flatMap(g => brandMap.get(g.toUpperCase))
+      val withSwaps = generics0 ++ swapped
       val synonyms = withSwaps.map(g => SaltLib.applySynonym(g))
       val stripped = withSwaps.map(g => SaltLib.stripSaltSuffix(g)._1)
-      // combination keys build from GENERIC candidates only (the reference
-      // feeds extract_generic_tokens output, not the full token list —
-      // otherwise surviving form tokens like TAB pollute the components)
-      val comboSource = toks.filter(t =>
-        generics.contains(t) || t.contains("+"))
-      val combos = TokenLib.buildCombinationKeys(comboSource)
+      val combos = TokenLib.buildCombinationKeys(withSwaps)
       // mixture component key (J11): sorted '|'-joined components probe
       // catalogs keyed like unified_mixtures.component_key
-      val mixtureKey = TokenLib.combinationComponents(comboSource) match {
+      val mixtureKey = TokenLib.combinationComponents(withSwaps) match {
         case parts if parts.size >= 2 => List(parts.sorted.mkString("|"))
         case _ => Nil
       }
       val vaccine = VaccineLib.normalizeVaccineName(text)._1.toList
         .filter(_ != "VACCINE")
-      (withSwaps ++ synonyms ++ stripped ++ combos ++ mixtureKey ++ vaccine)
+      // probe priority (probe_pos feeds the top-1 ranking window): whole-
+      // input keys first — vaccine canonical, combination keys, mixture
+      // component key — then the single-generic probes and their
+      // synonym/salt variants. A combination text must prefer its combo
+      // catalog row over a component row at equal leg.
+      (vaccine ++ combos ++ mixtureKey ++ withSwaps ++ synonyms ++ stripped)
         .map(_.toLowerCase).distinct
     })
     texts

@@ -82,42 +82,56 @@ object ScoredTagger {
       concentration_mg_per_ml: Option[Double],
       is_vaccine: Boolean, vaccine_name: String)
 
-  private[tagger] def shapeRowOf(text: String): ShapeRow = {
-    // keep stopwords: form/route words are members of the stopword set and
-    // must reach categorize_tokens to land in their categories; adjacent
-    // pure-salt pairs fuse first (F14, `tokenizer.py:1194`)
-    val tokens = TokenLib.normalizeTokens(
-      TokenLib.detectCompoundSalts(TextNorm.normalizeText(text).split(" ").toSeq),
-      dropStopwords = false, originalText = text)
-    val cats = TokenLib.categorizeTokens(tokens)
-    // '+'-combination splitting (extract_generic_tokens, tokenizer.py):
-    // "IBUPROFEN+PARACETAMOL" contributes both components
-    val genericToks = tokens.filter(cats("generic").contains)
-      .flatMap(t => if (t.contains("+"))
-        t.split("\\s*\\+\\s*").toList.map(_.trim).filter(_.nonEmpty)
-      else List(t))
-    // "X IN Y" IV solutions: the vehicle on the right of IN is a generic
-    // too (DEXTROSE IN SODIUM CHLORIDE -> both components; the tokenizer's
-    // trailing-salt guard otherwise splits the vehicle into salt tokens)
-    val upNorm = TextNorm.normalizeText(text).toUpperCase
-    val inIdx = upNorm.indexOf(" IN ")
-    val vehicle =
-      if (inIdx >= 0) {
-        val right = upNorm.substring(inIdx + 4)
-        Constants.pureSaltCompounds.toList.sorted.find(right.contains).toList
-      } else Nil
-    val stripped = (genericToks ++ vehicle).map(t => SaltLib.stripSaltSuffix(t)._1)
-    val extraNorm = TokenLib.buildCombinationKeys(tokens).flatMap { ck =>
-      val ckSyn = SaltLib.applySynonym(ck)
-      if (ckSyn != ck && ckSyn != "+" && ckSyn != "MG/5") Some(ckSyn) else None
-    }.distinct
+  /** `stripped_generics`' defensive junk filter (`tagger.py:719-726`). */
+  private val strippedJunk = Set("FC", "EC", "SR", "XR", "ER", "DR",
+    "NON-PNF", "NONPNF", "MG", "ML", "TABLET", "CAPSULE", "SOLUTION")
 
+  private[tagger] def shapeRowOf(text: String): ShapeRow = {
     val up = text.toUpperCase
     val d = DetailsLib.extractDrugDetails(text)
 
     // vaccine canonicalization (`tagger.py:578-590`): canonical name +
     // type-detail augmentation feed both scoring and the output override
     val (vaccineName, vaccineDetails) = VaccineLib.normalizeVaccineName(text)
+
+    // F14 front door (`tagger.py:606-625`): extract_generic_tokens on the
+    // raw text, vaccine canonical name prepended, then the cleaned-name
+    // re-extraction merged in first (dict.fromkeys order)
+    val (tokens, genericTokens0) = TokenLib.extractGenericTokens(text)
+    val withVaccine = vaccineName match {
+      case Some(vn) =>
+        vn :: genericTokens0.filterNot(_.toUpperCase == vn.toUpperCase)
+      case None => genericTokens0
+    }
+    val cleanName = d.genericName
+    val genericToks =
+      if (cleanName != null && cleanName.nonEmpty && cleanName != up) {
+        val cleanToks = TokenLib.extractGenericTokens(cleanName)._2
+        (cleanToks ++ withVaccine).distinct
+      } else withVaccine
+
+    val cats = TokenLib.categorizeTokens(tokens)
+
+    // stripped_generics (`tagger.py:714-728`): pure-salt compounds pass
+    // whole; everything else salt-strips with the defensive junk filter
+    val stripped = genericToks.flatMap { g =>
+      val gU = g.toUpperCase
+      if (Constants.pureSaltCompounds.contains(gU)) Some(gU)
+      else {
+        val base = SaltLib.stripSaltSuffix(g)._1
+        if (base.nonEmpty && !strippedJunk.contains(base.toUpperCase) &&
+          base.trim.length > 1) Some(base)
+        else None
+      }
+    }
+    // combo-key synonyms into the normalized scoring set
+    // (`tagger.py:909-913`; built per text from THIS text's generic
+    // tokens — the reference reads a stale loop variable there, a
+    // batch-order artifact not reproduced)
+    val extraNorm = TokenLib.buildCombinationKeys(genericToks).flatMap { ck =>
+      val ckSyn = SaltLib.applySynonym(ck)
+      if (ckSyn != ck && ckSyn != "+" && ckSyn != "MG/5") Some(ckSyn) else None
+    }.distinct
     val typeAug: Option[String] = (d.typeDetails, vaccineDetails) match {
       case (Some(t), Some(v)) => Some(t + "; " + v)
       case (None, v @ Some(_)) => v

@@ -155,15 +155,21 @@ class ScoredTaggerSpec extends SparkSpec {
     assert(df.columns.toSeq == expected)
     val r = df.collect().head
     assert(r.getAs[String]("dose") == "500MG")
-    assert(r.getAs[String]("form") == "TABLET")
+    // reference quirk: TABLET is a STOPWORD, so it never reaches
+    // categorize_tokens — only non-stopword aliases (TAB) categorize as
+    // forms. The canonical-form word yields form = null.
+    assert(r.getAs[String]("form") == null)
     assert(r.getAs[Int]("match_score") == 1)
     assert(r.getAs[String]("sources") == "who")
   }
 
   test("shape classification flags") {
-    val s1 = ScoredTagger.classify("PARACETAMOL 500MG TABLET")
+    val s1 = ScoredTagger.classify("PARACETAMOL 500MG TAB")
     assert(s1.isSingle && !s1.isCombination && !s1.isIv)
+    // TAB (a non-stopword alias) canonicalizes to TABLET; the canonical
+    // word itself is a stopword and never categorizes (reference quirk)
     assert(s1.inputForms.contains("TABLET"))
+    assert(ScoredTagger.classify("PARACETAMOL 500MG TABLET").inputForms.isEmpty)
     val s2 = ScoredTagger.classify("IBUPROFEN+PARACETAMOL 200MG")
     assert(s2.isCombination && !s2.isSingle)
     val s3 = ScoredTagger.classify("5% DEXTROSE IN 0.9% SODIUM CHLORIDE 500 ML")
