@@ -86,4 +86,69 @@ object VaccineLib {
     */
   def componentsKey(acronym: String): Option[String] =
     acronymToComponents.get(acronym.toUpperCase).map(_.mkString(" + "))
+
+  /** keyword -> normalized component, in table order
+    * (`VACCINE_COMPONENT_KEYWORDS`, `unified_constants.py:1560+`).
+    */
+  lazy val componentKeywords: List[(String, String)] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/vaccine_component_keywords.csv"), "UTF-8")
+    try src.getLines().drop(1).map { line =>
+      val p = Constants.parseCsvLine(line); p(0) -> p(1)
+    }.toList finally src.close()
+  }
+
+  /** sorted "A + B" component key -> acronym
+    * (`VACCINE_COMPONENTS_TO_ACRONYM`).
+    */
+  lazy val componentsToAcronym: Map[String, String] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/vaccine_components_to_acronym.csv"), "UTF-8")
+    try src.getLines().drop(1).map { line =>
+      val p = Constants.parseCsvLine(line); p(0) -> p(1)
+    }.toMap finally src.close()
+  }
+
+  /** `normalize_vaccine_components` (`unified_constants.py:1619-1636`):
+    * longest-keyword-first extraction with consumed-text removal,
+    * returning the SORTED normalized component list.
+    */
+  def normalizeVaccineComponents(text: String): List[String] = {
+    var up = text.toUpperCase
+    val comps = ListBuffer.empty[String]
+    for ((kw, norm) <- componentKeywords.sortBy(-_._1.length)) {
+      if (up.contains(kw)) {
+        if (!comps.contains(norm)) comps += norm
+        up = up.replace(kw, " ")
+      }
+    }
+    comps.toList.sorted
+  }
+
+  /** `get_vaccine_acronym` (`unified_constants.py:1658-1675`). */
+  def getVaccineAcronym(components: List[String]): Option[String] =
+    if (components.isEmpty) None
+    else componentsToAcronym.get(
+      components.map(_.toUpperCase.trim).sorted.mkString(" + "))
+
+  /** `match_vaccine_text` (`unified_constants.py:1678-1707`): acronym as
+    * a standalone word expands to the table components (table order);
+    * otherwise extracted components map back to their acronym (sorted
+    * order). (None, None) for non-vaccine texts.
+    */
+  // precompiled, longest-first: this runs once per text in the probe UDF
+  private lazy val acronymRegexes: List[(String, scala.util.matching.Regex)] =
+    acronymToComponents.keys.toList.sortBy(a => (-a.length, a))
+      .map(a => a -> ("\\b" + java.util.regex.Pattern.quote(a) + "\\b").r)
+
+  def matchVaccineText(text: String): (Option[String], Option[List[String]]) = {
+    if (text == null) return (None, None)
+    val up = text.toUpperCase
+    for ((acr, rx) <- acronymRegexes)
+      if (rx.findFirstIn(up).isDefined)
+        return (Some(acr), Some(acronymToComponents(acr)))
+    val comps = normalizeVaccineComponents(text)
+    if (comps.nonEmpty) (getVaccineAcronym(comps), Some(comps))
+    else (None, None)
+  }
 }

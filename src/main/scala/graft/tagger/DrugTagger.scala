@@ -67,12 +67,25 @@ object DrugTagger {
       }
       val vaccine = VaccineLib.normalizeVaccineName(text)._1.toList
         .filter(_ != "VACCINE")
+      // bidirectional acronym matching (`tagger.py:684-699`): the probe
+      // set gains the acronym, acronym+VACCINE, each component, and the
+      // sorted component combo key (+VACCINE), so DTP texts match
+      // component-named catalogs and vice versa
+      val (vAcr, vComps) = VaccineLib.matchVaccineText(text)
+      val acrProbes = vAcr.toList.flatMap(a =>
+        List(a.toUpperCase, a.toUpperCase + " VACCINE"))
+      val compProbes = vComps.toList.flatMap { cs =>
+        val csU = cs.map(_.toUpperCase)
+        val ck = csU.sorted.mkString(" + ")
+        csU ++ List(ck, ck + " VACCINE")
+      }
       // probe priority (probe_pos feeds the top-1 ranking window): whole-
       // input keys first — vaccine canonical, combination keys, mixture
       // component key — then the single-generic probes and their
       // synonym/salt variants. A combination text must prefer its combo
       // catalog row over a component row at equal leg.
-      (vaccine ++ combos ++ mixtureKey ++ withSwaps ++ synonyms ++ stripped)
+      (vaccine ++ acrProbes ++ compProbes ++ combos ++ mixtureKey ++
+        withSwaps ++ synonyms ++ stripped)
         .map(_.toLowerCase).distinct
     })
     texts

@@ -90,9 +90,14 @@ object ScoredTagger {
     val up = text.toUpperCase
     val d = DetailsLib.extractDrugDetails(text)
 
-    // vaccine canonicalization (`tagger.py:578-590`): canonical name +
-    // type-detail augmentation feed both scoring and the output override
+    // vaccine canonicalization (`tagger.py:578-599`): canonical name +
+    // type-detail augmentation feed both scoring and the output override;
+    // the bidirectional acronym match also flags vaccines, overriding
+    // with the CLEANED name (the reference's drug_details["generic_name"]
+    // in that branch)
     val (vaccineName, vaccineDetails) = VaccineLib.normalizeVaccineName(text)
+    val (vAcr, vComps) = VaccineLib.matchVaccineText(text)
+    val isVaccine = vaccineName.isDefined || vAcr.isDefined || vComps.isDefined
 
     // F14 front door (`tagger.py:606-625`): extract_generic_tokens on the
     // raw text, vaccine canonical name prepended, then the cleaned-name
@@ -174,8 +179,9 @@ object ScoredTagger {
       total_volume_ml = d.totalVolumeMl, drug_amount_mg = d.drugAmountMg,
       diluent_amount_mg = d.diluentAmountMg,
       concentration_mg_per_ml = d.concentrationMgPerMl,
-      is_vaccine = vaccineName.isDefined,
-      vaccine_name = vaccineName.orNull)
+      is_vaccine = isVaccine,
+      vaccine_name = vaccineName
+        .orElse(if (isVaccine) Option(d.genericName) else None).orNull)
   }
 
   /** Post-gathering shape finalization with the fuzzy-correction feedback

@@ -7,6 +7,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class VaccineLibSpec extends AnyFunSuite {
 
+  test("match_vaccine_text bidirectional goldens") {
+    // generated from the reference match_vaccine_text
+    // (unified_constants.py:1678-1707)
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/match_vaccine_goldens.tsv"), "UTF-8")
+    val lines = try src.getLines().toList finally src.close()
+    var failures = List.empty[String]
+    for (line <- lines.tail) {
+      val c = line.split("\t", -1)
+      val (acr, comps) = VaccineLib.matchVaccineText(c(0))
+      val gotA = acr.getOrElse("\\N")
+      val gotC = comps.map(_.mkString("|")).getOrElse("\\N")
+      if (gotA != c(1) || gotC != c(2))
+        failures ::= s"[${c(0)}] expected (${c(1)}, ${c(2)}) got ($gotA, $gotC)"
+    }
+    assert(failures.isEmpty, "\n" + failures.reverse.mkString("\n"))
+  }
+
   private def run(s: String) = VaccineLib.normalizeVaccineName(s)
 
   test("canonical + valency") {

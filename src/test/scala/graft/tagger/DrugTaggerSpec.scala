@@ -81,6 +81,21 @@ class DrugTaggerSpec extends SparkSpec {
     assert(out(1L) == ("exact", "J07BG01"))
   }
 
+  test("vaccine acronym probes bridge DTP to component-named catalogs") {
+    import spark.implicits._
+    val cat = Seq(
+      ("diphtheria + pertussis + tetanus", "DTP VACCINE", "J07AJ52"),
+      ("paracetamol", "PARACETAMOL", "N02BE01"))
+      .toDF("key", "generic_name", "atc_code")
+    val out = DrugTagger.tagTexts(spark,
+        Seq((1L, "DTP VACCINE 0.5ML AMPULE")).toDF("id", "text"), cat)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("atc_code")).toMap
+    // \"DTP\" expands to its components; the sorted component combo key
+    // matches the component-named catalog row (tagger.py:684-699)
+    assert(out(1L) == "J07AJ52")
+  }
+
   test("mixture component-key probes hit component-keyed catalogs") {
     val out = tag(Seq((1L, "LAMIVUDINE + ZIDOVUDINE 150MG/300MG TABLET")))
     assert(out(1L) == ("exact", "J05AR01"))
