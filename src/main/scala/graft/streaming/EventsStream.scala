@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming form of the engine's time-bucketed aggregations
   * (SURVEY §2.10: the reference is batch-only; the streaming surface
@@ -26,6 +27,43 @@ object EventsStream {
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
       .select(col("window.start").as("hr"), col("event_type"),
         col("n"), col("sum_value_cents"))
+
+  /** Streaming exact dedup on event_id — the training-pipeline ingest
+    * primitive (duplicate delivery is the norm for at-least-once
+    * sources). `dropDuplicatesWithinWatermark` keeps state ONLY for ids
+    * within the watermark horizon, so state size is bounded by event
+    * rate x 2h instead of growing forever like a plain
+    * `dropDuplicates` on a stream.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user RUNNING totals via `mapGroupsWithState` — the custom-state
+    * escape hatch for semantics the built-in windowed aggregations can't
+    * express (cumulative state across all micro-batches). State is one
+    * (count, cents) pair per user; ProcessingTimeTimeout would bound
+    * state for idle keys in production, left off here so parity tests
+    * are deterministic.
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (user, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_value_cents")
+  }
 
   /** Per-user running value totals with 30min session-style windows keyed
     * by user — demonstrates keyed stateful aggregation without custom

@@ -80,4 +80,47 @@ class EventsStreamSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_events") == 2)
     assert(out(1).getAs[Long]("n_events") == 1)
   }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    stream.addData(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:01"), "click"), // duplicate delivery
+      (2L, ts("2024-01-01 10:05:00"), "view"))
+    val q = EventsStream.dedupedEvents(
+        stream.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup").select("event_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState accumulates running user totals across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = EventsStream.runningUserTotals(spark,
+        stream.toDF())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      stream.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 7L, 1.00),
+        Ev(ts("2024-01-01 10:01:00"), "click", 7L, 2.00))
+      q.processAllAvailable()
+      stream.addData(Ev(ts("2024-01-01 10:02:00"), "view", 7L, 0.50))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode emits one row per batch; the LAST row carries the
+    // cumulative state (3 events, 350 cents)
+    val rows = spark.table("running").filter(col("user_id") === 7L)
+      .collect().map(r => (r.getAs[Long]("n_events"),
+        r.getAs[Long]("sum_value_cents")))
+    assert(rows.contains((2L, 300L)))
+    assert(rows.contains((3L, 350L)))
+  }
 }
