@@ -194,6 +194,86 @@ object Waterfall {
              |       ELSE 'no_candidates' END AS match_reason
              |FROM ids i LEFT JOIN candids c USING (doc_id)
              |  LEFT JOIN best b USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- fuzzy-correction feedback, oracle-checked (tagger.py:880-920):
+    //      one probe per doc (its first word); held-out "spark" reaches
+    //      the fuzzy leg and matches "part" at distance 2 — WITHOUT the
+    //      feedback the candidate would fail genericsMatch (SPARK vs PART
+    //      share no substring) and the doc would be no_match; the
+    //      correction replaces the input generic with the fuzzy-matched
+    //      name, so the candidate ranks as exact.
+    QueryDef(
+      "q27_fuzzy_feedback",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val toks = docs.select(col("doc_id").as("id"), split(col("text"), " ").as("t"))
+        val first = try_element_at(col("t"), lit(1))
+        val probes = graft.core.CpuSpread.byKey(
+          toks.select(col("id"), lit(0).as("probe_pos"), first.as("probe")),
+          col("id"))
+        val catalog = toks.select(explode(col("t")).as("key")).distinct()
+          .filter(!col("key").isin("vector", "spark", "the"))
+          .select(col("key"), upper(col("key")).as("generic_name"),
+            concat(lit("X"), upper(col("key"))).as("atc_code"),
+            concat(lit("DB"), col("key")).as("drugbank_id"),
+            lit("TABLET").as("form"), lit("ORAL").as("route"),
+            lit("corpus").as("source"), upper(col("key")).as("reference_text"))
+        val shapes = toks.select(col("id"),
+          typedLit(Seq.empty[String]).as("input_forms"),
+          typedLit(Seq.empty[String]).as("extra_norm"),
+          lit(false).as("has_plus"), lit(false).as("has_in"),
+          array(upper(first)).as("stripped"),
+          typedLit(Map.empty[String, String]).as("details"))
+        val tagged = ScoredTagger.tagCandidates(probes, catalog, shapes)
+        toks.select(col("id"))
+          .join(tagged, Seq("id"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("generic_name"), lit("")).as("generic_name"),
+            coalesce(col("match_reason"), lit("no_candidates")).as("match_reason"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |f AS (SELECT doc_id, t[1] AS probe FROM tok),
+             |cat AS (SELECT key, upper(key) AS generic_name,
+             |    'X' || upper(key) AS atc_code, 'DB' || key AS drugbank_id,
+             |    upper(key) AS reference_text
+             |  FROM (SELECT DISTINCT unnest(t) AS key FROM tok) v
+             |  WHERE key NOT IN ('vector', 'spark', 'the')),
+             |exact AS (SELECT p.doc_id, 0 AS probe_pos, p.probe, c.*, 1 AS leg
+             |          FROM f p JOIN cat c ON p.probe = c.key),
+             |missE AS (SELECT * FROM f
+             |          WHERE probe NOT IN (SELECT DISTINCT probe FROM exact)),
+             |fuzz AS (SELECT m.doc_id, 0 AS probe_pos, m.probe, c.*, 3 AS leg
+             |         FROM missE m JOIN cat c
+             |           ON levenshtein(m.probe, c.key) <= 2 AND c.key <> m.probe),
+             |cand AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzz),
+             |corr AS (SELECT doc_id, generic_name AS g FROM (
+             |    SELECT doc_id, generic_name, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY probe_pos, key, generic_name) AS rn
+             |    FROM fuzz) t WHERE rn = 1),
+             |gens AS (SELECT f.doc_id, coalesce(corr.g, upper(f.probe)) AS gen
+             |         FROM f LEFT JOIN corr USING (doc_id)),
+             |scored AS (SELECT c.*, CASE
+             |    WHEN g.gen = c.generic_name THEN 0
+             |    WHEN contains(c.generic_name, g.gen)
+             |      OR contains(g.gen, c.generic_name) THEN 2
+             |    ELSE NULL END AS mp
+             |  FROM cand c JOIN gens g USING (doc_id)),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY mp, len(generic_name) DESC, atc_code, leg, probe_pos,
+             |      key, generic_name, reference_text, drugbank_id) AS rn
+             |  FROM scored WHERE mp IS NOT NULL),
+             |ids AS (SELECT DISTINCT doc_id FROM tok),
+             |candids AS (SELECT DISTINCT doc_id FROM cand),
+             |best AS (SELECT * FROM ranked WHERE rn = 1)
+             |SELECT i.doc_id,
+             |  coalesce(b.generic_name, '') AS generic_name,
+             |  CASE WHEN b.doc_id IS NOT NULL THEN 'matched'
+             |       WHEN c.doc_id IS NOT NULL THEN 'no_match'
+             |       ELSE 'no_candidates' END AS match_reason
+             |FROM ids i LEFT JOIN candids c USING (doc_id)
+             |  LEFT JOIN best b USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
   )
 }
