@@ -39,55 +39,12 @@ object DrugTagger {
   def probeFrame(texts: DataFrame,
       cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
       brandMap: Map[String, String] = Map.empty): DataFrame = {
-    val noise = nonProbeTokens
-    // The key-universe build (`tagger.py:637-699`): per text, in probe-
-    // priority order — raw generic tokens (multiword extraction + stopword
-    // drop via TokenLib), synonym-applied variants (`lookup.py:71-94`; so
-    // CEPHALEXIN -> CEFALEXIN hits the exact leg), salt-stripped bases,
-    // combination keys (G5), and the vaccine canonical name (F19). Probe
-    // position encodes that priority for the ranking window.
-    val probesOf = udf((text: String) => {
-      import graft.functions._
-      // the reference probe universe (`tagger.py:637-699`) builds from
-      // extract_generic_tokens output (F14 front door), not raw tokens
-      val generics0 = TokenLib.extractGenericTokens(text)._2
-        .filter(t => t.length > 2 && !noise.contains(t.toLowerCase))
-      // brand -> generic swap BEFORE synonym/salt processing, as in the
-      // reference (swap_brand_to_generic runs in the per-text prep loop)
-      val swapped = generics0.flatMap(g => brandMap.get(g.toUpperCase))
-      val withSwaps = generics0 ++ swapped
-      val synonyms = withSwaps.map(g => SaltLib.applySynonym(g))
-      val stripped = withSwaps.map(g => SaltLib.stripSaltSuffix(g)._1)
-      val combos = TokenLib.buildCombinationKeys(withSwaps)
-      // mixture component key (J11): sorted '|'-joined components probe
-      // catalogs keyed like unified_mixtures.component_key
-      val mixtureKey = TokenLib.combinationComponents(withSwaps) match {
-        case parts if parts.size >= 2 => List(parts.sorted.mkString("|"))
-        case _ => Nil
-      }
-      val vaccine = VaccineLib.normalizeVaccineName(text)._1.toList
-        .filter(_ != "VACCINE")
-      // bidirectional acronym matching (`tagger.py:684-699`): the probe
-      // set gains the acronym, acronym+VACCINE, each component, and the
-      // sorted component combo key (+VACCINE), so DTP texts match
-      // component-named catalogs and vice versa
-      val (vAcr, vComps) = VaccineLib.matchVaccineText(text)
-      val acrProbes = vAcr.toList.flatMap(a =>
-        List(a.toUpperCase, a.toUpperCase + " VACCINE"))
-      val compProbes = vComps.toList.flatMap { cs =>
-        val csU = cs.map(_.toUpperCase)
-        val ck = csU.sorted.mkString(" + ")
-        csU ++ List(ck, ck + " VACCINE")
-      }
-      // probe priority (probe_pos feeds the top-1 ranking window): whole-
-      // input keys first — vaccine canonical, combination keys, mixture
-      // component key — then the single-generic probes and their
-      // synonym/salt variants. A combination text must prefer its combo
-      // catalog row over a component row at equal leg.
-      (vaccine ++ acrProbes ++ compProbes ++ combos ++ mixtureKey ++
-        withSwaps ++ synonyms ++ stripped)
-        .map(_.toLowerCase).distinct
-    })
+    // The key-universe build (`tagger.py:637-699`) lives in
+    // ScoredTagger.shapeRowOf so one extraction pass serves both probes
+    // and shape; this standalone frame reuses it. Probe position encodes
+    // priority (whole-input keys first) for the top-1 ranking window.
+    val probesOf = udf((text: String) =>
+      ScoredTagger.shapeRowOf(text, brandMap).probes)
     texts
       .select(col("id"), posexplode(probesOf(col("text"))))
       .toDF("id", "probe_pos", "probe")

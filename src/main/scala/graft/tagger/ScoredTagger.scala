@@ -62,6 +62,7 @@ object ScoredTagger {
     * after candidate gathering ([[finalizeShape]]).
     */
   final case class ShapeRow(
+      probes: Seq[String],         // the lookup-key universe, priority order
       input_forms: Seq[String],    // categorized forms, first-seen order
       extra_norm: Seq[String],     // combo-key synonyms (syn != key)
       has_plus: Boolean,
@@ -86,7 +87,8 @@ object ScoredTagger {
   private val strippedJunk = Set("FC", "EC", "SR", "XR", "ER", "DR",
     "NON-PNF", "NONPNF", "MG", "ML", "TABLET", "CAPSULE", "SOLUTION")
 
-  private[tagger] def shapeRowOf(text: String): ShapeRow = {
+  private[tagger] def shapeRowOf(text: String,
+      brandMap: Map[String, String] = Map.empty): ShapeRow = {
     val up = text.toUpperCase
     val d = DetailsLib.extractDrugDetails(text)
 
@@ -133,10 +135,50 @@ object ScoredTagger {
     // (`tagger.py:909-913`; built per text from THIS text's generic
     // tokens — the reference reads a stale loop variable there, a
     // batch-order artifact not reproduced)
-    val extraNorm = TokenLib.buildCombinationKeys(genericToks).flatMap { ck =>
+    val comboKeys = TokenLib.buildCombinationKeys(genericToks)
+    val extraNorm = comboKeys.flatMap { ck =>
       val ckSyn = SaltLib.applySynonym(ck)
       if (ckSyn != ck && ckSyn != "+" && ckSyn != "MG/5") Some(ckSyn) else None
     }.distinct
+
+    // ---- the probe universe (`tagger.py:637-699`): whole-input keys
+    // first (vaccine canonical, acronym bridge, combo keys, mixture
+    // component key), then single-generic probes with brand swaps,
+    // synonym variants and salt-stripped bases. Combo keys build from
+    // the raw generics AND their synonym-normalized components AND the
+    // clean tokens (`tagger.py:656-682`); every key variant gets its
+    // synonym applied too.
+    val swapped = genericToks.flatMap(g => brandMap.get(g.toUpperCase))
+    val withSwaps = genericToks ++ swapped
+    val normalizedComponents = withSwaps.map(g =>
+      if (Constants.pureSaltCompounds.contains(g.toUpperCase)) g.toUpperCase
+      else SaltLib.applySynonym(SaltLib.stripSaltSuffix(g)._1))
+    val cleanToks0 =
+      if (cleanName != null && cleanName.nonEmpty && cleanName != up)
+        TokenLib.extractGenericTokens(cleanName)._2
+      else genericToks.take(2)
+    val allCombos = (comboKeys ++
+      TokenLib.buildCombinationKeys(normalizedComponents) ++
+      (if (cleanToks0.length >= 2) TokenLib.buildCombinationKeys(cleanToks0) else Nil))
+    val combosWithSyn = allCombos ++ allCombos.map(SaltLib.applySynonym(_))
+    val mixtureKey = TokenLib.combinationComponents(withSwaps) match {
+      case parts if parts.size >= 2 => List(parts.sorted.mkString("|"))
+      case _ => Nil
+    }
+    val vaccineProbes = vaccineName.toList.filter(_ != "VACCINE")
+    val acrProbes = vAcr.toList.flatMap(a =>
+      List(a.toUpperCase, a.toUpperCase + " VACCINE"))
+    val compProbes = vComps.toList.flatMap { cs =>
+      val csU = cs.map(_.toUpperCase)
+      val ck = csU.sorted.mkString(" + ")
+      csU ++ List(ck, ck + " VACCINE")
+    }
+    val probes = (vaccineProbes ++ acrProbes ++ compProbes ++ combosWithSyn ++
+      mixtureKey ++ withSwaps ++ withSwaps.map(SaltLib.applySynonym(_)) ++
+      withSwaps.map(g => SaltLib.stripSaltSuffix(g)._1))
+      .filter(p => p != null && p.length > 2 &&
+        !DrugTagger.nonProbeTokens.contains(p.toLowerCase))
+      .map(_.toLowerCase).distinct
     val typeAug: Option[String] = (d.typeDetails, vaccineDetails) match {
       case (Some(t), Some(v)) => Some(t + "; " + v)
       case (None, v @ Some(_)) => v
@@ -156,6 +198,7 @@ object ScoredTagger {
     val rel = DetailsLib.extractReleaseDetail(tokenText)._2
     val formDet = if (rel.isEmpty) DetailsLib.extractFormDetail(tokenText)._2 else None
     ShapeRow(
+      probes = probes,
       input_forms = cats("form").keys.toSeq,
       extra_norm = extraNorm,
       has_plus = text.contains("+"),
@@ -223,8 +266,8 @@ object ScoredTagger {
   // trap, Dedup.scala:27-36). Nondeterministic expressions are never
   // duplicated by CollapseProject, so the struct materializes once and
   // field reads are GetStructField over the attribute.
-  private val shapeUdf = udf((text: String) => shapeRowOf(text))
-    .asNondeterministic()
+  private def shapeUdf(brandMap: Map[String, String]) =
+    udf((text: String) => shapeRowOf(text, brandMap)).asNondeterministic()
 
   private val finalizeUdf = udf((stripped: Seq[String], extra: Seq[String],
       hasPlus: Boolean, hasIn: Boolean, fuzzyNames: Seq[String]) =>
@@ -373,24 +416,27 @@ object ScoredTagger {
     *         distributed frame; `id` is the stable key.
     */
   def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
-      cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
-    // D1 dedup-before-tag: the regex-heavy probe/classify UDFs and the
-    // whole candidate/selection path run once per DISTINCT text; results
+      cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
+      brandMap: Map[String, String] = Map.empty): DataFrame = {
+    // D1 dedup-before-tag: the regex-heavy shape/probe UDF and the whole
+    // candidate/selection path run once per DISTINCT text; results
     // re-join by text (min(id) keeps the representative deterministic).
-    // The pinned-count spread keeps the probe/classify UDF stages at full
-    // parallelism — the groupBy's own exchange is AQE-coalescible down to
-    // single partitions on byte-small text frames (core.CpuSpread).
+    // The pinned-count spread keeps the UDF stage at full parallelism —
+    // the groupBy's own exchange is AQE-coalescible down to single
+    // partitions on byte-small text frames (core.CpuSpread).
     val uniq = graft.core.CpuSpread.byKey(
       texts.groupBy("text").agg(min(col("id")).as("id")), col("id"))
-    val probes = DrugTagger.probeFrame(uniq, cfg)
-    // Shape analysis once per unique text, as a compact keyed frame —
-    // computing it as a column on the candidate path instead gets
-    // re-evaluated per joined candidate row by Catalyst (measured 3x
-    // slower in round 1).
+    // ONE extraction pass per unique text produces both the probe
+    // universe and the shape; the local checkpoint pins that single
+    // evaluation for the two consumers (probe path + shape join) — same
+    // lifecycle notes as LookupWaterfall.allMatches.
     val shapes = uniq
-      .select(col("id"), shapeUdf(col("text")).as("shape"))
+      .select(col("id"), shapeUdf(brandMap)(col("text")).as("shape"))
       .select(col("id"), col("shape.*"))
-    val selected = tagCandidates(probes, catalog, shapes, cfg)
+      .localCheckpoint(true)
+    val probes = shapes.select(col("id"),
+      posexplode(col("probes")).as(Seq("probe_pos", "probe")))
+    val selected = tagCandidates(probes, catalog, shapes.drop("probes"), cfg)
 
     val matched = col("match_reason") === "matched"
     // component-key mixture hits carry the reference's score-100 marker
