@@ -173,8 +173,12 @@ object Dedup {
         val tok = docs(s, dir)
           .select(col("doc_id"),
             explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tok"))
-        val bits = s.range(16).select(col("id").as("b"))
-        tok.crossJoin(broadcast(bits))
+        // 16-way bit fanout as a generator (posexplode of a literal
+        // sequence) instead of a broadcast crossJoin: same row count, no
+        // join operator, stays in one whole-stage-codegen span
+        val bits = tok.select(col("doc_id"), col("tok"),
+          explode(sequence(lit(0L), lit(15L))).as("b"))
+        bits
           .withColumn("h", md5(col("tok")))
           .withColumn("digit", expr("substring(h, cast(b div 4 as int) + 1, 1)"))
           .withColumn("dv", expr("instr('0123456789abcdef', digit) - 1"))

@@ -106,8 +106,12 @@ object LookupWaterfall {
       .withColumn("leg", lit(2)).withColumn("score", length(col("key")))
 
     val missPrefix = missExact.join(prefix.select("probe").distinct(), Seq("probe"), "left_anti")
+    // length-band pre-filter: levenshtein <= d implies |len(a)-len(b)| <= d,
+    // so the cheap predicate prunes most of the broadcast nested loop
+    // before the O(len^2) edit-distance evaluates
     val fuzzy = missPrefix.join(cat,
-        levenshtein(col("probe"), col("key")) <= cfg.fuzzyMaxDist &&
+        abs(length(col("probe")) - length(col("key"))) <= cfg.fuzzyMaxDist &&
+          levenshtein(col("probe"), col("key")) <= cfg.fuzzyMaxDist &&
           col("key") =!= col("probe"))
       .withColumn("leg", lit(3))
       .withColumn("score", levenshtein(col("probe"), col("key")))
