@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 
 /** Driver-run benchmark: one JSON line with per-query wall-clock at the
   * SPARK_GRAFT_SF_DIR scale factor.
@@ -15,11 +15,13 @@ object Bench {
   /** Materialize EVERY column of every row. A bare `count()` lets Catalyst
     * prune unreferenced projections and eliminate final sorts, so map-only
     * queries would time little more than the parquet scan; hashing a struct
-    * of all columns into one sum forces the full projection through codegen
-    * while still returning a single driver-side long (no collect).
+    * of all columns into one aggregate forces the full projection through
+    * codegen while still returning a single driver-side long (no collect).
+    * bit_xor, NOT sum: summing uniform 64-bit hashes overflows Long, which
+    * ANSI mode (Spark 4 default) turns into a query-aborting exception.
     */
   private def materialize(df: DataFrame): Unit = {
-    df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).head()
+    df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
   }
 
   def main(args: Array[String]): Unit = {
@@ -44,6 +46,9 @@ object Bench {
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { _ =>
         try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
+        // GC between runs lets the ContextCleaner release the previous
+        // construction's localCheckpoint blocks before the next run
+        System.gc()
       }
       val timed = (1 to 2).map { _ =>
         System.gc()
