@@ -186,6 +186,45 @@ object Similarity {
              |SELECT q_id, rank, n_id, cos FROM (
              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
              |  FROM cand) t
-             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- embedding-cosine near-dup pairs, bucketed by sign-LSH: the
+    //      embedding-space flavor of the dedup family (q34-q37). Pairs
+    //      come only from docs sharing an 8-bit sign bucket (equi-join,
+    //      one shuffle, no crossJoin) and survive at cosine >= 0.4.
+    //      At 100 TB the bucket key bounds pair generation exactly like
+    //      the shingle/band indexes; a production near-dup pass would
+    //      chain multiple hash tables for recall, which composes as
+    //      additional union'd bucket columns.
+    QueryDef(
+      "q43_embed_neardup",
+      (s, dir) => {
+        val bucket = array_join(
+          transform(sequence(lit(1), lit(8), lit(1)),
+            i => when(element_at(col("v"), i) >= 0, "1").otherwise("0")), "")
+        val e = emb(s, dir).withColumn("bucket", bucket)
+        val a = e.select(col("vec_id").as("d1"), col("v").as("v1"),
+          col("nrm").as("n1"), col("bucket").as("b1"))
+        val b = e.select(col("vec_id").as("d2"), col("v").as("v2"),
+          col("nrm").as("n2"), col("bucket").as("b2"))
+        a.join(b, col("b1") === col("b2") && col("d1") < col("d2"))
+          .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+          .filter(col("cos") >= 0.4)
+          .select("d1", "d2", "cos")
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+             |        array_to_string(list_transform(generate_series(1, 8),
+             |          i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+             |      FROM e),
+             |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+             |        list_sum(list_transform(generate_series(1, 64),
+             |          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+             |      FROM n a JOIN n b
+             |        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+             |SELECT d1, d2, cos FROM p WHERE cos >= 0.4
+             |ORDER BY d1, d2""".stripMargin))
   )
 }
