@@ -1,26 +1,58 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.bridge.Part4Bridge
 import graft.tagger.{LookupWaterfall, ScoredTagger}
 
 /** The drugs pipeline (C4 registration of the C1 flow, `registry.py:40`,
   * `pipelines/drugs/pipeline.py`): prepare hook supplies the (id, text)
-  * frame, match runs the scored tagger against the unified catalog.
-  * Part-4 bridging chains on the matched output via
-  * [[graft.bridge.Part4Bridge]] (see DrugsPipelineSpec for the composed
-  * golden run).
+  * frame, match runs the scored tagger against the unified catalog, and —
+  * when an Annex catalog is supplied — Part-4 bridging chains on the
+  * matched rows inside the same run (`run_drugs_all.py` Parts 2/3 -> 4),
+  * via [[graft.bridge.Part4Bridge]].
   */
 final class DrugsTaggingPipeline(
     texts: SparkSession => DataFrame,
     catalog: SparkSession => DataFrame,
-    cfg: LookupWaterfall.Config = LookupWaterfall.Config())
+    cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
+    brandMap: Map[String, String] = Map.empty,
+    annex: Option[SparkSession => DataFrame] = None)
   extends Pipeline {
 
   val itemRefCode = "DrugsAndMedicine"
 
   def prepareInputs(spark: SparkSession): DataFrame = texts(spark)
 
-  def matchRecords(spark: SparkSession, prepared: DataFrame): DataFrame =
-    ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg)
+  def matchRecords(spark: SparkSession, prepared: DataFrame): DataFrame = {
+    val tagged = ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg, brandMap)
+    annex match {
+      case None => tagged
+      case Some(annexF) =>
+        // Part-4 items derive from the tagged output exactly as the
+        // reference feeds them (`runners.py:1147-1390`): the matched
+        // generic keys the Annex lookup, the structured dose key builds
+        // from the tagger's computed columns + dose string + text, and
+        // the *_details columns drive the tie-break.
+        val items = tagged
+          .withColumn("generic_key",
+            when(col("match_reason") === "matched", lower(col("generic_name"))))
+          .withColumn("dose_key", Part4Bridge.doseKeyUdf(
+            col("drug_amount_mg"), col("concentration_mg_per_ml"),
+            col("iv_diluent_type"), col("total_volume_ml"),
+            col("dose"), col("text"), coalesce(col("generic_key"), lit(""))))
+          .withColumn("route",
+            when(col("route").isNotNull,
+              try_element_at(split(col("route"), "\\|"), lit(1))))
+        val bridged = Part4Bridge.matchDrugCodes(
+          items.select((Seq("id", "generic_key", "dose_key", "form", "route") ++
+            Part4Bridge.detailWeights.map(_._1).filter(items.columns.contains))
+            .map(col): _*),
+          annexF(spark))
+        tagged.join(
+          bridged.select("id", "drug_code", "drug_code_match_reason"),
+          Seq("id"), "left")
+    }
+  }
 }

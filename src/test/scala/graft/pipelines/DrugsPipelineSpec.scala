@@ -51,6 +51,34 @@ class DrugsPipelineSpec extends SparkSpec {
     assert(metrics.find(_.phase == "match").exists(_.rows == 5L))
   }
 
+  test("registered pipeline runs Parts 2/3/4 when an annex is supplied") {
+    import graft.bridge.Part4Bridge
+    val annex = (s: org.apache.spark.sql.SparkSession) => {
+      import s.implicits._
+      Seq(("paracetamol", "DR-P500", "500MG", "TABLET"))
+        .toDF("generic_key", "drug_code", "dose", "form")
+        .withColumn("dose_key", Part4Bridge.doseKeyUdf(
+          lit(null).cast("double"), lit(null).cast("double"),
+          lit(null).cast("string"), lit(null).cast("double"),
+          col("dose"), col("dose"), col("generic_key")))
+        .withColumn("route", lit("ORAL"))
+        .withColumn("description",
+          concat(upper(col("generic_key")), lit(" "), col("dose")))
+        .select("generic_key", "drug_code", "dose_key", "form", "route",
+          "description")
+    }
+    val reg = new PipelineRegistry
+    reg.register(new DrugsTaggingPipeline(
+      s => { import s.implicits._; esoa.toDF("id", "text") }, catalog,
+      annex = Some(annex)))
+    val (out, _) = reg.run(spark, "DrugsAndMedicine")
+    val got = out.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("drug_code"), r.getAs[String]("drug_code_match_reason"))).toMap
+    assert(got(1L) == (("DR-P500", "matched_perfect")))
+    assert(got(2L)._2 == "generic_not_in_annex") // cefalexin not in annex
+    assert(got(5L)._1 == null)                   // no_candidates row: no code
+  }
+
   test("Part-4 bridging chains on the tagged output") {
     val tagged = graft.tagger.ScoredTagger.tagTexts(spark,
       esoa.toDF("id", "text"), catalog(spark))
