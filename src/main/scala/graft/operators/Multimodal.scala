@@ -47,6 +47,57 @@ object Multimodal {
       Tables(spark, dir, "documents")
         .select(col("doc_id").as("media_id"), lit("text/plain").as("mime"),
           col("text").cast("binary").as("payload"))
+
+    final case class MediaFrame(media_id: Long, frame_idx: Int,
+        frame: Array[Byte], frame_hash: Long)
+    final case class ResizedMedia(media_id: Long, mime: String,
+        orig_bytes: Int, resized: Array[Byte])
+
+    /** Video-style frame sampling: every `stride`-th fixed-size block of
+      * the payload becomes one frame row (decode stubbed as a byte-range
+      * slice — a real deployment swaps the slicer for a codec keyframe
+      * reader; the EXPLODE SHAPE, per-frame hashing and row schema are
+      * the production plumbing). flatMap keeps it streaming — no
+      * per-media materialization of all frames.
+      */
+    def sampleFrames(spark: SparkSession, media: DataFrame,
+        frameBytes: Int = 256, stride: Int = 2): DataFrame = {
+      import spark.implicits._
+      media.as[MediaRecord].flatMap { m =>
+        val n = m.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, n)
+          val frame = java.util.Arrays.copyOfRange(m.payload, from, until)
+          var h = 1125899906842597L
+          frame.foreach(b => h = h * 31 + (b & 0xff))
+          MediaFrame(m.media_id, f, frame, h)
+        }
+      }.toDF()
+    }
+
+    /** Image-resize-shaped transform: deterministic 1/factor byte
+      * decimation stands in for pixel resampling (no codecs in the
+      * container). The mapPartitions batch shape is the real part: the
+      * `init` callback runs ONCE PER PARTITION (where a real codec/
+      * model handle would open), which MediaPipelineSpec asserts via an
+      * accumulator — the contract that makes expensive decoder init
+      * amortize over rows instead of paying per row.
+      */
+    def resize(spark: SparkSession, media: DataFrame, factor: Int,
+        init: () => Unit = () => ()): DataFrame = {
+      import spark.implicits._
+      media.as[MediaRecord].mapPartitions { it =>
+        init() // once per partition: codec / model handle open
+        it.map { m =>
+          val out = Array.newBuilder[Byte]
+          var i = 0
+          while (i < m.payload.length) { out += m.payload(i); i += factor }
+          ResizedMedia(m.media_id, m.mime, m.payload.length, out.result())
+        }
+      }.toDF()
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(

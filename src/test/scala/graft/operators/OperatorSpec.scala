@@ -82,4 +82,40 @@ class OperatorSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.forall(_.getAs[Int]("n_bytes") > 0))
   }
+
+  test("frame sampling emits strided fixed-size frames with stable hashes") {
+    val media = Multimodal.MediaPipeline.fakeMedia(spark, sf0001)
+    val frames = Multimodal.MediaPipeline
+      .sampleFrames(spark, media, frameBytes = 64, stride = 2)
+    val byId = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("maxf")).collect()
+    assert(byId.nonEmpty)
+    byId.foreach { r =>
+      // strided: only even frame indices sampled
+      assert(r.getAs[Int]("maxf") % 2 == 0)
+    }
+    val f0 = frames.filter(col("frame_idx") === 0).orderBy("media_id")
+      .select("frame_hash").collect()
+    val f1 = Multimodal.MediaPipeline
+      .sampleFrames(spark, media, frameBytes = 64, stride = 2)
+      .filter(col("frame_idx") === 0).orderBy("media_id")
+      .select("frame_hash").collect()
+    assert(f0.sameElements(f1))
+  }
+
+  test("resize amortizes codec init once per PARTITION, not per row") {
+    val media = Multimodal.MediaPipeline.fakeMedia(spark, sf0001)
+      .repartition(4)
+    val inits = spark.sparkContext.longAccumulator("codec-inits")
+    val out = Multimodal.MediaPipeline.resize(spark, media, factor = 4,
+      init = () => inits.add(1))
+    val rows = out.collect()
+    assert(rows.length > 4)
+    assert(inits.value == 4, s"expected 4 partition inits, got ${inits.value}")
+    rows.foreach { r =>
+      val orig = r.getAs[Int]("orig_bytes")
+      val resized = r.getAs[Array[Byte]]("resized").length
+      assert(resized == (orig + 3) / 4)
+    }
+  }
 }
