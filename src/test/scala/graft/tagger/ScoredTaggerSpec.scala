@@ -163,6 +163,23 @@ class ScoredTaggerSpec extends SparkSpec {
     assert(r.getAs[String]("sources") == "who")
   }
 
+  test("sequential tagTexts calls do not accumulate persistent RDDs") {
+    // the probe persist unpersists deterministically; the two local
+    // checkpoints per call free via the ContextCleaner once the result
+    // frames are unreachable — poll a few GCs for the async cleaner
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    tag(Seq((1L, "PARACETAMOL 500MG TABLET")))
+    tag(Seq((2L, "IBUPROFEN 200MG TABLET")))
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var n = persisted()
+    while (n > 0 && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(250)
+      n = persisted()
+    }
+    assert(n == 0, s"$n cached RDDs survived GC + ContextCleaner")
+  }
+
   test("shape classification flags") {
     val s1 = ScoredTagger.classify("PARACETAMOL 500MG TAB")
     assert(s1.isSingle && !s1.isCombination && !s1.isIv)
