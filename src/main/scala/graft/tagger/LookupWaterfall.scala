@@ -107,14 +107,15 @@ object LookupWaterfall {
 
     val missPrefix = missExact.join(prefix.select("probe").distinct(), Seq("probe"), "left_anti")
     // length-band pre-filter: levenshtein <= d implies |len(a)-len(b)| <= d,
-    // so the cheap predicate prunes most of the broadcast nested loop
-    // before the O(len^2) edit-distance evaluates
+    // so the cheap predicate prunes most of the broadcast nested loop;
+    // the threshold form of levenshtein (Spark 3.5+) early-exits the
+    // O(len^2) DP as soon as the band exceeds d (returns -1 above d)
+    val lev = levenshtein(col("probe"), col("key"), cfg.fuzzyMaxDist)
     val fuzzy = missPrefix.join(cat,
         abs(length(col("probe")) - length(col("key"))) <= cfg.fuzzyMaxDist &&
-          levenshtein(col("probe"), col("key")) <= cfg.fuzzyMaxDist &&
-          col("key") =!= col("probe"))
+          lev >= 0 && col("key") =!= col("probe"))
       .withColumn("leg", lit(3))
-      .withColumn("score", levenshtein(col("probe"), col("key")))
+      .withColumn("score", lev)
 
     exact.unionByName(prefix).unionByName(fuzzy)
   }
