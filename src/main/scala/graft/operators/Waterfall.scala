@@ -225,7 +225,12 @@ object Waterfall {
           lit(false).as("has_plus"), lit(false).as("has_in"),
           array(upper(first)).as("stripped"),
           typedLit(Map.empty[String, String]).as("details"))
-        val tagged = ScoredTagger.tagCandidates(probes, catalog, shapes)
+        // blocked fuzzy mode: the deletion-neighborhood equi-join must
+        // produce byte-identical results to the scan-mode semantics the
+        // oracle encodes — this query keeps the blocked path under the
+        // hash gate
+        val tagged = ScoredTagger.tagCandidates(probes, catalog, shapes,
+          LookupWaterfall.Config(fuzzyMode = "blocked"))
         toks.select(col("id"))
           .join(tagged, Seq("id"), "left")
           .select(col("id").as("doc_id"),

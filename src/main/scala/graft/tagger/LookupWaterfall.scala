@@ -29,11 +29,24 @@ object LookupWaterfall {
     *                   "token": catalog key starts with `probe + " "`
     *                   (the reference's LIKE 'TOKEN %' fallback,
     *                   `lookup.py:117-137`)
+    * @param fuzzyMode  "scan": miss-residue x broadcast catalog nested
+    *                   loop with length-band + threshold-levenshtein
+    *                   pruning — right while the catalog broadcasts
+    *                   (reference catalogs are 10^4-10^5 rows);
+    *                   "blocked": SymSpell-style deletion-neighborhood
+    *                   equi-join (candidates share a <=d-deletion
+    *                   variant, then exact verify) — one shuffle on the
+    *                   variant key, no nested loop, the shape for
+    *                   catalogs too large to broadcast. IDENTICAL
+    *                   results (lev(a,b) <= d iff the two deletion
+    *                   neighborhoods intersect; exact levenshtein
+    *                   verifies every candidate pair).
     */
   final case class Config(
       prefixMode: String = "token",
       prefixLen: Int = 4,
-      fuzzyMaxDist: Int = 2)
+      fuzzyMaxDist: Int = 2,
+      fuzzyMode: String = "scan")
 
   /** @param probes  (id, probe_pos, probe) — one row per candidate probe
     * @param catalog (key, ...payload) — broadcastable reference table
@@ -111,13 +124,49 @@ object LookupWaterfall {
     // the threshold form of levenshtein (Spark 3.5+) early-exits the
     // O(len^2) DP as soon as the band exceeds d (returns -1 above d)
     val lev = levenshtein(col("probe"), col("key"), cfg.fuzzyMaxDist)
-    val fuzzy = missPrefix.join(cat,
-        abs(length(col("probe")) - length(col("key"))) <= cfg.fuzzyMaxDist &&
-          lev >= 0 && col("key") =!= col("probe"))
-      .withColumn("leg", lit(3))
-      .withColumn("score", lev)
+    val fuzzy = cfg.fuzzyMode match {
+      case "blocked" =>
+        val d = cfg.fuzzyMaxDist
+        val delUdf = udf((s: String) => deleteVariants(s, d))
+        val keyVars = catalog.select(col("key")).distinct()
+          .select(col("key"), explode(delUdf(col("key"))).as("variant"))
+        val probeVars = missPrefix.select(col("probe")).distinct()
+          .select(col("probe"), explode(delUdf(col("probe"))).as("variant"))
+        val candPairs = probeVars.join(keyVars, Seq("variant"))
+          .select("probe", "key").distinct()
+        missPrefix.join(candPairs, Seq("probe"))
+          .join(cat.withColumnRenamed("key", "k2"), col("key") === col("k2"))
+          .drop("k2")
+          .filter(lev >= 0 && col("key") =!= col("probe"))
+          .withColumn("leg", lit(3))
+          .withColumn("score", lev)
+      case _ =>
+        missPrefix.join(cat,
+            abs(length(col("probe")) - length(col("key"))) <= cfg.fuzzyMaxDist &&
+              lev >= 0 && col("key") =!= col("probe"))
+          .withColumn("leg", lit(3))
+          .withColumn("score", lev)
+    }
 
     exact.unionByName(prefix).unionByName(fuzzy)
+  }
+
+  /** All strings reachable from `s` by deleting up to `d` characters —
+    * the SymSpell neighborhood: lev(a, b) <= d implies the neighborhoods
+    * of a and b intersect (delete each side's unmatched alignment
+    * positions), so variant equality is a complete candidate generator
+    * and exact levenshtein verification makes it sound.
+    */
+  private[tagger] def deleteVariants(s: String, d: Int): Seq[String] = {
+    if (s == null) return Nil
+    var cur = Set(s)
+    var all = Set(s)
+    for (_ <- 1 to d) {
+      cur = cur.flatMap(w =>
+        (0 until w.length).map(i => w.substring(0, i) + w.substring(i + 1)))
+      all ++= cur
+    }
+    all.toSeq
   }
 
   /** leg number -> human-readable match_reason (null-safe: no leg =>

@@ -81,6 +81,22 @@ class DrugTaggerSpec extends SparkSpec {
     assert(out(1L) == ("exact", "J07BG01"))
   }
 
+  test("blocked fuzzy mode matches scan mode exactly") {
+    import spark.implicits._
+    val cat = Seq("cefalexin", "cephalexin", "ceftriaxone", "cefuroxime",
+      "paracetamol", "salbutamol", "amoxicillin")
+      .map(k => (k, k.toUpperCase)).toDF("key", "generic_name")
+    val probes = Seq((1L, 0, "cefalexim"), (2L, 0, "salbutamul"),
+      (3L, 0, "paracetamol"), (4L, 0, "zzzzz"), (5L, 0, "amoxicilin"))
+      .toDF("id", "probe_pos", "probe")
+    def run(mode: String) = LookupWaterfall.allMatches(probes, cat,
+        LookupWaterfall.Config(fuzzyMode = mode))
+      .select("id", "probe", "key", "leg", "score")
+      .collect().map(_.toSeq).toSet
+    assert(run("blocked") == run("scan"))
+    assert(run("scan").exists(r => r(0) == 1L && r(2) == "cefalexin"))
+  }
+
   test("vaccine acronym probes bridge DTP to component-named catalogs") {
     import spark.implicits._
     val cat = Seq(
