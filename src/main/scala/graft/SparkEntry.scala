@@ -10,10 +10,14 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Sim
   * Query key -> SURVEY §2 operator coverage:
   *   q01–q22  relational inventory (scans, filters, joins J1–J11, aggs
   *            A1–A10, dedup/top-k D1–D6, set ops U1–U2, explode G1–G5)
+  *   q23–q27  C1 composition: lookup waterfall, scored selection core
+  *            (windowed rank + ATC explode), fuzzy-correction feedback
+  *            (blocked fuzzy-join mode)
   *   q30–q34  text analysis: token counting, language-ID, quality scoring,
   *            fingerprinting, exact dedup
   *   q35–q37  near-dup: n-gram Jaccard, MinHash+LSH, SimHash
-  *   q40–q41  similarity search: brute-force cosine top-k, sign-LSH ANN
+  *   q40–q43  similarity search: brute-force cosine top-k, sign-LSH ANN,
+  *            IVF-flat ANN, embedding-cosine near-dup pairs
   *   q50      multimodal frame-sampling plumbing
   *   q60      time-bucketed event aggregation (streaming-shaped, batch form)
   */
