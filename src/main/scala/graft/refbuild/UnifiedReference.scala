@@ -211,6 +211,55 @@ object UnifiedReference {
     *
     * Union the result with the generics-keyed catalog before tagging.
     */
+  /** One-call tagger catalog — the set of lookup keys `tagger.load()`
+    * exposes (`tagger.py:145-360`): unified generics keyed by lowercase
+    * name with their pipe-aggregated ATC payloads, mixtures keyed by
+    * component key (J11), and mixtures keyed by name as fallback-only
+    * rows (J12). Feed the result straight to
+    * [[graft.tagger.ScoredTagger.tagTexts]].
+    *
+    * @param generics [[buildGenerics]] output
+    * @param atcMap   [[buildAtcMap]] output
+    * @param mixtures [[buildMixtures]] output (None = no mixture legs)
+    */
+  def buildTaggerCatalog(generics: DataFrame, atcMap: DataFrame,
+      mixtures: Option[DataFrame] = None): DataFrame = {
+    // one catalog row per generic; multiple ATC codes pipe-join so the
+    // tagger's G2 explode sees them in one payload
+    val atcAgg = atcMap
+      .filter(col("generic_name").isNotNull)
+      .groupBy("generic_name")
+      .agg(array_join(array_sort(collect_set(col("atc_code"))), "|").as("atc_code"))
+    val genRows = generics
+      .join(atcAgg, Seq("generic_name"), "left")
+      .select(
+        lower(col("generic_name")).as("key"),
+        col("generic_name"),
+        col("atc_code"),
+        col("drugbank_id"),
+        lit(null: String).as("form"), lit(null: String).as("route"),
+        col("source"),
+        col("generic_name").as("reference_text"),
+        lit(false).as("fallback_only"))
+    mixtures match {
+      case None => genRows
+      case Some(mx) =>
+        val componentRows = mx
+          .filter(col("component_key").isNotNull && col("component_key") =!= "")
+          .select(
+            lower(col("component_key")).as("key"),
+            cleanName(col("mixture_name")).as("generic_name"),
+            lit(null: String).as("atc_code"),
+            col("drugbank_id"),
+            lit(null: String).as("form"), lit(null: String).as("route"),
+            lit("mixtures").as("source"),
+            cleanName(col("mixture_name")).as("reference_text"),
+            lit(false).as("fallback_only"))
+          .dropDuplicates("key")
+        genRows.unionByName(componentRows).unionByName(mixtureNameRows(mx))
+    }
+  }
+
   def mixtureNameRows(mixtures: DataFrame): DataFrame =
     mixtures
       .filter(col("mixture_name").isNotNull && col("mixture_name") =!= "")

@@ -89,4 +89,31 @@ class UnifiedReferenceSpec extends SparkSpec {
       "amoxicillin|clavulanate").get
     assert(amc.getAs[String]("drugbank_id") == "DB100") // min precedence
   }
+
+  test("buildTaggerCatalog assembles generics + mixture keys end-to-end") {
+    val generics = UnifiedReference.buildGenerics(spark, dbGenerics, whoAtc, None)
+    val atcMap = Seq(
+      ("DB001", "PARACETAMOL", "N02BE01"),
+      ("DB001", "PARACETAMOL", "N02BE51"))
+      .toDF("drugbank_id", "generic_name", "atc_code")
+    val mixtures = Seq(
+      ("DBMIX", "AMOXICILLIN + CLAVULANIC ACID", "amoxicillin|clavulanate"))
+      .toDF("drugbank_id", "mixture_name", "component_key")
+    val cat = UnifiedReference.buildTaggerCatalog(generics, atcMap, Some(mixtures))
+    val byKey = cat.collect().map(r => r.getAs[String]("key") ->
+      (r.getAs[String]("atc_code"), r.getAs[String]("source"),
+        r.getAs[Boolean]("fallback_only"))).toMap
+    // generic row with pipe-aggregated ATC payload, lowercase key
+    assert(byKey("paracetamol") == (("N02BE01|N02BE51", "drugbank", false)))
+    // J11 component-key row and J12 fallback name row
+    assert(byKey("amoxicillin|clavulanate")._2 == "mixtures")
+    assert(byKey("amoxicillin + clavulanic acid")._3 == true)
+
+    // and the assembled catalog drives the tagger end-to-end
+    val out = graft.tagger.ScoredTagger.tagTexts(spark,
+      Seq((1L, "PARACETAMOL 500MG TAB")).toDF("id", "text"), cat)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("match_reason"), r.getAs[String]("atc_code"))).toMap
+    assert(out(1L) == (("matched", "N02BE01")))
+  }
 }
