@@ -29,24 +29,33 @@ object LookupWaterfall {
     *                   "token": catalog key starts with `probe + " "`
     *                   (the reference's LIKE 'TOKEN %' fallback,
     *                   `lookup.py:117-137`)
-    * @param fuzzyMode  "scan": miss-residue x broadcast catalog nested
-    *                   loop with length-band + threshold-levenshtein
-    *                   pruning — right while the catalog broadcasts
-    *                   (reference catalogs are 10^4-10^5 rows);
+    * @param fuzzyMode  "scan": levenshtein <= fuzzyMaxDist over the
+    *                   miss-residue x broadcast catalog nested loop with
+    *                   length-band + threshold-levenshtein pruning —
+    *                   right while the catalog broadcasts (reference
+    *                   catalogs are 10^4-10^5 rows);
     *                   "blocked": SymSpell-style deletion-neighborhood
     *                   equi-join (candidates share a <=d-deletion
     *                   variant, then exact verify) — one shuffle on the
     *                   variant key, no nested loop, the shape for
     *                   catalogs too large to broadcast. IDENTICAL
-    *                   results (lev(a,b) <= d iff the two deletion
-    *                   neighborhoods intersect; exact levenshtein
-    *                   verifies every candidate pair).
+    *                   results to scan (lev(a,b) <= d iff the two
+    *                   deletion neighborhoods intersect; exact
+    *                   levenshtein verifies every candidate pair);
+    *                   "ratio": the REFERENCE's fuzzy semantics
+    *                   (`lookup.py:164-220`): rapidfuzz fuzz.ratio >=
+    *                   fuzzyRatioMin, probes shorter than 4 chars never
+    *                   fuzzy-match, top-`fuzzyLimit` catalog keys per
+    *                   probe by ratio. [[graft.tagger.ScoredTagger
+    *                   .tagTexts]] defaults to this mode.
     */
   final case class Config(
       prefixMode: String = "token",
       prefixLen: Int = 4,
       fuzzyMaxDist: Int = 2,
-      fuzzyMode: String = "scan")
+      fuzzyMode: String = "scan",
+      fuzzyRatioMin: Double = 85.0,
+      fuzzyLimit: Int = 3)
 
   /** @param probes  (id, probe_pos, probe) — one row per candidate probe
     * @param catalog (key, ...payload) — broadcastable reference table
@@ -125,6 +134,34 @@ object LookupWaterfall {
     // O(len^2) DP as soon as the band exceeds d (returns -1 above d)
     val lev = levenshtein(col("probe"), col("key"), cfg.fuzzyMaxDist)
     val fuzzy = cfg.fuzzyMode match {
+      case "ratio" =>
+        // reference semantics: fuzz.ratio >= threshold, len(probe) >= 4,
+        // top-N catalog KEYS per distinct probe string by ratio (the
+        // rapidfuzz extract over the cached generic list,
+        // `lookup.py:185-192`; ties pinned by key). Prefilter: ratio >=
+        // t implies indel <= (1-t/100)(la+lb) implies the length band.
+        val ratioUdf = udf((p: String, k: String) =>
+          graft.functions.FuzzyLib.ratio(p.toUpperCase, k.toUpperCase))
+        val frac = 1.0 - cfg.fuzzyRatioMin / 100.0
+        val wp = Window.partitionBy("probe")
+          .orderBy(col("ratio").desc, col("key"))
+        val topKeys = missPrefix.select("probe").distinct()
+          .filter(length(col("probe")) >= 4)
+          .join(cat.select("key").distinct(),
+            abs(length(col("probe")) - length(col("key"))) <=
+              (length(col("probe")) + length(col("key"))) * frac &&
+              col("key") =!= col("probe"))
+          .withColumn("ratio", ratioUdf(col("probe"), col("key")))
+          .filter(col("ratio") >= cfg.fuzzyRatioMin)
+          .withColumn("rnf", row_number().over(wp))
+          .filter(col("rnf") <= cfg.fuzzyLimit)
+          .select(col("probe"), col("key").as("k2"), col("ratio"))
+        missPrefix.join(topKeys, Seq("probe"))
+          .join(cat, col("k2") === col("key"))
+          .drop("k2")
+          .withColumn("leg", lit(3))
+          .withColumn("score", round(lit(100.0) - col("ratio")).cast("int"))
+          .drop("ratio")
       case "blocked" =>
         val d = cfg.fuzzyMaxDist
         val delUdf = udf((s: String) => deleteVariants(s, d))

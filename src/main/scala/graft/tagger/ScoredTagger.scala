@@ -416,7 +416,9 @@ object ScoredTagger {
     *         distributed frame; `id` is the stable key.
     */
   def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
-      cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
+      // the tagger's fuzzy leg defaults to the REFERENCE's rapidfuzz
+      // semantics (ratio >= 85, len >= 4, top-3 — lookup.py:164-220)
+      cfg: LookupWaterfall.Config = LookupWaterfall.Config(fuzzyMode = "ratio"),
       brandMap: Map[String, String] = Map.empty): DataFrame = {
     // D1 dedup-before-tag: the regex-heavy shape/probe UDF and the whole
     // candidate/selection path run once per DISTINCT text; results
