@@ -55,7 +55,11 @@ object LookupWaterfall {
       fuzzyMaxDist: Int = 2,
       fuzzyMode: String = "scan",
       fuzzyRatioMin: Double = 85.0,
-      fuzzyLimit: Int = 3)
+      fuzzyLimit: Int = 3,
+      // 0 = unlimited; the reference's prefix lookup keeps the 5
+      // SHORTEST matching keys per probe (`lookup.py:116-137` ORDER BY
+      // LENGTH LIMIT 5) — tagger entry points set 5
+      prefixLimit: Int = 0)
 
   /** @param probes  (id, probe_pos, probe) — one row per candidate probe
     * @param catalog (key, ...payload) — broadcastable reference table
@@ -124,8 +128,22 @@ object LookupWaterfall {
         col("key") =!= col("probe")
       case _ => col("key").startsWith(concat(col("probe"), lit(" ")))
     }
-    val prefix = missExact.join(cat, prefixCond)
+    val prefix0 = missExact.join(cat, prefixCond)
       .withColumn("leg", lit(2)).withColumn("score", length(col("key")))
+    val prefix =
+      if (cfg.prefixLimit <= 0) prefix0
+      else {
+        // reference: 5 shortest keys per probe string; computed on the
+        // distinct (probe, key) pairs so repeated probes across ids
+        // share one ranking
+        val wpp = Window.partitionBy("probe")
+          .orderBy(length(col("key")), col("key"))
+        val keep = prefix0.select("probe", "key").distinct()
+          .withColumn("rnp", row_number().over(wpp))
+          .filter(col("rnp") <= cfg.prefixLimit)
+          .drop("rnp")
+        prefix0.join(keep, Seq("probe", "key"), "left_semi")
+      }
 
     val missPrefix = missExact.join(prefix.select("probe").distinct(), Seq("probe"), "left_anti")
     // length-band pre-filter: levenshtein <= d implies |len(a)-len(b)| <= d,

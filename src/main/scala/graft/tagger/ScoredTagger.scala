@@ -416,9 +416,11 @@ object ScoredTagger {
     *         distributed frame; `id` is the stable key.
     */
   def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
-      // the tagger's fuzzy leg defaults to the REFERENCE's rapidfuzz
-      // semantics (ratio >= 85, len >= 4, top-3 — lookup.py:164-220)
-      cfg: LookupWaterfall.Config = LookupWaterfall.Config(fuzzyMode = "ratio"),
+      // the tagger's legs default to the REFERENCE's lookup semantics:
+      // rapidfuzz ratio >= 85 / len >= 4 / top-3 fuzzy (lookup.py:164-220)
+      // and the 5 shortest prefix keys per probe (lookup.py:116-137)
+      cfg: LookupWaterfall.Config =
+        LookupWaterfall.Config(fuzzyMode = "ratio", prefixLimit = 5),
       brandMap: Map[String, String] = Map.empty): DataFrame = {
     // D1 dedup-before-tag: the regex-heavy shape/probe UDF and the whole
     // candidate/selection path run once per DISTINCT text; results
