@@ -50,13 +50,18 @@ object Bench {
         // construction's localCheckpoint blocks before the next run
         System.gc()
       }
+      // a query that throws must NOT report its time-to-exception as a
+      // fast success: any failed timed run poisons the result to -1.0,
+      // which survives the min and is visible in BENCH output
       val timed = (1 to 2).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> timed.min
+      name -> (if (timed.contains(-1.0)) -1.0 else timed.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

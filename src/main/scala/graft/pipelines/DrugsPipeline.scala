@@ -16,7 +16,10 @@ import graft.tagger.{LookupWaterfall, ScoredTagger}
 final class DrugsTaggingPipeline(
     texts: SparkSession => DataFrame,
     catalog: SparkSession => DataFrame,
-    cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
+    // reference-parity lookup semantics by default (lookup.py:288-304) —
+    // the registered production pipeline must not silently run the
+    // generic-API scan-mode config
+    cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
     brandMap: Map[String, String] = Map.empty,
     annex: Option[SparkSession => DataFrame] = None)
   extends Pipeline {

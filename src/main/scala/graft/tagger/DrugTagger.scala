@@ -56,8 +56,7 @@ object DrugTagger {
     *         match_reason in {exact, prefix, fuzzy, no_match}
     */
   def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
-      cfg: LookupWaterfall.Config =
-        LookupWaterfall.Config(fuzzyMode = "ratio", prefixLimit = 5),
+      cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
       brandMap: Map[String, String] = Map.empty): DataFrame = {
     val best = LookupWaterfall.tag(probeFrame(texts, cfg, brandMap), catalog, cfg)
     texts.join(best.drop("probe_pos"), Seq("id"), "left")

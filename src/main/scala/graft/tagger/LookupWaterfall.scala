@@ -56,10 +56,22 @@ object LookupWaterfall {
       fuzzyMode: String = "scan",
       fuzzyRatioMin: Double = 85.0,
       fuzzyLimit: Int = 3,
-      // 0 = unlimited; the reference's prefix lookup keeps the 5
+      // 0 = unlimited; the reference's prefix lookup keeps the N
       // SHORTEST matching keys per probe (`lookup.py:116-137` ORDER BY
-      // LENGTH LIMIT 5) — tagger entry points set 5
+      // LENGTH LIMIT ?) — tagger entry points use [[referenceConfig]]
       prefixLimit: Int = 0)
+
+  /** The configuration the reference's tagger actually runs:
+    * `batch_lookup_generics` (`lookup.py:288-304`) calls
+    * `lookup_generic_prefix(token, con, limit=3)` and
+    * `lookup_generic_fuzzy(token, con, threshold=85, limit=1, ...)` —
+    * NOT those functions' signature defaults (5/3). All tagger entry
+    * points (ScoredTagger/DrugTagger/DrugsTaggingPipeline) default here
+    * so reference parity never depends on the caller passing a config.
+    */
+  val referenceConfig: Config =
+    Config(fuzzyMode = "ratio", fuzzyRatioMin = 85.0, fuzzyLimit = 1,
+      prefixLimit = 3)
 
   /** @param probes  (id, probe_pos, probe) — one row per candidate probe
     * @param catalog (key, ...payload) — broadcastable reference table

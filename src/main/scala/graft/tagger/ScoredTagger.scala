@@ -119,9 +119,15 @@ object ScoredTagger {
 
     val cats = TokenLib.categorizeTokens(tokens)
 
+    // Brand -> generic swap FIRST (`tagger.py:624-633`): the reference
+    // REPLACES brand tokens in generic_tokens; stripped_generics, combo
+    // keys, the probe universe and the normalized scoring set all derive
+    // from the swapped list.
+    val withSwaps = genericToks.map(g => brandMap.getOrElse(g.toUpperCase, g))
+
     // stripped_generics (`tagger.py:714-728`): pure-salt compounds pass
     // whole; everything else salt-strips with the defensive junk filter
-    val stripped = genericToks.flatMap { g =>
+    val stripped = withSwaps.flatMap { g =>
       val gU = g.toUpperCase
       if (Constants.pureSaltCompounds.contains(gU)) Some(gU)
       else {
@@ -135,7 +141,7 @@ object ScoredTagger {
     // (`tagger.py:909-913`; built per text from THIS text's generic
     // tokens — the reference reads a stale loop variable there, a
     // batch-order artifact not reproduced)
-    val comboKeys = TokenLib.buildCombinationKeys(genericToks)
+    val comboKeys = TokenLib.buildCombinationKeys(withSwaps)
     val extraNorm = comboKeys.flatMap { ck =>
       val ckSyn = SaltLib.applySynonym(ck)
       if (ckSyn != ck && ckSyn != "+" && ckSyn != "MG/5") Some(ckSyn) else None
@@ -143,13 +149,13 @@ object ScoredTagger {
 
     // ---- the probe universe (`tagger.py:637-699`): whole-input keys
     // first (vaccine canonical, acronym bridge, combo keys, mixture
-    // component key), then single-generic probes with brand swaps,
-    // synonym variants and salt-stripped bases. Combo keys build from
-    // the raw generics AND their synonym-normalized components AND the
-    // clean tokens (`tagger.py:656-682`); every key variant gets its
-    // synonym applied too.
-    val swapped = genericToks.flatMap(g => brandMap.get(g.toUpperCase))
-    val withSwaps = genericToks ++ swapped
+    // component key), then single-generic probes (brand-swapped), their
+    // synonym variants, salt-stripped bases AND the synonym-canonical of
+    // each stripped base (`tagger.py:643-651` adds both `base` and
+    // `canonical = apply_synonyms(base)` to unique_generics). Combo keys
+    // build from the swapped generics AND their synonym-normalized
+    // components AND the clean tokens (`tagger.py:656-682`); every key
+    // variant gets its synonym applied too.
     val normalizedComponents = withSwaps.map(g =>
       if (Constants.pureSaltCompounds.contains(g.toUpperCase)) g.toUpperCase
       else SaltLib.applySynonym(SaltLib.stripSaltSuffix(g)._1))
@@ -175,7 +181,8 @@ object ScoredTagger {
     }
     val probes = (vaccineProbes ++ acrProbes ++ compProbes ++ combosWithSyn ++
       mixtureKey ++ withSwaps ++ withSwaps.map(SaltLib.applySynonym(_)) ++
-      withSwaps.map(g => SaltLib.stripSaltSuffix(g)._1))
+      withSwaps.map(g => SaltLib.stripSaltSuffix(g)._1) ++
+      normalizedComponents)
       .filter(p => p != null && p.length > 2 &&
         !DrugTagger.nonProbeTokens.contains(p.toLowerCase))
       .map(_.toLowerCase).distinct
@@ -416,11 +423,10 @@ object ScoredTagger {
     *         distributed frame; `id` is the stable key.
     */
   def tagTexts(spark: SparkSession, texts: DataFrame, catalog: DataFrame,
-      // the tagger's legs default to the REFERENCE's lookup semantics:
-      // rapidfuzz ratio >= 85 / len >= 4 / top-3 fuzzy (lookup.py:164-220)
-      // and the 5 shortest prefix keys per probe (lookup.py:116-137)
-      cfg: LookupWaterfall.Config =
-        LookupWaterfall.Config(fuzzyMode = "ratio", prefixLimit = 5),
+      // the tagger's legs default to the REFERENCE's batch lookup
+      // semantics (lookup.py:288-304): rapidfuzz ratio >= 85 / len >= 4 /
+      // top-1 fuzzy and the 3 shortest prefix keys per probe
+      cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
       brandMap: Map[String, String] = Map.empty): DataFrame = {
     // D1 dedup-before-tag: the regex-heavy shape/probe UDF and the whole
     // candidate/selection path run once per DISTINCT text; results
