@@ -240,24 +240,70 @@ object UnifiedReference {
         lit(null: String).as("form"), lit(null: String).as("route"),
         col("source"),
         col("generic_name").as("reference_text"),
-        lit(false).as("fallback_only"))
+        lit(false).as("fallback_only"),
+        lit(false).as("exact_only"))
     mixtures match {
       case None => genRows
       case Some(mx) =>
+        // Component-key rows mirror `_lookup_mixture`'s return dict
+        // (`tagger.py:345-356`): the DISPLAY name is the sorted
+        // components joined " + " (equal to the upper component key — the
+        // probe only hits when the keys are equal), reference_text is the
+        // RAW component_generics value, and the source marker is
+        // "drugbank_mixture". fallback_only: the reference consults the
+        // mixture table only when `unique_matches` is empty
+        // (`tagger.py:806-824`), the same gate as the J12 name rows.
         val componentRows = mx
           .filter(col("component_key").isNotNull && col("component_key") =!= "")
           .select(
             lower(col("component_key")).as("key"),
-            cleanName(col("mixture_name")).as("generic_name"),
+            regexp_replace(upper(col("component_key")), "\\|", " + ")
+              .as("generic_name"),
             lit(null: String).as("atc_code"),
             col("drugbank_id"),
             lit(null: String).as("form"), lit(null: String).as("route"),
-            lit("mixtures").as("source"),
-            cleanName(col("mixture_name")).as("reference_text"),
-            lit(false).as("fallback_only"))
+            lit("drugbank_mixture").as("source"),
+            col("component_generics").as("reference_text"),
+            lit(true).as("fallback_only"),
+            lit(true).as("exact_only"))
           .dropDuplicates("key")
         genRows.unionByName(componentRows).unionByName(mixtureNameRows(mx))
     }
+  }
+
+  /** The tagger's brand -> generic swap map (J10 build side,
+    * `tagger.py:232-265`): brand rows grouped and ranked by frequency so
+    * more common associations win, with the FDA brand/generic SWAP rule —
+    * a `brand_name` that is itself a known generic (or a spelling-synonym
+    * key) is treated as the generic and its `generic_name` as the brand.
+    * Frequency ties are pinned by (brand, generic) — the reference
+    * inherits DuckDB's unstable ORDER BY cnt DESC tail.
+    *
+    * Driver-side collect of a DIMENSION table (the reference holds the
+    * same dict in tagger memory); feed the result to
+    * [[graft.tagger.ScoredTagger.tagTexts]]'s `brandMap`.
+    */
+  def buildBrandMap(brands: DataFrame, generics: DataFrame): Map[String, String] = {
+    val allGenerics = generics.select(upper(col("generic_name")).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val synonymGenerics =
+      graft.functions.Constants.spellingSynonyms.keySet.map(_.toUpperCase)
+    val ranked = brands
+      .filter(col("brand_name").isNotNull && col("generic_name").isNotNull)
+      .groupBy(upper(col("brand_name")).as("b"), upper(col("generic_name")).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("b"), col("g"))
+      .collect()
+    val map = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (r <- ranked) {
+      val (b, g) = (r.getAs[String]("b"), r.getAs[String]("g"))
+      if (b.nonEmpty && g.nonEmpty) {
+        if (allGenerics.contains(b) || synonymGenerics.contains(b)) {
+          if (!allGenerics.contains(g) && !map.contains(g)) map(g) = b
+        } else if (!map.contains(b)) map(b) = g
+      }
+    }
+    map.toMap
   }
 
   def mixtureNameRows(mixtures: DataFrame): DataFrame =
@@ -272,6 +318,7 @@ object UnifiedReference {
         lit(null: String).as("route"),
         lit("mixtures").as("source"),
         cleanName(col("mixture_name")).as("reference_text"),
-        lit(true).as("fallback_only"))
+        lit(true).as("fallback_only"),
+        lit(true).as("exact_only"))
       .dropDuplicates("key")
 }

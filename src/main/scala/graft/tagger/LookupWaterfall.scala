@@ -129,7 +129,16 @@ object LookupWaterfall {
     */
   private[tagger] def legsUnion(probes: DataFrame, catalog: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val cat = broadcast(catalog)
+    // an optional boolean `exact_only` column restricts rows to the exact
+    // leg: the reference reaches mixture rows ONLY through key equality
+    // (`WHERE UPPER(mixture_name) = ?` / `WHERE component_key = ?`,
+    // tagger.py:788/341) — they are a separate table outside the
+    // unified prefix/fuzzy lookup universe
+    val cat0 =
+      if (catalog.columns.contains("exact_only")) catalog
+      else catalog.withColumn("exact_only", lit(false))
+    val cat = broadcast(cat0)
+    val catFuzzy = broadcast(cat0.filter(!col("exact_only")))
 
     val exact = probes.join(cat, col("probe") === col("key"))
       .withColumn("leg", lit(1)).withColumn("score", lit(0))
@@ -140,7 +149,7 @@ object LookupWaterfall {
         col("key") =!= col("probe")
       case _ => col("key").startsWith(concat(col("probe"), lit(" ")))
     }
-    val prefix0 = missExact.join(cat, prefixCond)
+    val prefix0 = missExact.join(catFuzzy, prefixCond)
       .withColumn("leg", lit(2)).withColumn("score", length(col("key")))
     val prefix =
       if (cfg.prefixLimit <= 0) prefix0
@@ -177,7 +186,7 @@ object LookupWaterfall {
           .orderBy(col("ratio").desc, col("key"))
         val topKeys = missPrefix.select("probe").distinct()
           .filter(length(col("probe")) >= 4)
-          .join(cat.select("key").distinct(),
+          .join(catFuzzy.select("key").distinct(),
             abs(length(col("probe")) - length(col("key"))) <=
               (length(col("probe")) + length(col("key"))) * frac &&
               col("key") =!= col("probe"))
@@ -187,7 +196,7 @@ object LookupWaterfall {
           .filter(col("rnf") <= cfg.fuzzyLimit)
           .select(col("probe"), col("key").as("k2"), col("ratio"))
         missPrefix.join(topKeys, Seq("probe"))
-          .join(cat, col("k2") === col("key"))
+          .join(catFuzzy, col("k2") === col("key"))
           .drop("k2")
           .withColumn("leg", lit(3))
           .withColumn("score", round(lit(100.0) - col("ratio")).cast("int"))
@@ -208,7 +217,7 @@ object LookupWaterfall {
           .withColumn("leg", lit(3))
           .withColumn("score", lev)
       case _ =>
-        missPrefix.join(cat,
+        missPrefix.join(catFuzzy,
             abs(length(col("probe")) - length(col("key"))) <= cfg.fuzzyMaxDist &&
               lev >= 0 && col("key") =!= col("probe"))
           .withColumn("leg", lit(3))

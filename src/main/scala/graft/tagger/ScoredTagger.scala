@@ -63,6 +63,9 @@ object ScoredTagger {
     */
   final case class ShapeRow(
       probes: Seq[String],         // the lookup-key universe, priority order
+      j12_probes: Seq[String],     // synonym-of-stripped keys (syn != sg) —
+                                   // the ONLY probes allowed to hit J12
+                                   // mixture-NAME rows (`tagger.py:784-788`)
       input_forms: Seq[String],    // categorized forms, first-seen order
       extra_norm: Seq[String],     // combo-key synonyms (syn != key)
       has_plus: Boolean,
@@ -72,6 +75,11 @@ object ScoredTagger {
       input_doses: Seq[String], input_routes: Seq[String],
       out_type_details: String, out_release_details: String,
       out_form_details: String,
+      // the UN-recomputed extract_drug_details values: the component-
+      // mixture result path (`tagger.py:806-824`) passes no detail args,
+      // so _build_result_dict falls back to these instead of the
+      // token-text recomputations above
+      raw_release_details: String, raw_form_details: String,
       salt_details: String, brand_details: String,
       indication_details: String, alias_details: String,
       diluent_details: String, iv_diluent_type: String,
@@ -87,8 +95,44 @@ object ScoredTagger {
   private val strippedJunk = Set("FC", "EC", "SR", "XR", "ER", "DR",
     "NON-PNF", "NONPNF", "MG", "ML", "TABLET", "CAPSULE", "SOLUTION")
 
+  /** The tagger's multiword-generic dictionary (`tagger.py:272-291`):
+    * every CATALOG name containing a space unioned with the
+    * MULTIWORD_GENERICS constants, plus the plural-first-word form of
+    * every entry. It drives multiword token extraction AND guards
+    * salt-stripping — `_strip_salt` (`tagger.py:296-301`) never strips a
+    * known multiword generic (ISOSORBIDE DINITRATE keeps its DINITRATE).
+    *
+    * `sorted` is the longest-first match list for
+    * [[TokenLib.extractGenericTokens]] (length ties pinned
+    * alphabetically; the reference inherits Python set order).
+    */
+  private[tagger] final case class MwDict(sorted: List[String], guard: Set[String]) {
+    /** `_strip_salt` with the multiword guard. */
+    def stripBase(g: String): String = {
+      val gU = g.toUpperCase
+      if (guard.contains(gU)) gU else SaltLib.stripSaltSuffix(g)._1
+    }
+  }
+
+  private[tagger] object MwDict {
+    def of(extra: Set[String]): MwDict = {
+      val base = Constants.multiwordGenerics ++
+        extra.map(_.toUpperCase).filter(_.contains(" "))
+      val plurals = base.flatMap { mw =>
+        val ws = mw.split(" ")
+        if (ws.nonEmpty && !ws(0).endsWith("S"))
+          Some((Array(ws(0) + "S") ++ ws.drop(1)).mkString(" "))
+        else None
+      }
+      val all = base ++ plurals
+      MwDict(all.toList.sortBy(m => (-m.length, m)), all)
+    }
+    lazy val default: MwDict = of(Set.empty)
+  }
+
   private[tagger] def shapeRowOf(text: String,
-      brandMap: Map[String, String] = Map.empty): ShapeRow = {
+      brandMap: Map[String, String] = Map.empty,
+      mw: MwDict = MwDict.default): ShapeRow = {
     val up = text.toUpperCase
     val d = DetailsLib.extractDrugDetails(text)
 
@@ -104,16 +148,20 @@ object ScoredTagger {
     // F14 front door (`tagger.py:606-625`): extract_generic_tokens on the
     // raw text, vaccine canonical name prepended, then the cleaned-name
     // re-extraction merged in first (dict.fromkeys order)
-    val (tokens, genericTokens0) = TokenLib.extractGenericTokens(text)
+    val (tokens, genericTokens0) = TokenLib.extractGenericTokens(text, mw.sorted)
     val withVaccine = vaccineName match {
       case Some(vn) =>
         vn :: genericTokens0.filterNot(_.toUpperCase == vn.toUpperCase)
       case None => genericTokens0
     }
-    val cleanName = d.genericName
+    // the vaccine branch OVERWRITES drug_details["generic_name"] with the
+    // canonical vaccine name (`tagger.py:582-583`), so the clean-name
+    // re-extraction runs on the canonical (for the generic "VACCINE"
+    // fallback that extracts to nothing, keeping the raw token order)
+    val cleanName = vaccineName.getOrElse(d.genericName)
     val genericToks =
       if (cleanName != null && cleanName.nonEmpty && cleanName != up) {
-        val cleanToks = TokenLib.extractGenericTokens(cleanName)._2
+        val cleanToks = TokenLib.extractGenericTokens(cleanName, mw.sorted)._2
         (cleanToks ++ withVaccine).distinct
       } else withVaccine
 
@@ -131,7 +179,7 @@ object ScoredTagger {
       val gU = g.toUpperCase
       if (Constants.pureSaltCompounds.contains(gU)) Some(gU)
       else {
-        val base = SaltLib.stripSaltSuffix(g)._1
+        val base = mw.stripBase(g)
         if (base.nonEmpty && !strippedJunk.contains(base.toUpperCase) &&
           base.trim.length > 1) Some(base)
         else None
@@ -158,10 +206,10 @@ object ScoredTagger {
     // variant gets its synonym applied too.
     val normalizedComponents = withSwaps.map(g =>
       if (Constants.pureSaltCompounds.contains(g.toUpperCase)) g.toUpperCase
-      else SaltLib.applySynonym(SaltLib.stripSaltSuffix(g)._1))
+      else SaltLib.applySynonym(mw.stripBase(g)))
     val cleanToks0 =
       if (cleanName != null && cleanName.nonEmpty && cleanName != up)
-        TokenLib.extractGenericTokens(cleanName)._2
+        TokenLib.extractGenericTokens(cleanName, mw.sorted)._2
       else genericToks.take(2)
     val allCombos = (comboKeys ++
       TokenLib.buildCombinationKeys(normalizedComponents) ++
@@ -172,17 +220,24 @@ object ScoredTagger {
       case _ => Nil
     }
     val vaccineProbes = vaccineName.toList.filter(_ != "VACCINE")
-    val acrProbes = vAcr.toList.flatMap(a =>
-      List(a.toUpperCase, a.toUpperCase + " VACCINE"))
-    val compProbes = vComps.toList.flatMap { cs =>
-      val csU = cs.map(_.toUpperCase)
-      val ck = csU.sorted.mkString(" + ")
-      csU ++ List(ck, ck + " VACCINE")
-    }
-    val probes = (vaccineProbes ++ acrProbes ++ compProbes ++ combosWithSyn ++
+    // The reference's vaccine acronym expansion (`tagger.py:684-699`)
+    // only WARMS the batch cache with acronym/component keys — the
+    // per-text match loop (`tagger.py:728-771`) never probes them, so an
+    // acronym-only text matches only if the catalog carries the acronym
+    // key itself (verified by the e2e golden: "DTP VACCINE" over a
+    // component-named catalog is no_candidates). vAcr/vComps still set
+    // the is_vaccine output flag.
+    // J12 name-leg keys (`tagger.py:784-788`): the reference consults the
+    // mixture table by name ONLY for apply_synonyms(sg) of each stripped
+    // generic, and only when the synonym actually rewrote it
+    val j12Probes = stripped.map(_.toUpperCase).flatMap { sg =>
+      val syn = SaltLib.applySynonym(sg)
+      if (syn != sg) Some(syn.toLowerCase) else None
+    }.distinct
+    val probes = (vaccineProbes ++ combosWithSyn ++
       mixtureKey ++ withSwaps ++ withSwaps.map(SaltLib.applySynonym(_)) ++
-      withSwaps.map(g => SaltLib.stripSaltSuffix(g)._1) ++
-      normalizedComponents)
+      withSwaps.map(mw.stripBase) ++
+      normalizedComponents ++ j12Probes)
       .filter(p => p != null && p.length > 2 &&
         !DrugTagger.nonProbeTokens.contains(p.toLowerCase))
       .map(_.toLowerCase).distinct
@@ -206,6 +261,7 @@ object ScoredTagger {
     val formDet = if (rel.isEmpty) DetailsLib.extractFormDetail(tokenText)._2 else None
     ShapeRow(
       probes = probes,
+      j12_probes = j12Probes,
       input_forms = cats("form").keys.toSeq,
       extra_norm = extraNorm,
       has_plus = text.contains("+"),
@@ -217,6 +273,8 @@ object ScoredTagger {
       out_type_details = outType.orNull,
       out_release_details = rel.orElse(d.releaseDetails).orNull,
       out_form_details = formDet.orElse(d.formDetails).orNull,
+      raw_release_details = d.releaseDetails.orNull,
+      raw_form_details = d.formDetails.orNull,
       salt_details = d.saltDetails.orNull,
       brand_details = null, // initialized but never filled by the reference
       indication_details = d.indicationDetails.orNull,
@@ -273,8 +331,8 @@ object ScoredTagger {
   // trap, Dedup.scala:27-36). Nondeterministic expressions are never
   // duplicated by CollapseProject, so the struct materializes once and
   // field reads are GetStructField over the attribute.
-  private def shapeUdf(brandMap: Map[String, String]) =
-    udf((text: String) => shapeRowOf(text, brandMap)).asNondeterministic()
+  private def shapeUdf(brandMap: Map[String, String], mw: MwDict) =
+    udf((text: String) => shapeRowOf(text, brandMap, mw)).asNondeterministic()
 
   private val finalizeUdf = udf((stripped: Seq[String], extra: Seq[String],
       hasPlus: Boolean, hasIn: Boolean, fuzzyNames: Seq[String]) =>
@@ -332,7 +390,14 @@ object ScoredTagger {
       cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
     val cat = if (catalog.columns.contains("fallback_only")) catalog
       else catalog.withColumn("fallback_only", lit(false))
-    val hits0 = LookupWaterfall.allMatches(probes, cat, cfg)
+    val probes1 = if (probes.columns.contains("j12_ok")) probes
+      else probes.withColumn("j12_ok", lit(true))
+    val hitsAll = LookupWaterfall.allMatches(probes1, cat, cfg)
+    // J12 mixture-NAME rows (source "mixtures" + fallback_only) may only
+    // be hit by a synonym-of-stripped probe (`tagger.py:784-788`); combo
+    // key variants and raw tokens never consult the mixture-name table
+    val hits0 = hitsAll.filter(
+      !(col("fallback_only") && col("source") === "mixtures" && !col("j12_ok")))
 
     // J12 gate: fallback-only rows count only for ids with no regular
     // candidate (anti-join on the primary id set — both sides tiny
@@ -368,7 +433,15 @@ object ScoredTagger {
       col("id"), col("leg"), col("probe_pos"), col("key"),
       col("generic_name"), col("drugbank_id"), col("form"), col("route"),
       col("source"), col("reference_text"),
-      posexplode(sortedAtcUdf(col("atc_code"))).as(Seq("atc_idx", "atc_code")))
+      // the reference's candidate loop stringifies the ATC payload
+      // (`tagger.py:840` str(gm.get("atc_code", "")).split("|")), so a
+      // NULL atc becomes the literal string "None" on every candidate
+      // built from unique_matches; only the component-mixture path (which
+      // bypasses the loop) keeps a real null
+      posexplode(sortedAtcUdf(
+        when(col("source") === "drugbank_mixture", col("atc_code"))
+          .otherwise(coalesce(col("atc_code"), lit("None")))))
+        .as(Seq("atc_idx", "atc_code")))
 
     // Join the compact per-id shape (no raw text) onto candidate rows:
     // both sides hash-partition on id, which is exactly the partitioning
@@ -427,7 +500,27 @@ object ScoredTagger {
       // semantics (lookup.py:288-304): rapidfuzz ratio >= 85 / len >= 4 /
       // top-1 fuzzy and the 3 shortest prefix keys per probe
       cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
-      brandMap: Map[String, String] = Map.empty): DataFrame = {
+      brandMap: Map[String, String] = Map.empty,
+      // None = derive the multiword dictionary from the catalog like the
+      // reference (`tagger.py:272-291` builds it from every loaded
+      // generic name with a space); Some(set) pins/overrides it. The
+      // derivation is a driver-side collect of a DIMENSION table — the
+      // catalog is broadcastable by contract, and the reference holds the
+      // same list in tagger memory.
+      multiwordExtra: Option[Set[String]] = None): DataFrame = {
+    val mw = MwDict.of(multiwordExtra.getOrElse {
+      val gen0 =
+        if (catalog.columns.contains("source"))
+          catalog.filter(col("source") =!= "mixtures")
+        else catalog
+      val gen =
+        if (gen0.columns.contains("fallback_only"))
+          gen0.filter(!col("fallback_only"))
+        else gen0
+      gen.select("generic_name")
+        .filter(col("generic_name").contains(" ")).distinct()
+        .collect().map(_.getString(0)).toSet
+    })
     // D1 dedup-before-tag: the regex-heavy shape/probe UDF and the whole
     // candidate/selection path run once per DISTINCT text; results
     // re-join by text (min(id) keeps the representative deterministic).
@@ -441,20 +534,27 @@ object ScoredTagger {
     // evaluation for the two consumers (probe path + shape join) — same
     // lifecycle notes as LookupWaterfall.allMatches.
     val shapes = uniq
-      .select(col("id"), shapeUdf(brandMap)(col("text")).as("shape"))
+      .select(col("id"), shapeUdf(brandMap, mw)(col("text")).as("shape"))
       .select(col("id"), col("shape.*"))
       .localCheckpoint(true)
-    val probes = shapes.select(col("id"),
-      posexplode(col("probes")).as(Seq("probe_pos", "probe")))
-    val selected = tagCandidates(probes, catalog, shapes.drop("probes"), cfg)
+    val probes = shapes
+      .select(col("id"), col("j12_probes"),
+        posexplode(col("probes")).as(Seq("probe_pos", "probe")))
+      .select(col("id"), col("probe_pos"), col("probe"),
+        array_contains(col("j12_probes"), col("probe")).as("j12_ok"))
+    val selected = tagCandidates(probes, catalog,
+      shapes.drop("probes", "j12_probes"), cfg)
 
     val matched = col("match_reason") === "matched"
-    // component-key mixture hits carry the reference's score-100 marker
-    // (`tagger.py:807-823`); everything else matched scores 1
+    // component-key mixture hits take the reference's `_lookup_mixture`
+    // result path (`tagger.py:806-824`): score 100, display name and RAW
+    // reference_text from the mixture row, NO dose/form/route, details
+    // from extract_drug_details only, no regional/vaccine override
     val isComponentMixture =
-      col("best_source") === "mixtures" && col("key").contains("|")
+      coalesce(col("best_source") === "drugbank_mixture", lit(false))
+    val noCandidates = col("match_reason") === "no_candidates"
     val vaccineOverride = matched && col("is_vaccine") &&
-      col("vaccine_name").isNotNull
+      col("vaccine_name").isNotNull && !isComponentMixture
 
     val perText = uniq
       .join(shapes, Seq("id"), "left")
@@ -470,21 +570,34 @@ object ScoredTagger {
         // matched: regional canonical (vaccines override with the
         // canonical vaccine name); no_candidates: pipe-joined stripped
         // generics; no_match: null (`tagger.py:955-1028`)
-        when(vaccineOverride, col("vaccine_name"))
+        when(isComponentMixture, col("best_generic"))
+          .when(vaccineOverride, col("vaccine_name"))
           .when(matched, regionalUdf(col("best_generic")))
           .when(col("match_reason") === "no_candidates" && size(col("stripped")) > 0,
             array_join(transform(col("stripped"), s => upper(s)), "|"))
           .as("generic_name"),
-        when(vaccineOverride, col("vaccine_name"))
+        when(isComponentMixture, col("reference_text"))
+          .when(vaccineOverride, col("vaccine_name"))
           .when(matched, upper(coalesce(
             emptyToNull(col("reference_text")), col("best_generic"), lit(""))))
           .as("reference_text"),
-        emptyToNull(array_join(col("input_doses"), "|")).as("dose"),
-        try_element_at(col("input_forms"), lit(1)).as("form"),
-        emptyToNull(array_join(col("input_routes"), "|")).as("route"),
-        col("out_type_details").as("type_details"),
-        col("out_release_details").as("release_details"),
-        col("out_form_details").as("form_details"),
+        // no_candidates results (`tagger.py:873-880`, `:925-935`) and the
+        // component-mixture branch pass NO dose/form/route and fall back
+        // to the extract-level details; matched and no_match results
+        // carry the categorized tokens + token-text recomputations
+        when(!isComponentMixture && !noCandidates,
+          emptyToNull(array_join(col("input_doses"), "|"))).as("dose"),
+        when(!isComponentMixture && !noCandidates,
+          try_element_at(col("input_forms"), lit(1))).as("form"),
+        when(!isComponentMixture && !noCandidates,
+          emptyToNull(array_join(col("input_routes"), "|"))).as("route"),
+        when(isComponentMixture || noCandidates,
+          try_element_at(col("details"), lit("type_details")))
+          .otherwise(col("out_type_details")).as("type_details"),
+        when(isComponentMixture || noCandidates, col("raw_release_details"))
+          .otherwise(col("out_release_details")).as("release_details"),
+        when(isComponentMixture || noCandidates, col("raw_form_details"))
+          .otherwise(col("out_form_details")).as("form_details"),
         when(matched && isComponentMixture, 100)
           .when(matched, 1).otherwise(0).as("match_score"),
         col("match_reason"),

@@ -97,16 +97,21 @@ class UnifiedReferenceSpec extends SparkSpec {
       ("DB001", "PARACETAMOL", "N02BE51"))
       .toDF("drugbank_id", "generic_name", "atc_code")
     val mixtures = Seq(
-      ("DBMIX", "AMOXICILLIN + CLAVULANIC ACID", "amoxicillin|clavulanate"))
-      .toDF("drugbank_id", "mixture_name", "component_key")
+      ("DBMIX", "AMOXICILLIN + CLAVULANIC ACID", "amoxicillin|clavulanate",
+        "amoxicillin|clavulanate"))
+      .toDF("drugbank_id", "mixture_name", "component_key",
+        "component_generics")
     val cat = UnifiedReference.buildTaggerCatalog(generics, atcMap, Some(mixtures))
     val byKey = cat.collect().map(r => r.getAs[String]("key") ->
       (r.getAs[String]("atc_code"), r.getAs[String]("source"),
         r.getAs[Boolean]("fallback_only"))).toMap
     // generic row with pipe-aggregated ATC payload, lowercase key
     assert(byKey("paracetamol") == (("N02BE01|N02BE51", "drugbank", false)))
-    // J11 component-key row and J12 fallback name row
-    assert(byKey("amoxicillin|clavulanate")._2 == "mixtures")
+    // J11 component-key row and J12 fallback name row (both exact-only
+    // fallbacks; the component row carries the _lookup_mixture source
+    // marker, tagger.py:345-356)
+    assert(byKey("amoxicillin|clavulanate") ==
+      ((null, "drugbank_mixture", true)))
     assert(byKey("amoxicillin + clavulanic acid")._3 == true)
 
     // and the assembled catalog drives the tagger end-to-end

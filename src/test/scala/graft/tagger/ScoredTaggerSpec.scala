@@ -128,6 +128,7 @@ class ScoredTaggerSpec extends SparkSpec {
     // generics catalog has no co-amoxiclav entry; synonym-applied probe
     // resolves through the mixture NAME key (tagger.py:782-804)
     val cat = catalog.withColumn("fallback_only", lit(false))
+      .withColumn("exact_only", lit(false))
       .unionByName(nameRows)
     val out = ScoredTagger.tagTexts(spark,
         Seq((1L, "CO-AMOXICLAV 625MG TABLET"),
