@@ -134,11 +134,17 @@ object LookupWaterfall {
     // (`WHERE UPPER(mixture_name) = ?` / `WHERE component_key = ?`,
     // tagger.py:788/341) — they are a separate table outside the
     // unified prefix/fuzzy lookup universe
+    val hasExactOnly = catalog.columns.contains("exact_only")
     val cat0 =
-      if (catalog.columns.contains("exact_only")) catalog
+      if (hasExactOnly) catalog
       else catalog.withColumn("exact_only", lit(false))
     val cat = broadcast(cat0)
-    val catFuzzy = broadcast(cat0.filter(!col("exact_only")))
+    // without the column the two sides are identical — reuse ONE
+    // broadcast instead of re-executing the catalog subplan (q26's demo
+    // catalog is a scan+distinct shuffle; computing it twice measurably
+    // regressed the bench)
+    val catFuzzy =
+      if (hasExactOnly) broadcast(cat0.filter(!col("exact_only"))) else cat
 
     val exact = probes.join(cat, col("probe") === col("key"))
       .withColumn("leg", lit(1)).withColumn("score", lit(0))
