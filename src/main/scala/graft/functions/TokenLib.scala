@@ -27,8 +27,10 @@ object TokenLib {
   private val SaltParenRx = "(?i)\\(\\s*as\\s+([^)]+)\\)".r
   private val StripChars = ".,;:!?\"'()[]{}".toSet
 
-  private lazy val multiwordSorted: List[String] =
-    Constants.multiwordGenerics.toList.sortBy(m => (-m.length, m))
+  // the multiword dictionary is consumed through [[MwIndex]]: one
+  // Aho-Corasick pass finds the present patterns instead of scanning all
+  // 10^4-10^5 entries with a substring check per text (the reference's
+  // O(M*|text|) loop, `tokenizer.py:1005/1172`)
 
   private def isTrailingSalt(mwg: String, origText: String): Boolean = {
     if (origText.isEmpty || !trailingSaltWords.contains(mwg)) return false
@@ -52,16 +54,33 @@ object TokenLib {
     * edge punctuation, drop stopwords.
     */
   def normalizeTokens(tokens: Seq[String], dropStopwords: Boolean = true,
-      multiwordGenerics: List[String] = multiwordSorted,
+      mw: MwIndex = MwIndex.default,
       originalText: String = ""): List[String] = {
+    val text0 = tokens.mkString(" ").toUpperCase
+    normalizeLoop(text0, mw.candidatesIn(text0), checkCreated = true, mw,
+      dropStopwords, originalText)
+  }
+
+  /** The reference's extraction loop over a candidate iteration order.
+    * The fast path iterates only the patterns PRESENT in the initial
+    * text; replacing a match with " " can (pathologically) bridge
+    * characters into a NEW occurrence the initial text didn't contain —
+    * the reference's full-list scan would catch it at that pattern's own
+    * sort position, so when the final text contains a pattern outside the
+    * candidate set the loop redoes itself naively over the full
+    * dictionary, reproducing the reference exactly.
+    */
+  private def normalizeLoop(text0: String, candidates: Seq[String],
+      checkCreated: Boolean, mw: MwIndex, dropStopwords: Boolean,
+      originalText: String): List[String] = {
     val result = List.newBuilder[String]
-    var text = tokens.mkString(" ").toUpperCase
+    var text = text0
 
     val saltPatternContent: Set[String] =
       SaltParenRx.findAllMatchIn(originalText)
         .map(_.group(1).trim.toUpperCase).toSet
 
-    for (mwg <- multiwordGenerics) {
+    for (mwg <- candidates) {
       if (text.contains(mwg)) {
         val inSaltPattern =
           saltPatternContent.exists(sc => sc.contains(mwg) || mwg.contains(sc))
@@ -70,6 +89,13 @@ object TokenLib {
           text = text.replace(mwg, " ")
         }
       }
+    }
+
+    if (checkCreated && candidates.nonEmpty) {
+      val candSet = candidates.toSet
+      if (mw.candidatesIn(text).exists(p => !candSet.contains(p)))
+        return normalizeLoop(text0, mw.sorted.toSeq, checkCreated = false,
+          mw, dropStopwords, originalText)
     }
 
     for (raw <- text.split("[\\s,;]+") if raw.nonEmpty) {
@@ -147,7 +173,7 @@ object TokenLib {
     * not pin.
     */
   def extractGenericTokens(text: String,
-      multiwordGenerics: List[String] = multiwordSorted): (List[String], List[String]) = {
+      mw: MwIndex = MwIndex.default): (List[String], List[String]) = {
     if (text == null) return (Nil, Nil)
     val textUpper = text.toUpperCase
 
@@ -167,19 +193,21 @@ object TokenLib {
     }
 
     // multiword matches with positions (longest-first, substring-of-
-    // matched suppression), then sorted by position
+    // matched suppression), then sorted by position; the candidate pass
+    // is one automaton traversal of the UN-mutated text, so it is exactly
+    // the reference's `contains` filter
     var matchedMw = List.empty[(Int, String)]
-    for (mw <- multiwordGenerics if textUpper.contains(mw)) {
-      val pos = textUpper.indexOf(mw)
-      if (!insideSaltPattern(pos, mw.length) && !isTrailingSaltSuffix(mw) &&
-        !matchedMw.exists { case (_, ex) => ex.contains(mw) })
-        matchedMw ::= (pos, mw)
+    for (m <- mw.candidatesIn(textUpper)) {
+      val pos = textUpper.indexOf(m)
+      if (!insideSaltPattern(pos, m.length) && !isTrailingSaltSuffix(m) &&
+        !matchedMw.exists { case (_, ex) => ex.contains(m) })
+        matchedMw ::= (pos, m)
     }
     val mwByPos = matchedMw.sortBy(_._1)
 
     val rawTokens = detectCompoundSalts(splitWithParentheses(text))
     val tokens = normalizeTokens(rawTokens, dropStopwords = true,
-      multiwordGenerics, originalText = text)
+      mw, originalText = text)
     val cats = categorizeTokens(tokens)
     var generics = cats("generic").keys.toList
 
@@ -223,7 +251,7 @@ object TokenLib {
           }
           val aw = allWords.result()
           val fullCombo = aw.mkString(" ")
-          if (multiwordGenerics.contains(fullCombo)) {
+          if (mw.containsPattern(fullCombo)) {
             if (fullCombo.nonEmpty && !generics.contains(fullCombo)) {
               generics = generics :+ fullCombo
               addedParts ::= fullCombo

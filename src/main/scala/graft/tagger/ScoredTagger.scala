@@ -102,15 +102,16 @@ object ScoredTagger {
     * salt-stripping — `_strip_salt` (`tagger.py:296-301`) never strips a
     * known multiword generic (ISOSORBIDE DINITRATE keeps its DINITRATE).
     *
-    * `sorted` is the longest-first match list for
-    * [[TokenLib.extractGenericTokens]] (length ties pinned
-    * alphabetically; the reference inherits Python set order).
+    * Backed by [[graft.functions.MwIndex]]: one Aho-Corasick pass per
+    * text instead of the reference's full-list contains scan (length
+    * ties pinned alphabetically; the reference inherits Python set
+    * order).
     */
-  private[tagger] final case class MwDict(sorted: List[String], guard: Set[String]) {
+  private[tagger] final case class MwDict(index: graft.functions.MwIndex) {
     /** `_strip_salt` with the multiword guard. */
     def stripBase(g: String): String = {
       val gU = g.toUpperCase
-      if (guard.contains(gU)) gU else SaltLib.stripSaltSuffix(g)._1
+      if (index.containsPattern(gU)) gU else SaltLib.stripSaltSuffix(g)._1
     }
   }
 
@@ -124,8 +125,7 @@ object ScoredTagger {
           Some((Array(ws(0) + "S") ++ ws.drop(1)).mkString(" "))
         else None
       }
-      val all = base ++ plurals
-      MwDict(all.toList.sortBy(m => (-m.length, m)), all)
+      MwDict(graft.functions.MwIndex.of(base ++ plurals))
     }
     lazy val default: MwDict = of(Set.empty)
   }
@@ -148,7 +148,7 @@ object ScoredTagger {
     // F14 front door (`tagger.py:606-625`): extract_generic_tokens on the
     // raw text, vaccine canonical name prepended, then the cleaned-name
     // re-extraction merged in first (dict.fromkeys order)
-    val (tokens, genericTokens0) = TokenLib.extractGenericTokens(text, mw.sorted)
+    val (tokens, genericTokens0) = TokenLib.extractGenericTokens(text, mw.index)
     val withVaccine = vaccineName match {
       case Some(vn) =>
         vn :: genericTokens0.filterNot(_.toUpperCase == vn.toUpperCase)
@@ -161,7 +161,7 @@ object ScoredTagger {
     val cleanName = vaccineName.getOrElse(d.genericName)
     val genericToks =
       if (cleanName != null && cleanName.nonEmpty && cleanName != up) {
-        val cleanToks = TokenLib.extractGenericTokens(cleanName, mw.sorted)._2
+        val cleanToks = TokenLib.extractGenericTokens(cleanName, mw.index)._2
         (cleanToks ++ withVaccine).distinct
       } else withVaccine
 
@@ -209,7 +209,7 @@ object ScoredTagger {
       else SaltLib.applySynonym(mw.stripBase(g)))
     val cleanToks0 =
       if (cleanName != null && cleanName.nonEmpty && cleanName != up)
-        TokenLib.extractGenericTokens(cleanName, mw.sorted)._2
+        TokenLib.extractGenericTokens(cleanName, mw.index)._2
       else genericToks.take(2)
     val allCombos = (comboKeys ++
       TokenLib.buildCombinationKeys(normalizedComponents) ++
