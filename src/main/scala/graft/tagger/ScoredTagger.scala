@@ -399,12 +399,26 @@ object ScoredTagger {
     val hits0 = hitsAll.filter(
       !(col("fallback_only") && col("source") === "mixtures" && !col("j12_ok")))
 
-    // J12 gate: fallback-only rows count only for ids with no regular
-    // candidate (anti-join on the primary id set — both sides tiny
-    // projections of the checkpointed hits)
-    val primaryIds = hits0.filter(!col("fallback_only")).select("id").distinct()
-    val hits = hits0.filter(!col("fallback_only"))
-      .unionByName(hits0.filter(col("fallback_only"))
+    // Component-key mixture rows NEVER enter the scored candidate pool:
+    // the reference's `_lookup_mixture` result bypasses selection
+    // entirely (`tagger.py:806-824`, `:993-1017`). Keep the per-id first
+    // hit aside for the two mixture fallback branches below.
+    val componentBest = hitsAll
+      .filter(col("source") === "drugbank_mixture")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("probe_pos"), col("key"), col("generic_name"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("generic_name").as("mx_generic"),
+        col("drugbank_id").as("mx_db"),
+        col("reference_text").as("mx_ref"), col("key").as("mx_key"))
+
+    // J12 gate: fallback-only NAME rows count only for ids with no
+    // regular candidate (anti-join on the primary id set — both sides
+    // tiny projections of the checkpointed hits)
+    val regular = hits0.filter(col("source") =!= "drugbank_mixture")
+    val primaryIds = regular.filter(!col("fallback_only")).select("id").distinct()
+    val hits = regular.filter(!col("fallback_only"))
+      .unionByName(regular.filter(col("fallback_only"))
         .join(primaryIds, Seq("id"), "left_anti"))
 
     // fuzzy-correction feedback inputs: leg-3 candidate names per id, in
@@ -469,11 +483,48 @@ object ScoredTagger {
       .select(col("id"), col("generic_name"), col("atc_code"),
         col("drugbank_id"), col("reference_text"), col("source"), col("key"))
 
-    hits.select("id").distinct()
+    // Mixture fallback branches, both bypassing selection with score-100
+    // semantics (the caller maps source drugbank_mixture to score 100):
+    //  A (`tagger.py:806-824`): no candidate at all -> component row; the
+    //    result carries NO dose/form/route and extract-level details.
+    //  B (`tagger.py:993-1017`): candidates existed but selection failed
+    //    AND the input is a combination -> component row; dose/form/route
+    //    and recomputed details are kept like a normal match.
+    val isComb = (col("shape_flags").bitwiseAND(lit(2)) =!= 0)
+    val flags = finShapes.select(col("id"), col("shape_flags"))
+    val withCandidates = hits.select("id").distinct()
       .join(best, Seq("id"), "left")
-      .withColumn("match_reason",
+      .join(componentBest, Seq("id"), "left")
+      .join(flags, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("generic_name"),
+          when(col("mx_key").isNotNull && isComb, col("mx_generic")))
+          .as("generic_name"),
+        col("atc_code"),
+        coalesce(col("drugbank_id"),
+          when(col("mx_key").isNotNull && isComb, col("mx_db")))
+          .as("drugbank_id"),
+        coalesce(col("reference_text"),
+          when(col("mx_key").isNotNull && isComb, col("mx_ref")))
+          .as("reference_text"),
+        coalesce(col("source"),
+          when(col("mx_key").isNotNull && isComb, lit("drugbank_mixture")))
+          .as("source"),
+        coalesce(col("key"),
+          when(col("mx_key").isNotNull && isComb, col("mx_key"))).as("key"),
         when(col("generic_name").isNotNull, lit("matched"))
-          .otherwise(lit("no_match")))
+          .when(col("mx_key").isNotNull && isComb, lit("matched"))
+          .otherwise(lit("no_match")).as("match_reason"),
+        when(col("generic_name").isNull && col("mx_key").isNotNull && isComb,
+          lit("B")).as("mixture_branch"))
+    val onlyComponent = componentBest
+      .join(hits.select("id").distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("mx_generic").as("generic_name"),
+        lit(null: String).as("atc_code"), col("mx_db").as("drugbank_id"),
+        col("mx_ref").as("reference_text"),
+        lit("drugbank_mixture").as("source"), col("mx_key").as("key"),
+        lit("matched").as("match_reason"), lit("A").as("mixture_branch"))
+    withCandidates.unionByName(onlyComponent)
   }
 
   private val regionalUdf = udf((g: String) =>
@@ -552,6 +603,11 @@ object ScoredTagger {
     // from extract_drug_details only, no regional/vaccine override
     val isComponentMixture =
       coalesce(col("best_source") === "drugbank_mixture", lit(false))
+    // branch A (`tagger.py:806-824`, no candidates at all) drops
+    // dose/form/route and uses extract-level details; branch B
+    // (`tagger.py:993-1017`, selection failed on a combination) keeps
+    // them like a normal match
+    val isBranchA = coalesce(col("mixture_branch") === "A", lit(false))
     val noCandidates = col("match_reason") === "no_candidates"
     val vaccineOverride = matched && col("is_vaccine") &&
       col("vaccine_name").isNotNull && !isComponentMixture
@@ -585,18 +641,18 @@ object ScoredTagger {
         // component-mixture branch pass NO dose/form/route and fall back
         // to the extract-level details; matched and no_match results
         // carry the categorized tokens + token-text recomputations
-        when(!isComponentMixture && !noCandidates,
+        when(!isBranchA && !noCandidates,
           emptyToNull(array_join(col("input_doses"), "|"))).as("dose"),
-        when(!isComponentMixture && !noCandidates,
+        when(!isBranchA && !noCandidates,
           try_element_at(col("input_forms"), lit(1))).as("form"),
-        when(!isComponentMixture && !noCandidates,
+        when(!isBranchA && !noCandidates,
           emptyToNull(array_join(col("input_routes"), "|"))).as("route"),
-        when(isComponentMixture || noCandidates,
+        when(isBranchA || noCandidates,
           try_element_at(col("details"), lit("type_details")))
           .otherwise(col("out_type_details")).as("type_details"),
-        when(isComponentMixture || noCandidates, col("raw_release_details"))
+        when(isBranchA || noCandidates, col("raw_release_details"))
           .otherwise(col("out_release_details")).as("release_details"),
-        when(isComponentMixture || noCandidates, col("raw_form_details"))
+        when(isBranchA || noCandidates, col("raw_form_details"))
           .otherwise(col("out_form_details")).as("form_details"),
         when(matched && isComponentMixture, 100)
           .when(matched, 1).otherwise(0).as("match_score"),

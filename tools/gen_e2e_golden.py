@@ -217,6 +217,47 @@ TEXTS = [
     "CEFALEXIN 500MG CAPSULE",
     "paracetamol 500 mg tablet",
     "Ibuprofen 200mg tab",
+    # ---- round-3 corpus expansion: details, salts, IV math, punctuation
+    "METFORMIN 500MG EXTENDED RELEASE TABLET",
+    "OMEPRAZOLE 20MG DELAYED RELEASE CAPSULE",
+    "CLARITHROMYCIN 500MG MODIFIED RELEASE TAB",
+    "IBUPROFEN 100MG/5ML SUSPENSION PEDIATRIC",
+    "AMOXICILLIN (AS TRIHYDRATE) 500MG CAPSULE",
+    "AMLODIPINE (AS BESILATE) 5MG TABLET",
+    "CETIRIZINE DIHYDROCHLORIDE 10MG TABLET",
+    "SALBUTAMOL SULFATE 100MCG/DOSE INHALER",
+    "PARACETAMOL 1G IV INFUSION",
+    "OMEPRAZOLE 40MG POWDER FOR INJECTION",
+    "DEXTROSE 5% IN WATER 1L",
+    "SODIUM CHLORIDE 0.45% 500ML",
+    "MAGNESIUM SULFATE 2G IN 50ML NSS",
+    "AMOXICILLIN 500MG, CAPSULE",
+    "IBUPROFEN, 400 MG, TABLET",
+    "LOSARTAN 100 MG FILM-COATED TABLET",
+    "PARACETAMOL 120MG/5ML 60ML SYRUP",
+    "ASA EC 80MG TABLET",
+    "ETHANOL 95% SOLUTION",
+    "BUDESONIDE 200MCG + FORMOTEROL 6MCG INHALATION POWDER",
+    "IBUPROFEN + PARACETAMOL + CAFFEINE TABLET",
+    "AMOXICILLIN + CLAVULANIC ACID 625MG TABLET",
+    "CLAVULANIC ACID 125MG TABLET",
+    "DTP",
+    "INFLUENZA VACCINE (QUADRIVALENT) 0.5ML",
+    "HEPATITIS B VACCINE PEDIATRIC 0.5ML",
+    "XYZ 10",
+    "AMOX 250MG CAP",
+    "METFORMIN+",
+    "  PARACETAMOL   500MG   TAB  ",
+    "PARACETAMOL FOR FEVER 500MG TAB",
+    "OMEPRAZOLE (LOSEC) 20MG CAPSULE",
+    "SALBUTAMOL NEB 2.5MG/2.5ML EVERY 6 HOURS",
+    "AMLODIPINE BENZOATE HYDRATE 10MG TABLET",
+    "AMLODIPINE CAMSYLATE 5MG TAB",
+    "PANTOPRAZOLE SODIUM 40MG VIAL",
+    "LOSARTAN+AMLODIPINE 50/5MG TABLET",
+    "ISOSORBIDE 10MG TABLET",
+    "CEFUROXIME 750MG VIAL",
+    "DOBUTAMINE 250MG IN 250ML D5W DRIP",
     # duplicates (dedup-before-tag must not change per-text results)
     "PARACETAMOL 500MG TABLET",
     "BIOGESIC 500MG TAB",
