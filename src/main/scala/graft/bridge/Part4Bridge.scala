@@ -77,23 +77,39 @@ object Part4Bridge {
     "indication_details" -> 5, "salt_details" -> 3, "alias_details" -> 2,
     "iv_diluent_type" -> 5, "iv_diluent_amount" -> 3)
 
-  /** @param items   id, generic_key, dose_key (struct), form, route
-    *                (+ the optional `*_details` tie-break columns —
-    *                missing ones are treated as null)
-    * @param catalog generic_key, drug_code, dose_key (struct), form,
-    *                route, description
+  /** @param items   id, generic_key OR generic_keys (array of probe keys,
+    *                [[GenericKeys.esoaProbeKeys]]), dose_key (struct),
+    *                form, route (+ the optional `*_details` tie-break
+    *                columns — missing ones are treated as null)
+    * @param catalog generic_key OR index_keys (array,
+    *                [[GenericKeys.annexIndexKeys]]), drug_code, dose_key
+    *                (struct), form, route, description
     * @return items + drug_code + drug_code_match_reason (the C2 cascade)
+    *
+    * With key arrays, a candidate reachable through several keys counts
+    * ONCE per (item, drug_code) — the reference dedups candidates by
+    * drug_code before the perfect checks (`runners.py:1183-1190`).
     */
   def matchDrugCodes(items: DataFrame, catalog: DataFrame): DataFrame = {
-    val cat = broadcast(catalog.select(
+    val catKeyed =
+      if (catalog.columns.contains("index_keys"))
+        catalog.withColumn("generic_key", explode(col("index_keys")))
+      else catalog
+    val cat = broadcast(catKeyed.select(
       col("generic_key"), col("drug_code"),
       col("dose_key").as("cand_dose_key"),
       col("form").as("cand_form"), col("route").as("cand_route"),
       col("description").as("cand_description")))
 
-    val itemsD = detailWeights.map(_._1).foldLeft(items) { (df, c) =>
+    val items1 =
+      if (items.columns.contains("generic_keys")) items
+      else items.withColumn("generic_keys",
+        when(col("generic_key").isNotNull, array(col("generic_key")))
+          .otherwise(typedLit(Seq.empty[String])))
+        .drop("generic_key")
+    val itemsD = detailWeights.map(_._1).foldLeft(items1) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null: String))
-    }
+    }.withColumn("generic_key", explode_outer(col("generic_keys")))
 
     // rank_candidate_for_drug_code as pure Catalyst: -w per detail found
     // in the candidate description (all upper-cased, substring semantics)
@@ -104,6 +120,10 @@ object Part4Bridge {
     }.reduce(_ + _)
 
     val joined = itemsD.join(cat, Seq("generic_key"), "left")
+      // candidate dedup by drug_code per item: the same candidate
+      // reached via several probe keys carries an identical payload, so
+      // any representative row is equivalent
+      .dropDuplicates("id", "drug_code")
       .withColumn("dose_ok",
         coalesce(dosesMatchUdf(col("dose_key"), col("cand_dose_key")), lit(false)))
       .withColumn("form_ok",
@@ -128,10 +148,10 @@ object Part4Bridge {
           detailsScore.as("details_score"),
           col("drug_code").as("drug_code")))).as("best"))
 
-    items.join(agg, Seq("id"), "left")
+    items1.join(agg, Seq("id"), "left")
       .withColumn("drug_code", col("best.drug_code"))
       .withColumn("drug_code_match_reason",
-        when(col("generic_key").isNull, "no_generic")
+        when(size(col("generic_keys")) === 0, "no_generic")
           .when(col("n_cand") === 0, "generic_not_in_annex")
           .when(col("dose_key").isNull, "no_perfect_match:no_dose_in_esoa")
           .when(col("best").isNotNull, "matched_perfect")

@@ -38,21 +38,33 @@ final class DrugsTaggingPipeline(
         // generic keys the Annex lookup, the structured dose key builds
         // from the tagger's computed columns + dose string + text, and
         // the *_details columns drive the tie-break.
+        val esoaKeysUdf = udf((g: String, d: String) =>
+          graft.bridge.GenericKeys.esoaProbeKeys(g, d))
+        val annexKeysUdf = udf((g: String) =>
+          graft.bridge.GenericKeys.annexIndexKeys(g))
         val items = tagged
-          .withColumn("generic_key",
-            when(col("match_reason") === "matched", lower(col("generic_name"))))
+          // probe keys expand each component through the synonym map in
+          // both directions (`runners.py:1150-1180`); built from the
+          // tagged generic regardless of match_reason (no_candidates rows
+          // carry the pipe-joined stripped generics and still probe)
+          .withColumn("generic_keys",
+            esoaKeysUdf(col("generic_name"), col("text")))
           .withColumn("dose_key", Part4Bridge.doseKeyUdf(
             col("drug_amount_mg"), col("concentration_mg_per_ml"),
             col("iv_diluent_type"), col("total_volume_ml"),
-            col("dose"), col("text"), coalesce(col("generic_key"), lit(""))))
-          .withColumn("route",
-            when(col("route").isNotNull,
-              try_element_at(split(col("route"), "\\|"), lit(1))))
+            col("dose"), col("text"), coalesce(col("generic_name"), lit(""))))
+        // the reference passes the route column AS-IS to route_matches
+        // (`runners.py:1171` — even a pipe-joined multi-route string),
+        // so no first-element split here
+        val annexRaw = annexF(spark)
+        val annexIdx =
+          if (annexRaw.columns.contains("index_keys")) annexRaw
+          else annexRaw.withColumn("index_keys", annexKeysUdf(col("generic_key")))
         val bridged = Part4Bridge.matchDrugCodes(
-          items.select((Seq("id", "generic_key", "dose_key", "form", "route") ++
+          items.select((Seq("id", "generic_keys", "dose_key", "form", "route") ++
             Part4Bridge.detailWeights.map(_._1).filter(items.columns.contains))
             .map(col): _*),
-          annexF(spark))
+          annexIdx)
         tagged.join(
           bridged.select("id", "drug_code", "drug_code_match_reason"),
           Seq("id"), "left")

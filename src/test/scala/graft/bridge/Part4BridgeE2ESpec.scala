@@ -1,0 +1,96 @@
+package graft.bridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipelines.DrugsTaggingPipeline
+import graft.refbuild.UnifiedReference
+
+/** Full Part-2/3/4 parity against a REAL reference run.
+  *
+  * `tools/gen_part4_golden.py` tags an Annex F frame and an ESOA frame
+  * with the reference's UnifiedTagger over the same synthetic catalog as
+  * the tagger e2e golden, then runs the reference's
+  * `run_esoa_to_drug_code` (Part 4) and pins every row's
+  * (drug_code, drug_code_match_reason). This spec drives the SAME raw
+  * inputs through the registered [[DrugsTaggingPipeline]] — tagging,
+  * probe-key expansion, dose keys, and the bridge — and asserts
+  * identical codes and reasons.
+  */
+class Part4BridgeE2ESpec extends SparkSpec {
+
+  private val Null = "<NULL>"
+
+  private def res(name: String, dir: String = "part4"): String =
+    getClass.getResource(s"/graft/$dir/$name").toString
+
+  private def readCsv(path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  test("registered pipeline matches the reference Part-4 run end-to-end") {
+    val generics = readCsv(res("unified_generics.csv", "e2e"))
+    val atcMap = readCsv(res("unified_atc.csv", "e2e"))
+    val mixtures = readCsv(res("unified_mixtures.csv", "e2e"))
+    val brands = readCsv(res("unified_brands.csv", "e2e"))
+    val catalog =
+      UnifiedReference.buildTaggerCatalog(generics, atcMap, Some(mixtures))
+    val brandMap = UnifiedReference.buildBrandMap(brands, generics)
+
+    // raw inputs = the identifying columns of the reference's tagged
+    // frames (the rest of those CSVs is reference output we recompute)
+    val annexRaw = readCsv(res("annex_f_with_atc.csv"))
+      .select(col("Drug Code").as("drug_code_in"),
+        coalesce(col("Drug Description"), lit("")).as("text"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("drug_code_in"))
+        .cast("long"))
+    val esoaRaw = readCsv(res("esoa_with_atc.csv"))
+      .select(col("id").cast("long").as("id"),
+        coalesce(col("DESCRIPTION"), lit("")).as("text"))
+
+    val annexKeysUdf = udf((g: String) => GenericKeys.annexIndexKeys(g))
+    val annexF = (s: SparkSession) => {
+      val tagged = graft.tagger.ScoredTagger.tagTexts(
+        s, annexRaw.select("id", "text"), catalog, brandMap = brandMap)
+      tagged.join(annexRaw.select("id", "drug_code_in"), Seq("id"))
+        .withColumn("index_keys", annexKeysUdf(col("generic_name")))
+        .filter(size(col("index_keys")) > 0) // rows without a generic are
+                                             // never indexed (runners.py:1036)
+        .withColumn("dose_key", Part4Bridge.doseKeyUdf(
+          col("drug_amount_mg"), col("concentration_mg_per_ml"),
+          col("iv_diluent_type"), col("total_volume_ml"),
+          col("dose"), col("text"), coalesce(col("generic_name"), lit(""))))
+        .select(col("index_keys"), col("drug_code_in").as("drug_code"),
+          col("dose_key"), col("form"), col("route"),
+          col("text").as("description"))
+    }
+
+    val pipeline = new DrugsTaggingPipeline(
+      texts = _ => esoaRaw.select("id", "text"),
+      catalog = _ => catalog,
+      brandMap = brandMap,
+      annex = Some(annexF))
+    val out = pipeline.matchRecords(spark, esoaRaw.select("id", "text"))
+      .select("id", "drug_code", "drug_code_match_reason")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[String]("drug_code")).getOrElse(Null),
+          Option(r.getAs[String]("drug_code_match_reason")).getOrElse(Null)))
+      .toMap
+
+    val golden = readCsv(res("golden.csv")).collect()
+      .map(r => r.getAs[String]("id").toLong ->
+        (r.getAs[String]("drug_code"), r.getAs[String]("drug_code_match_reason")))
+      .toMap
+
+    assert(out.keySet == golden.keySet, "row id sets differ")
+    val diffs = golden.keys.toSeq.sorted.flatMap { id =>
+      if (out(id) != golden(id))
+        Some(s"id=$id reference=${golden(id)} graft=${out(id)}")
+      else None
+    }
+    assert(diffs.isEmpty,
+      s"\n${diffs.size} Part-4 divergences:\n" + diffs.mkString("\n"))
+  }
+}
