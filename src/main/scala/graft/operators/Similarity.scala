@@ -61,6 +61,36 @@ object Similarity {
     * id, so the corpus shuffles once on c_id and only the probe rows
     * fan out nprobe-fold.
     */
+  /** Lloyd's-trained IVF centroids via MLlib KMeans (k-means|| init,
+    * fixed seed): the production way to pick cells — trained centers
+    * adapt to the corpus's actual density instead of sampling fixed rows,
+    * which balances cell sizes (bounding the candidate fan-in per probe)
+    * and raises recall at a given nprobe on clustered corpora.
+    *
+    * Spec-gated rather than oracle-gated: the fit is an iterative
+    * distributed aggregation whose float summation order is not
+    * reproducible in DuckDB SQL; SimilaritySpec asserts the recall
+    * property instead ([[ivfTopK]] consumes the result identically
+    * either way).
+    *
+    * @param corpus (vec_id, v: array<double>, nrm)
+    * @return (c_id, cv, cn) — broadcastable, k rows
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, maxIter: Int = 20,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .fit(corpus.select(array_to_vector(col("v")).as("features")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("c_id", "cv")
+      .withColumn("cn", sqrt(aggregate(transform(col("cv"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
     val cents = broadcast(centroids)

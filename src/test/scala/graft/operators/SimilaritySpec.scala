@@ -80,4 +80,15 @@ class SimilaritySpec extends SparkSpec {
       corpus, queries(corpus), centroids(corpus), nprobe = nClusters, k = 5))
     assert(exact.subsetOf(ann) && ann == exact)
   }
+
+  test("KMeans-trained centroids discover the clusters: recall >= 0.9 at nprobe=2") {
+    // no cluster labels leak in: the trainer sees only the vectors, yet
+    // its cells must recover the same locality the seeded centroids get
+    val trained = Similarity.trainCentroids(corpus, k = nClusters, seed = 7L)
+    assert(trained.count() == nClusters)
+    val ann = topkSet(Similarity.ivfTopK(
+      corpus, queries(corpus), trained, nprobe = 2, k = 5))
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"trained-centroid recall $recall")
+  }
 }
