@@ -483,6 +483,20 @@ object ScoredTagger {
       .select(col("id"), col("generic_name"), col("atc_code"),
         col("drugbank_id"), col("reference_text"), col("source"), col("key"))
 
+    // Catalogs without a fallback_only column cannot carry mixture rows
+    // (only buildTaggerCatalog emits them, always with the flag), so the
+    // mixture branches below — a window, a flags join and an anti-join
+    // union over provably-empty frames — are skipped outright: each
+    // empty frame still schedules full shuffle stages (measurable on the
+    // q26/q27 bench demos).
+    if (!catalog.columns.contains("fallback_only"))
+      return hits.select("id").distinct()
+        .join(best, Seq("id"), "left")
+        .withColumn("match_reason",
+          when(col("generic_name").isNotNull, lit("matched"))
+            .otherwise(lit("no_match")))
+        .withColumn("mixture_branch", lit(null: String))
+
     // Mixture fallback branches, both bypassing selection with score-100
     // semantics (the caller maps source drugbank_mixture to score 100):
     //  A (`tagger.py:806-824`): no candidate at all -> component row; the
