@@ -117,6 +117,10 @@ GENERICS = [
     ("DB09153", "SODIUM CHLORIDE", "drugbank"),
     ("DB00338", "OMEPRAZOLE", "drugbank"),
     ("DB00213", "PANTOPRAZOLE", "drugbank"),  # deliberately NO atc row
+    ("DB01053", "BENZYLPENICILLIN", "drugbank"),
+    ("DB00158", "ASCORBIC ACID", "drugbank"),
+    ("DBFS001", "FERROUS SULFATE", "drugbank"),
+    ("DBVAC03", "BCG VACCINE", "who"),
 ]
 
 ATC = [
@@ -146,6 +150,10 @@ ATC = [
     ("DEXTROSE", "B05CX01"),
     ("SODIUM CHLORIDE", "B05CB01"),
     ("OMEPRAZOLE", "A02BC01"),
+    ("BENZYLPENICILLIN", "J01CE01"),
+    ("ASCORBIC ACID", "A11GA01"),
+    ("FERROUS SULFATE", "B03AA07"),
+    ("BCG VACCINE", "J07AN01"),
 ]
 
 BRANDS = [
@@ -258,6 +266,16 @@ TEXTS = [
     "ISOSORBIDE 10MG TABLET",
     "CEFUROXIME 750MG VIAL",
     "DOBUTAMINE 250MG IN 250ML D5W DRIP",
+    "DTP 0.5ML",
+    "BCG VACCINE 0.05ML INTRADERMAL",
+    "BENZYLPENICILLIN 1000000 IU VIAL",
+    "ASCORBIC ACID (VITAMIN C) 500MG TABLET",
+    "FERROUS SULFATE 325MG TABLET",
+    "FERROUS SULFATE + FOLIC ACID TABLET",
+    "AMOXICILLIN 500MG + CLAVULANIC ACID 125MG TABLET",
+    "SALBUTAMOL 2MG/5ML SYRUP 60ML",
+    "PARACETAMOL 500MG SUPPOSITORY",
+    "VITAMIN C 500MG TAB",
     # duplicates (dedup-before-tag must not change per-text results)
     "PARACETAMOL 500MG TABLET",
     "BIOGESIC 500MG TAB",

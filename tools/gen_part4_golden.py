@@ -98,6 +98,12 @@ ANNEX = [
     ("D016", "ISOSORBIDE DINITRATE 5MG SUBLINGUAL TABLET"),
     ("D017", "LAMIVUDINE + ZIDOVUDINE 150MG/300MG TABLET"),
     ("D018", "PARACETAMOL 500MG TABLET"),
+    ("D019", "BENZYLPENICILLIN 1000000 IU VIAL"),
+    ("D020", "AMOXICILLIN + CLAVULANIC ACID 500MG/125MG TABLET"),
+    ("D021", "PARACETAMOL 500MG SUPPOSITORY"),
+    ("D022", "SALBUTAMOL 100MCG INHALER"),
+    ("D023", "DEXTROSE 50% 50ML VIAL"),
+    ("D024", "FERROUS SULFATE 325MG TABLET"),
 ]
 
 ESOA = [
@@ -127,6 +133,15 @@ ESOA = [
     "ETHANOL 95% SOLUTION",
     "GLUCOPHAGE 500MG TABLET",
     "PARACETAMOL 500 MG TAB",
+    "BENZYLPENICILLIN 1000000 IU VIAL",
+    "BENZYLPENICILLIN 500000 IU VIAL",
+    "CO-AMOXICLAV 500MG/125MG TAB",
+    "PARACETAMOL 500MG SUPPOSITORY",
+    "VENTOLIN 100MCG INHALER",
+    "SALBUTAMOL 0.1MG INHALER",
+    "DEXTROSE 50% 50ML",
+    "FERROUS SULFATE 325MG TABLET",
+    "AMOXICILLIN 500MG + CLAVULANIC ACID 125MG TABLET",
 ]
 
 MERGE_COLS = [
