@@ -101,4 +101,19 @@ object Constants {
   lazy val synonymMap: Map[String, String] =
     allDrugSynonyms ++ genericSynonyms ++ ivFluidSynonyms ++
       spellingSynonyms ++ regionalCanonical
+
+  /** REGIONAL_TO_US (`unified_constants.py:1726`): the INVERSE of the
+    * regional output map — PARACETAMOL -> ACETAMINOPHEN for lookups.
+    */
+  lazy val regionalToUs: Map[String, String] =
+    regionalCanonical.map(_.swap)
+
+  /** The TAGGER's synonym dict (`tagger.py:209-213`): SPELLING_SYNONYMS
+    * then REGIONAL_TO_US (later wins), before any table-driven synonyms
+    * are merged on top by the caller. NOT the same universe as
+    * [[synonymMap]]: the tagger never consults the all-drug/iv-fluid
+    * maps, and the regional direction is lookup-wards.
+    */
+  lazy val taggerSynonyms: Map[String, String] =
+    spellingSynonyms ++ regionalToUs
 }

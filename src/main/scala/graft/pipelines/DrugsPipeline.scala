@@ -21,7 +21,9 @@ final class DrugsTaggingPipeline(
     // generic-API scan-mode config
     cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
     brandMap: Map[String, String] = Map.empty,
-    annex: Option[SparkSession => DataFrame] = None)
+    annex: Option[SparkSession => DataFrame] = None,
+    // table-driven synonyms over the static tagger dict (tagger.py:216-229)
+    synonyms: Map[String, String] = Map.empty)
   extends Pipeline {
 
   val itemRefCode = "DrugsAndMedicine"
@@ -29,7 +31,8 @@ final class DrugsTaggingPipeline(
   def prepareInputs(spark: SparkSession): DataFrame = texts(spark)
 
   def matchRecords(spark: SparkSession, prepared: DataFrame): DataFrame = {
-    val tagged = ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg, brandMap)
+    val tagged = ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg,
+      brandMap, synonyms = synonyms)
     annex match {
       case None => tagged
       case Some(annexF) =>

@@ -271,6 +271,30 @@ object UnifiedReference {
     }
   }
 
+  /** Table-driven synonym entries for the tagger's dict
+    * (`tagger.py:216-229`): each pipe-separated synonym of a
+    * unified_synonyms row maps UPPER(synonym) -> UPPER(generic_name),
+    * skipping self-mappings. Merge the result over
+    * `Constants.taggerSynonyms` via `tagTexts(synonyms = ...)`.
+    * Driver-side collect of a dimension table, like [[buildBrandMap]].
+    */
+  def buildSynonymMap(synonyms: DataFrame): Map[String, String] = {
+    val rows = synonyms
+      .filter(col("generic_name").isNotNull &&
+        col("synonyms").isNotNull && col("synonyms") =!= "")
+      .select(upper(col("generic_name")).as("g"), col("synonyms"))
+      .collect()
+    val map = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (r <- rows) {
+      val g = r.getAs[String]("g")
+      for (s0 <- r.getAs[String]("synonyms").split("\\|")) {
+        val s = s0.trim.toUpperCase
+        if (s.nonEmpty && s != g) map(s) = g
+      }
+    }
+    map.toMap
+  }
+
   /** The tagger's brand -> generic swap map (J10 build side,
     * `tagger.py:232-265`): brand rows grouped and ranked by frequency so
     * more common associations win, with the FDA brand/generic SWAP rule —

@@ -39,14 +39,16 @@ object DrugTagger {
   def probeFrame(texts: DataFrame,
       cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
       brandMap: Map[String, String] = Map.empty,
-      multiwordExtra: Set[String] = Set.empty): DataFrame = {
+      multiwordExtra: Set[String] = Set.empty,
+      synonyms: Map[String, String] = Map.empty): DataFrame = {
     // The key-universe build (`tagger.py:637-699`) lives in
     // ScoredTagger.shapeRowOf so one extraction pass serves both probes
     // and shape; this standalone frame reuses it. Probe position encodes
     // priority (whole-input keys first) for the top-1 ranking window.
     val mw = ScoredTagger.MwDict.of(multiwordExtra)
+    val syn = graft.functions.Constants.taggerSynonyms ++ synonyms
     val probesOf = udf((text: String) =>
-      ScoredTagger.shapeRowOf(text, brandMap, mw).probes)
+      ScoredTagger.shapeRowOf(text, brandMap, mw, syn).probes)
     texts
       .select(col("id"), posexplode(probesOf(col("text"))))
       .toDF("id", "probe_pos", "probe")

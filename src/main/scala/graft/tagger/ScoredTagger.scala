@@ -132,7 +132,11 @@ object ScoredTagger {
 
   private[tagger] def shapeRowOf(text: String,
       brandMap: Map[String, String] = Map.empty,
-      mw: MwDict = MwDict.default): ShapeRow = {
+      mw: MwDict = MwDict.default,
+      // the tagger's synonym dict (`tagger.py:209-230`): spelling +
+      // REGIONAL_TO_US + any table-driven synonyms merged by the caller
+      syn: Map[String, String] = Constants.taggerSynonyms): ShapeRow = {
+    def applySyn(g: String): String = SaltLib.applySynonym(g, syn)
     val up = text.toUpperCase
     val d = DetailsLib.extractDrugDetails(text)
 
@@ -191,7 +195,7 @@ object ScoredTagger {
     // batch-order artifact not reproduced)
     val comboKeys = TokenLib.buildCombinationKeys(withSwaps)
     val extraNorm = comboKeys.flatMap { ck =>
-      val ckSyn = SaltLib.applySynonym(ck)
+      val ckSyn = applySyn(ck)
       if (ckSyn != ck && ckSyn != "+" && ckSyn != "MG/5") Some(ckSyn) else None
     }.distinct
 
@@ -206,7 +210,7 @@ object ScoredTagger {
     // variant gets its synonym applied too.
     val normalizedComponents = withSwaps.map(g =>
       if (Constants.pureSaltCompounds.contains(g.toUpperCase)) g.toUpperCase
-      else SaltLib.applySynonym(mw.stripBase(g)))
+      else applySyn(mw.stripBase(g)))
     val cleanToks0 =
       if (cleanName != null && cleanName.nonEmpty && cleanName != up)
         TokenLib.extractGenericTokens(cleanName, mw.index)._2
@@ -214,7 +218,7 @@ object ScoredTagger {
     val allCombos = (comboKeys ++
       TokenLib.buildCombinationKeys(normalizedComponents) ++
       (if (cleanToks0.length >= 2) TokenLib.buildCombinationKeys(cleanToks0) else Nil))
-    val combosWithSyn = allCombos ++ allCombos.map(SaltLib.applySynonym(_))
+    val combosWithSyn = allCombos ++ allCombos.map(applySyn)
     val mixtureKey = TokenLib.combinationComponents(withSwaps) match {
       case parts if parts.size >= 2 => List(parts.sorted.mkString("|"))
       case _ => Nil
@@ -231,11 +235,11 @@ object ScoredTagger {
     // mixture table by name ONLY for apply_synonyms(sg) of each stripped
     // generic, and only when the synonym actually rewrote it
     val j12Probes = stripped.map(_.toUpperCase).flatMap { sg =>
-      val syn = SaltLib.applySynonym(sg)
-      if (syn != sg) Some(syn.toLowerCase) else None
+      val synName = applySyn(sg)
+      if (synName != sg) Some(synName.toLowerCase) else None
     }.distinct
     val probes = (vaccineProbes ++ combosWithSyn ++
-      mixtureKey ++ withSwaps ++ withSwaps.map(SaltLib.applySynonym(_)) ++
+      mixtureKey ++ withSwaps ++ withSwaps.map(applySyn) ++
       withSwaps.map(mw.stripBase) ++
       normalizedComponents ++ j12Probes)
       .filter(p => p != null && p.length > 2 &&
@@ -302,7 +306,8 @@ object ScoredTagger {
 
   private[tagger] def finalizeShape(stripped: Seq[String],
       extraNorm: Seq[String], hasPlus: Boolean, hasIn: Boolean,
-      fuzzyNames: Seq[String]): FinalShape = {
+      fuzzyNames: Seq[String],
+      syn: Map[String, String] = Constants.taggerSynonyms): FinalShape = {
     val corrections = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (name <- fuzzyNames; if name != null) {
       stripped.map(_.toUpperCase)
@@ -312,7 +317,7 @@ object ScoredTagger {
     var normalized = Set.empty[String]
     for (sg <- stripped) {
       val sgU = sg.toUpperCase
-      val n = corrections.getOrElse(sgU, SaltLib.applySynonym(sgU))
+      val n = corrections.getOrElse(sgU, SaltLib.applySynonym(sgU, syn))
       if (n.nonEmpty && n != "+" && n != "MG/5") normalized += n
     }
     normalized ++= extraNorm
@@ -331,20 +336,24 @@ object ScoredTagger {
   // trap, Dedup.scala:27-36). Nondeterministic expressions are never
   // duplicated by CollapseProject, so the struct materializes once and
   // field reads are GetStructField over the attribute.
-  private def shapeUdf(brandMap: Map[String, String], mw: MwDict) =
-    udf((text: String) => shapeRowOf(text, brandMap, mw)).asNondeterministic()
+  private def shapeUdf(brandMap: Map[String, String], mw: MwDict,
+      syn: Map[String, String]) =
+    udf((text: String) => shapeRowOf(text, brandMap, mw, syn))
+      .asNondeterministic()
 
-  private val finalizeUdf = udf((stripped: Seq[String], extra: Seq[String],
-      hasPlus: Boolean, hasIn: Boolean, fuzzyNames: Seq[String]) =>
-    finalizeShape(stripped, extra, hasPlus, hasIn, fuzzyNames))
-    .asNondeterministic() // same barrier as shapeUdf
+  private def finalizeUdf(syn: Map[String, String]) =
+    udf((stripped: Seq[String], extra: Seq[String],
+        hasPlus: Boolean, hasIn: Boolean, fuzzyNames: Seq[String]) =>
+      finalizeShape(stripped, extra, hasPlus, hasIn, fuzzyNames, syn))
+      .asNondeterministic() // same barrier as shapeUdf
 
   /** [[Scoring.candidateRank]] as a row-level expression: null when the
     * candidate is filtered (invalid), else a (mp, ap, fp, ds) struct.
     * route/source never enter the rank (`scoring.py:203-387`), so they
     * are not passed.
     */
-  private val rankUdf = udf((genericName: String, atcCode: String,
+  private def rankUdf(syn: Map[String, String]) =
+    udf((genericName: String, atcCode: String,
       form: String, refText: String, inputForms: Seq[String],
       genericsNorm: Seq[String], flags: Int, stripped: Seq[String],
       details: Map[String, String]) =>
@@ -354,7 +363,9 @@ object ScoredTagger {
         if (refText == null) "" else refText),
       inputForms.toSet, genericsNorm.toSet,
       (flags & 1) != 0, (flags & 2) != 0, (flags & 4) != 0,
-      stripped.toList, details)).asNondeterministic() // same barrier
+      stripped.toList, details,
+      applySyn = g => SaltLib.applySynonym(g, syn)))
+      .asNondeterministic() // same barrier
 
   /** G2 ATC explode (`tagger.py:839-856`): a pipe-joined ATC payload
     * becomes one candidate per code in preference order (singles before
@@ -387,7 +398,8 @@ object ScoredTagger {
     */
   def tagCandidates(probes: DataFrame, catalog: DataFrame,
       shapes: DataFrame,
-      cfg: LookupWaterfall.Config = LookupWaterfall.Config()): DataFrame = {
+      cfg: LookupWaterfall.Config = LookupWaterfall.Config(),
+      synonyms: Map[String, String] = Constants.taggerSynonyms): DataFrame = {
     val cat = if (catalog.columns.contains("fallback_only")) catalog
       else catalog.withColumn("fallback_only", lit(false))
     val probes1 = if (probes.columns.contains("j12_ok")) probes
@@ -432,7 +444,7 @@ object ScoredTagger {
 
     val finShapes = shapes
       .join(fuzzyNames, Seq("id"), "left")
-      .withColumn("fin", finalizeUdf(col("stripped"), col("extra_norm"),
+      .withColumn("fin", finalizeUdf(synonyms)(col("stripped"), col("extra_norm"),
         col("has_plus"), col("has_in"),
         coalesce(col("fuzzy_names"), typedLit(Seq.empty[String]))))
       .select(col("id"), col("input_forms"), col("stripped"), col("details"),
@@ -461,7 +473,7 @@ object ScoredTagger {
     // both sides hash-partition on id, which is exactly the partitioning
     // the selection window needs — one exchange, reused.
     val ranked = exploded.join(finShapes, Seq("id"))
-      .withColumn("rank", rankUdf(
+      .withColumn("rank", rankUdf(synonyms)(
         col("generic_name"), col("atc_code"), col("form"),
         col("reference_text"), col("input_forms"), col("generics_norm"),
         col("shape_flags"), col("stripped"), col("details")))
@@ -572,7 +584,12 @@ object ScoredTagger {
       // derivation is a driver-side collect of a DIMENSION table — the
       // catalog is broadcastable by contract, and the reference holds the
       // same list in tagger memory.
-      multiwordExtra: Option[Set[String]] = None): DataFrame = {
+      multiwordExtra: Option[Set[String]] = None,
+      // table-driven synonyms merged OVER the static tagger dict
+      // (`tagger.py:217-227`, e.g. [[graft.refbuild.UnifiedReference
+      // .buildSynonymMap]] of unified_synonyms)
+      synonyms: Map[String, String] = Map.empty): DataFrame = {
+    val syn = Constants.taggerSynonyms ++ synonyms
     val mw = MwDict.of(multiwordExtra.getOrElse {
       val gen0 =
         if (catalog.columns.contains("source"))
@@ -599,7 +616,7 @@ object ScoredTagger {
     // evaluation for the two consumers (probe path + shape join) — same
     // lifecycle notes as LookupWaterfall.allMatches.
     val shapes = uniq
-      .select(col("id"), shapeUdf(brandMap, mw)(col("text")).as("shape"))
+      .select(col("id"), shapeUdf(brandMap, mw, syn)(col("text")).as("shape"))
       .select(col("id"), col("shape.*"))
       .localCheckpoint(true)
     val probes = shapes
@@ -608,7 +625,7 @@ object ScoredTagger {
       .select(col("id"), col("probe_pos"), col("probe"),
         array_contains(col("j12_probes"), col("probe")).as("j12_ok"))
     val selected = tagCandidates(probes, catalog,
-      shapes.drop("probes", "j12_probes"), cfg)
+      shapes.drop("probes", "j12_probes"), cfg, syn)
 
     val matched = col("match_reason") === "matched"
     // component-key mixture hits take the reference's `_lookup_mixture`

@@ -36,6 +36,8 @@ class Part4BridgeE2ESpec extends SparkSpec {
     val catalog =
       UnifiedReference.buildTaggerCatalog(generics, atcMap, Some(mixtures))
     val brandMap = UnifiedReference.buildBrandMap(brands, generics)
+    val synonymMap = UnifiedReference.buildSynonymMap(
+      readCsv(res("unified_synonyms.csv", "e2e")))
 
     // raw inputs = the identifying columns of the reference's tagged
     // frames (the rest of those CSVs is reference output we recompute)
@@ -52,7 +54,8 @@ class Part4BridgeE2ESpec extends SparkSpec {
     val annexKeysUdf = udf((g: String) => GenericKeys.annexIndexKeys(g))
     val annexF = (s: SparkSession) => {
       val tagged = graft.tagger.ScoredTagger.tagTexts(
-        s, annexRaw.select("id", "text"), catalog, brandMap = brandMap)
+        s, annexRaw.select("id", "text"), catalog, brandMap = brandMap,
+        synonyms = synonymMap)
       tagged.join(annexRaw.select("id", "drug_code_in"), Seq("id"))
         .withColumn("index_keys", annexKeysUdf(col("generic_name")))
         .filter(size(col("index_keys")) > 0) // rows without a generic are
@@ -70,7 +73,8 @@ class Part4BridgeE2ESpec extends SparkSpec {
       texts = _ => esoaRaw.select("id", "text"),
       catalog = _ => catalog,
       brandMap = brandMap,
-      annex = Some(annexF))
+      annex = Some(annexF),
+      synonyms = synonymMap)
     val out = pipeline.matchRecords(spark, esoaRaw.select("id", "text"))
       .select("id", "drug_code", "drug_code_match_reason")
       .collect()

@@ -37,12 +37,16 @@ class DrugsPipelineSpec extends SparkSpec {
   test("registered pipeline runs Parts 2/3 with phase metrics") {
     val reg = new PipelineRegistry
     reg.register(new DrugsTaggingPipeline(
-      s => { import s.implicits._; esoa.toDF("id", "text") }, catalog))
+      s => { import s.implicits._; esoa.toDF("id", "text") }, catalog,
+      // CEPHALEXIN -> CEFALEXIN comes from the unified_synonyms TABLE in
+      // real catalogs (the static tagger dict has no such pair —
+      // tagger.py:209-213); modeled as a table-synonym entry here
+      synonyms = Map("CEPHALEXIN" -> "CEFALEXIN")))
     val (out, metrics) = reg.run(spark, "DrugsAndMedicine")
     val got = out.collect().map(r => r.getAs[Long]("id") ->
       (r.getAs[String]("match_reason"), r.getAs[String]("atc_code"))).toMap
     assert(got(1L) == (("matched", "N02BE01")))
-    assert(got(2L) == (("matched", "J01DB01"))) // synonym-corrected spelling
+    assert(got(2L) == (("matched", "J01DB01"))) // table-synonym spelling
     assert(got(3L) == (("matched", "M01AE51"))) // combo key
     assert(got(4L)._1 == "no_candidates")       // not in catalog
     assert(got(5L)._1 == "no_candidates")
@@ -81,7 +85,8 @@ class DrugsPipelineSpec extends SparkSpec {
 
   test("Part-4 bridging chains on the tagged output") {
     val tagged = graft.tagger.ScoredTagger.tagTexts(spark,
-      esoa.toDF("id", "text"), catalog(spark))
+      esoa.toDF("id", "text"), catalog(spark),
+      synonyms = Map("CEPHALEXIN" -> "CEFALEXIN"))
       .filter(col("match_reason") === "matched")
       .select(col("id"), lower(col("generic_name")).as("generic_key"),
         col("text").as("description"))

@@ -38,11 +38,22 @@ class DrugTaggerSpec extends SparkSpec {
     assert(out(1L) == ("prefix", "J01CA04"))
   }
 
-  test("synonym probe upgrades CEPHALEXIN to an exact match") {
-    // CEPHALEXIN is in the reference SPELLING_SYNONYMS -> CEFALEXIN, so it
-    // resolves on the exact leg, not fuzzy
-    val out = tag(Seq((1L, "CEPHALEXIN 250MG/5ML SYRUP")))
-    assert(out(1L) == ("exact", "J01DB01"))
+  test("table synonyms drive the exact leg; the static tagger dict alone does not") {
+    import spark.implicits._
+    // CEPHALEXIN -> CEFALEXIN is NOT in the tagger's static dict
+    // (spelling + REGIONAL_TO_US, tagger.py:209-213; the pair lives in
+    // the Part-4 ALL_DRUG_SYNONYMS universe) — verified against a real
+    // reference run: no_candidates without table synonyms. With a
+    // unified_synonyms entry merged in, the exact leg fires.
+    val texts = Seq((1L, "CEPHALEXIN 250MG/5ML SYRUP")).toDF("id", "text")
+    val bare = DrugTagger.tagTexts(spark, texts, catalog)
+      .collect().map(r => r.getAs[String]("match_reason")).head
+    assert(bare == "no_match") // probes never produce the cefalexin key
+    val probes = DrugTagger.probeFrame(texts,
+      synonyms = Map("CEPHALEXIN" -> "CEFALEXIN"))
+    val withSyn = LookupWaterfall.tag(probes, catalog)
+      .collect().map(r => (r.getAs[Int]("leg"), r.getAs[String]("atc_code")))
+    assert(withSyn.contains((1, "J01DB01")))
   }
 
   test("fuzzy match catches novel misspellings: CEFALEXIM -> CEFALEXIN") {

@@ -65,6 +65,9 @@ class E2EReferenceParitySpec extends SparkSpec {
     val catalog =
       UnifiedReference.buildTaggerCatalog(generics, atcMap, Some(mixtures))
     val brandMap = UnifiedReference.buildBrandMap(brands, generics)
+    val synonymMap =
+      UnifiedReference.buildSynonymMap(readCsv("unified_synonyms.csv"))
+    assert(synonymMap.get("PENICILLIN G").contains("BENZYLPENICILLIN"))
     assert(brandMap == Map(
       "BIOGESIC" -> "ACETAMINOPHEN", "TYLENOL" -> "ACETAMINOPHEN",
       "VENTOLIN" -> "SALBUTAMOL", "GLUCOPHAGE" -> "METFORMIN HYDROCHLORIDE",
@@ -75,7 +78,7 @@ class E2EReferenceParitySpec extends SparkSpec {
         coalesce(col("text"), lit("")).as("text"))
 
     val tagged = ScoredTagger.tagTexts(spark, texts, catalog,
-      brandMap = brandMap)
+      brandMap = brandMap, synonyms = synonymMap)
 
     val byId: Map[Long, Row] =
       tagged.collect().map(r => r.getAs[Long]("id") -> r).toMap

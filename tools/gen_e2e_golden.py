@@ -121,6 +121,13 @@ GENERICS = [
     ("DB00158", "ASCORBIC ACID", "drugbank"),
     ("DBFS001", "FERROUS SULFATE", "drugbank"),
     ("DBVAC03", "BCG VACCINE", "who"),
+    # regional-direction probes: only the REGIONAL name is in the catalog
+    # (ADRENALINE) or only the US name is absent (MEPERIDINE present) —
+    # the tagger dict maps regional->US ONLY (REGIONAL_TO_US), so
+    # EPINEPHRINE never rewrites to ADRENALINE while PETHIDINE does
+    # rewrite to MEPERIDINE
+    ("DB00668", "ADRENALINE", "who"),
+    ("DB00454", "MEPERIDINE", "drugbank"),
 ]
 
 ATC = [
@@ -154,6 +161,8 @@ ATC = [
     ("ASCORBIC ACID", "A11GA01"),
     ("FERROUS SULFATE", "B03AA07"),
     ("BCG VACCINE", "J07AN01"),
+    ("ADRENALINE", "C01CA24"),
+    ("MEPERIDINE", "N02AB02"),
 ]
 
 BRANDS = [
@@ -276,6 +285,12 @@ TEXTS = [
     "SALBUTAMOL 2MG/5ML SYRUP 60ML",
     "PARACETAMOL 500MG SUPPOSITORY",
     "VITAMIN C 500MG TAB",
+    "EPINEPHRINE 1MG/ML AMPULE",
+    "ADRENALINE 1MG/ML AMPULE",
+    "PETHIDINE 50MG AMPULE",
+    "MEPERIDINE 50MG AMPULE",
+    "PENICILLIN G 1000000 IU VIAL",
+    "CETIRIZINA 10MG TABLET",
     # duplicates (dedup-before-tag must not change per-text results)
     "PARACETAMOL 500MG TABLET",
     "BIOGESIC 500MG TAB",
@@ -306,7 +321,11 @@ write_csv("unified_generics.csv", ["drugbank_id", "generic_name", "name_key", "s
 write_csv("unified_atc.csv", ["drugbank_id", "generic_name", "atc_code"],
           [("", g, a) for g, a in ATC])
 write_csv("unified_brands.csv", ["brand_name", "generic_name"], BRANDS)
-write_csv("unified_synonyms.csv", ["drugbank_id", "generic_name", "synonyms"], [])
+# table-driven synonyms (tagger.py:216-229): PENICILLIN G resolves to
+# BENZYLPENICILLIN only through this table
+write_csv("unified_synonyms.csv", ["drugbank_id", "generic_name", "synonyms"],
+          [("DB01053", "BENZYLPENICILLIN", "PENICILLIN G|BENZYL PENICILLIN"),
+           ("DB00512", "CETIRIZINE", "CETIRIZINA")])
 write_csv("unified_mixtures.csv",
           ["drugbank_id", "mixture_name", "component_generics", "component_keys",
            "component_key", "component_count"], MIXTURES)
