@@ -210,14 +210,15 @@ object LookupWaterfall {
       case "blocked" =>
         val d = cfg.fuzzyMaxDist
         val delUdf = udf((s: String) => deleteVariants(s, d))
-        val keyVars = catalog.select(col("key")).distinct()
+        val keyVars = cat0.filter(!col("exact_only"))
+          .select(col("key")).distinct()
           .select(col("key"), explode(delUdf(col("key"))).as("variant"))
         val probeVars = missPrefix.select(col("probe")).distinct()
           .select(col("probe"), explode(delUdf(col("probe"))).as("variant"))
         val candPairs = probeVars.join(keyVars, Seq("variant"))
           .select("probe", "key").distinct()
         missPrefix.join(candPairs, Seq("probe"))
-          .join(cat.withColumnRenamed("key", "k2"), col("key") === col("k2"))
+          .join(catFuzzy.withColumnRenamed("key", "k2"), col("key") === col("k2"))
           .drop("k2")
           .filter(lev >= 0 && col("key") =!= col("probe"))
           .withColumn("leg", lit(3))
