@@ -128,6 +128,9 @@ GENERICS = [
     # rewrite to MEPERIDINE
     ("DB00668", "ADRENALINE", "who"),
     ("DB00454", "MEPERIDINE", "drugbank"),
+    # WHO-layer row with NO drugbank id and NO atc row: the reference's
+    # candidate loop still emits it with the "None" ATC string
+    ("", "GUAIFENESIN", "who"),
 ]
 
 ATC = [
@@ -291,6 +294,7 @@ TEXTS = [
     "MEPERIDINE 50MG AMPULE",
     "PENICILLIN G 1000000 IU VIAL",
     "CETIRIZINA 10MG TABLET",
+    "GUAIFENESIN 100MG/5ML SYRUP 60ML",
     # duplicates (dedup-before-tag must not change per-text results)
     "PARACETAMOL 500MG TABLET",
     "BIOGESIC 500MG TAB",
