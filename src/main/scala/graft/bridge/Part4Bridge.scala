@@ -1,6 +1,7 @@
 package graft.bridge
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-fidelity Part-4 bridge (C2): [[BridgeMatcher]]'s explode-join +
@@ -119,11 +120,19 @@ object Part4Bridge {
         candDesc.contains(upper(col(c))), -w).otherwise(0)
     }.reduce(_ + _)
 
+    // candidate dedup by drug_code per item (`runners.py:1183-1190`): the
+    // annex may list one drug_code on several rows with DIFFERENT
+    // payloads, and the reference keeps the first in index order — a
+    // non-distributed concept, so the kept row is pinned by an explicit
+    // payload order instead (divergence only when duplicate codes carry
+    // conflicting payloads AND annex order differs from the payload
+    // order)
+    val wdd = Window.partitionBy(col("id"), col("drug_code")).orderBy(
+      col("cand_description").asc_nulls_last, col("cand_form").asc_nulls_last,
+      col("cand_route").asc_nulls_last, col("generic_key").asc_nulls_last)
     val joined = itemsD.join(cat, Seq("generic_key"), "left")
-      // candidate dedup by drug_code per item: the same candidate
-      // reached via several probe keys carries an identical payload, so
-      // any representative row is equivalent
-      .dropDuplicates("id", "drug_code")
+      .withColumn("_dd", row_number().over(wdd)).filter(col("_dd") === 1)
+      .drop("_dd")
       .withColumn("dose_ok",
         coalesce(dosesMatchUdf(col("dose_key"), col("cand_dose_key")), lit(false)))
       .withColumn("form_ok",

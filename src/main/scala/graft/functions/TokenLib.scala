@@ -80,6 +80,8 @@ object TokenLib {
       SaltParenRx.findAllMatchIn(originalText)
         .map(_.group(1).trim.toUpperCase).toSet
 
+    val candSet: Set[String] =
+      if (checkCreated) candidates.toSet else Set.empty
     for (mwg <- candidates) {
       if (text.contains(mwg)) {
         val inSaltPattern =
@@ -87,15 +89,15 @@ object TokenLib {
         if (!inSaltPattern && !isTrailingSalt(mwg, originalText)) {
           result += mwg
           text = text.replace(mwg, " ")
+          // check after EVERY replacement: an occurrence created here can
+          // be destroyed by a later replacement, so a final-text-only
+          // check would miss it
+          if (checkCreated &&
+            mw.candidatesIn(text).exists(p => !candSet.contains(p)))
+            return normalizeLoop(text0, mw.sorted.toSeq,
+              checkCreated = false, mw, dropStopwords, originalText)
         }
       }
-    }
-
-    if (checkCreated && candidates.nonEmpty) {
-      val candSet = candidates.toSet
-      if (mw.candidatesIn(text).exists(p => !candSet.contains(p)))
-        return normalizeLoop(text0, mw.sorted.toSeq, checkCreated = false,
-          mw, dropStopwords, originalText)
     }
 
     for (raw <- text.split("[\\s,;]+") if raw.nonEmpty) {

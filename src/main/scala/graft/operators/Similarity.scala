@@ -61,6 +61,31 @@ object Similarity {
     * id, so the corpus shuffles once on c_id and only the probe rows
     * fan out nprobe-fold.
     */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val cents = broadcast(centroids)
+    val cell = corpus.crossJoin(cents)
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("v"), col("nrm")),
+        struct(col("csim"), (-col("c_id")).as("nc"))).as("b"))
+      .select(col("vec_id").as("n_id"), col("b.c_id").as("c_id"),
+        col("b.v").as("nv"), col("b.nrm").as("nn"))
+    val wq = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("c_id"))
+    val probes = queries.crossJoin(cents)
+      .withColumn("qsim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select("q_id", "qv", "qn", "c_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    probes.join(cell, Seq("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /** Lloyd's-trained IVF centroids via MLlib KMeans (k-means|| init,
     * fixed seed): the production way to pick cells — trained centers
     * adapt to the corpus's actual density instead of sampling fixed rows,
@@ -91,30 +116,6 @@ object Similarity {
         lit(0.0), (a, x) => a + x)))
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      nprobe: Int, k: Int): DataFrame = {
-    val cents = broadcast(centroids)
-    val cell = corpus.crossJoin(cents)
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("c_id"), col("v"), col("nrm")),
-        struct(col("csim"), (-col("c_id")).as("nc"))).as("b"))
-      .select(col("vec_id").as("n_id"), col("b.c_id").as("c_id"),
-        col("b.v").as("nv"), col("b.nrm").as("nn"))
-    val wq = Window.partitionBy("q_id").orderBy(col("qsim").desc, col("c_id"))
-    val probes = queries.crossJoin(cents)
-      .withColumn("qsim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nprobe)
-      .select("q_id", "qv", "qn", "c_id")
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    probes.join(cell, Seq("c_id"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cos")
-  }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -23,7 +23,11 @@ final class DrugsTaggingPipeline(
     brandMap: Map[String, String] = Map.empty,
     annex: Option[SparkSession => DataFrame] = None,
     // table-driven synonyms over the static tagger dict (tagger.py:216-229)
-    synonyms: Map[String, String] = Map.empty)
+    synonyms: Map[String, String] = Map.empty,
+    // Part-4 variant-expansion synonyms (the reference's generics_master
+    // merge, runners.py:341-360) — a DIFFERENT universe from the tagger
+    // dict above
+    part4Synonyms: Map[String, String] = Map.empty)
   extends Pipeline {
 
   val itemRefCode = "DrugsAndMedicine"
@@ -41,8 +45,9 @@ final class DrugsTaggingPipeline(
         // generic keys the Annex lookup, the structured dose key builds
         // from the tagger's computed columns + dose string + text, and
         // the *_details columns drive the tie-break.
+        val synCtx = new graft.bridge.GenericKeys.SynonymContext(part4Synonyms)
         val esoaKeysUdf = udf((g: String, d: String) =>
-          graft.bridge.GenericKeys.esoaProbeKeys(g, d))
+          graft.bridge.GenericKeys.esoaProbeKeys(g, d, synCtx))
         val annexKeysUdf = udf((g: String) =>
           graft.bridge.GenericKeys.annexIndexKeys(g))
         val items = tagged

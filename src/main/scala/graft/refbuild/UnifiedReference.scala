@@ -312,15 +312,19 @@ object UnifiedReference {
       .distinct().collect().map(_.getString(0)).toSet
     val synonymGenerics =
       graft.functions.Constants.spellingSynonyms.keySet.map(_.toUpperCase)
+    // group RAW-cased rows like the reference's SQL (`tagger.py:244-249`)
+    // — case variants of a brand count separately and only uppercase at
+    // insert time; frequency ties pinned by (brand, generic)
     val ranked = brands
       .filter(col("brand_name").isNotNull && col("generic_name").isNotNull)
-      .groupBy(upper(col("brand_name")).as("b"), upper(col("generic_name")).as("g"))
+      .groupBy(col("brand_name").as("b0"), col("generic_name").as("g0"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("b"), col("g"))
+      .orderBy(col("cnt").desc, col("b0"), col("g0"))
       .collect()
     val map = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (r <- ranked) {
-      val (b, g) = (r.getAs[String]("b"), r.getAs[String]("g"))
+      val (b, g) =
+        (r.getAs[String]("b0").toUpperCase, r.getAs[String]("g0").toUpperCase)
       if (b.nonEmpty && g.nonEmpty) {
         if (allGenerics.contains(b) || synonymGenerics.contains(b)) {
           if (!allGenerics.contains(g) && !map.contains(g)) map(g) = b

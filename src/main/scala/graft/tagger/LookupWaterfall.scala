@@ -149,7 +149,13 @@ object LookupWaterfall {
     val exact = probes.join(cat, col("probe") === col("key"))
       .withColumn("leg", lit(1)).withColumn("score", lit(0))
 
-    val missExact = probes.join(exact.select("probe").distinct(), Seq("probe"), "left_anti")
+    // the miss-chain tracks the UNIFIED lookup only: an exact hit on an
+    // exact_only (mixture) row is a separate-table lookup in the
+    // reference and must NOT stop the probe from running the prefix and
+    // fuzzy legs against the generics universe
+    val missExact = probes.join(
+      exact.filter(!col("exact_only")).select("probe").distinct(),
+      Seq("probe"), "left_anti")
     val prefixCond: Column = cfg.prefixMode match {
       case "char" => col("key").startsWith(substring(col("probe"), 1, cfg.prefixLen)) &&
         col("key") =!= col("probe")

@@ -211,17 +211,37 @@ object ScoredTagger {
     val normalizedComponents = withSwaps.map(g =>
       if (Constants.pureSaltCompounds.contains(g.toUpperCase)) g.toUpperCase
       else applySyn(mw.stripBase(g)))
-    val cleanToks0 =
-      if (cleanName != null && cleanName.nonEmpty && cleanName != up)
-        TokenLib.extractGenericTokens(cleanName, mw.index)._2
-      else genericToks.take(2)
+    // `_clean_tokens` (`tagger.py:620-622`): the clean-name extraction
+    // when it yields anything, else the first two merged generic tokens —
+    // an EMPTY clean extraction (e.g. canonical "VACCINE") still falls
+    // back
+    val cleanToks0 = {
+      val ct =
+        if (cleanName != null && cleanName.nonEmpty && cleanName != up)
+          TokenLib.extractGenericTokens(cleanName, mw.index)._2
+        else Nil
+      if (ct.nonEmpty) ct else genericToks.take(2)
+    }
     val allCombos = (comboKeys ++
       TokenLib.buildCombinationKeys(normalizedComponents) ++
       (if (cleanToks0.length >= 2) TokenLib.buildCombinationKeys(cleanToks0) else Nil))
     val combosWithSyn = allCombos ++ allCombos.map(applySyn)
-    val mixtureKey = TokenLib.combinationComponents(withSwaps) match {
-      case parts if parts.size >= 2 => List(parts.sorted.mkString("|"))
-      case _ => Nil
+    // `_lookup_mixture`'s key build (`tagger.py:327-360`): junk filter on
+    // the STRIPPED generics, synonym-normalize each (lowercased),
+    // longest-first substring dedup, sorted pipe join; needs >= 2
+    // surviving components at both stages
+    val mixtureKey = {
+      val junk = Set("+", "MG", "ML", "MCG", "G", "L", "")
+      val gs = stripped.filter(g =>
+        !junk.contains(g.toUpperCase) && !g.startsWith("+"))
+      if (gs.size < 2) Nil
+      else {
+        val normalized = gs.map(g => applySyn(g.toUpperCase).toLowerCase)
+        val unique = scala.collection.mutable.ListBuffer.empty[String]
+        for (n <- normalized.sortBy(-_.length))
+          if (!unique.exists(_.contains(n))) unique += n
+        if (unique.size < 2) Nil else List(unique.sorted.mkString("|"))
+      }
     }
     val vaccineProbes = vaccineName.toList.filter(_ != "VACCINE")
     // The reference's vaccine acronym expansion (`tagger.py:684-699`)
@@ -408,8 +428,12 @@ object ScoredTagger {
     // J12 mixture-NAME rows (source "mixtures" + fallback_only) may only
     // be hit by a synonym-of-stripped probe (`tagger.py:784-788`); combo
     // key variants and raw tokens never consult the mixture-name table
-    val hits0 = hitsAll.filter(
-      !(col("fallback_only") && col("source") === "mixtures" && !col("j12_ok")))
+    // coalesce: a NULL source must KEEP the row (three-valued logic would
+    // otherwise silently drop fallback hits from caller-supplied catalogs
+    // with null sources)
+    val hits0 = hitsAll.filter(coalesce(
+      !(col("fallback_only") && col("source") === "mixtures" && !col("j12_ok")),
+      lit(true)))
 
     // Component-key mixture rows NEVER enter the scored candidate pool:
     // the reference's `_lookup_mixture` result bypasses selection

@@ -187,6 +187,11 @@ MIXTURES = [
     ("DBMIX02", "AMOXICILLIN + CLAVULANIC ACID",
      "amoxicillin|clavulanic acid", "amoxicillin|clavulanic acid",
      "amoxicillin|clavulanic acid", 2),
+    # reachable only through the synonym-normalized component key
+    # (GLUCOSE -> DEXTROSE, NSS -> SODIUM CHLORIDE)
+    ("DBMIX03", "DEXTROSE AND SODIUM CHLORIDE",
+     "dextrose|sodium chloride", "dextrose|sodium chloride",
+     "dextrose|sodium chloride", 2),
 ]
 
 TEXTS = [
@@ -295,6 +300,7 @@ TEXTS = [
     "PENICILLIN G 1000000 IU VIAL",
     "CETIRIZINA 10MG TABLET",
     "GUAIFENESIN 100MG/5ML SYRUP 60ML",
+    "GLUCOSE + NSS 1L BOTTLE",
     # duplicates (dedup-before-tag must not change per-text results)
     "PARACETAMOL 500MG TABLET",
     "BIOGESIC 500MG TAB",
