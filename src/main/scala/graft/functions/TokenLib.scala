@@ -385,9 +385,10 @@ object TokenLib {
     "PHOSPHATE", "ACETATE", "CITRATE")
 
   /** Unique, salt-stripped combination components in original order —
-    * shared by the key-variant builder below and the mixture
-    * component-key (J11: sorted '|'-joined key,
-    * `build_unified_reference.py:486-500`, probed `tagger.py:309-360`).
+    * the key-variant builder's shared front half (`lookup.py:309-355`).
+    * The mixture component-key PROBE is a different build
+    * (`_lookup_mixture`, `tagger.py:327-360`: synonym-normalized stripped
+    * generics) and lives in ScoredTagger.shapeRowOf.
     */
   def combinationComponents(genericTokens: Seq[String]): List[String] = {
     val clean = genericTokens.toList.flatMap { g0 =>
