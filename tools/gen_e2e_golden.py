@@ -131,6 +131,7 @@ GENERICS = [
     # WHO-layer row with NO drugbank id and NO atc row: the reference's
     # candidate loop still emits it with the "None" ATC string
     ("", "GUAIFENESIN", "who"),
+    ("DB00798", "GENTAMICIN", "drugbank"),
 ]
 
 ATC = [
@@ -166,6 +167,7 @@ ATC = [
     ("BCG VACCINE", "J07AN01"),
     ("ADRENALINE", "C01CA24"),
     ("MEPERIDINE", "N02AB02"),
+    ("GENTAMICIN", "J01GB03"),
 ]
 
 BRANDS = [
@@ -177,6 +179,12 @@ BRANDS = [
     ("GLUCOPHAGE", "METFORMIN HYDROCHLORIDE"),
     # FDA swapped row: brand_name is a known generic -> ADVIL maps to IBUPROFEN
     ("IBUPROFEN", "ADVIL"),
+    # case-variant rows: the reference counts RAW-cased groups, so the
+    # two IBUPROFEN variants (2+2) never outrank ACETAMINOPHEN (3)
+    ("Biogesic", "IBUPROFEN"),
+    ("Biogesic", "IBUPROFEN"),
+    ("biogesic", "IBUPROFEN"),
+    ("biogesic", "IBUPROFEN"),
 ]
 
 MIXTURES = [
@@ -301,6 +309,7 @@ TEXTS = [
     "CETIRIZINA 10MG TABLET",
     "GUAIFENESIN 100MG/5ML SYRUP 60ML",
     "GLUCOSE + NSS 1L BOTTLE",
+    "GENTAMICIN 80MG/2ML VIAL",
     # duplicates (dedup-before-tag must not change per-text results)
     "PARACETAMOL 500MG TABLET",
     "BIOGESIC 500MG TAB",

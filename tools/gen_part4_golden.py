@@ -104,6 +104,7 @@ ANNEX = [
     ("D022", "SALBUTAMOL 100MCG INHALER"),
     ("D023", "DEXTROSE 50% 50ML VIAL"),
     ("D024", "FERROUS SULFATE 325MG TABLET"),
+    ("D025", "GENTAMICIN 80MG/2ML VIAL"),
 ]
 
 ESOA = [
@@ -142,6 +143,7 @@ ESOA = [
     "DEXTROSE 50% 50ML",
     "FERROUS SULFATE 325MG TABLET",
     "AMOXICILLIN 500MG + CLAVULANIC ACID 125MG TABLET",
+    "GENTAMICIN 80MG/2ML VIAL",
 ]
 
 MERGE_COLS = [
