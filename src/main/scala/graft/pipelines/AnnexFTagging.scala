@@ -1,0 +1,71 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.tagger.{LookupWaterfall, ScoredTagger}
+
+/** The Part-2 Annex-F runner surface (`runners.py:39-148`,
+  * `run_annex_f_tagging`): tag every `Drug Description`, merge the
+  * tagger's ~27 result columns back into the annex frame, rename the
+  * three `matched_*` columns, and move `matched_reference_text` to sit
+  * right after the description column.
+  *
+  * The reference merges on `row_idx` — POSITIONAL row identity (annex
+  * rows keep their own tag even when Drug Codes repeat). A distributed
+  * frame has no positional identity, so the caller supplies a unique
+  * numeric `rowId` column (trivially present from any source: a surrogate
+  * key, a file offset, a monotonic id persisted at ingest); results
+  * re-join on it 1:1. Everything downstream of the id is the runner's
+  * exact column algebra, golden-checked by AnnexFTaggingSpec against a
+  * real `run_annex_f_tagging` run.
+  */
+object AnnexFTagging {
+
+  /** Tagger result columns in the runner's merge order
+    * (`runners.py:81-99` minus row_idx).
+    */
+  val mergeCols: Seq[String] = Seq(
+    "atc_code", "drugbank_id", "generic_name", "reference_text",
+    "match_score", "match_reason", "sources",
+    "dose", "form", "route",
+    "type_details", "release_details", "form_details",
+    "salt_details", "brand_details", "indication_details", "alias_details",
+    "diluent_details",
+    "iv_diluent_type", "iv_diluent_amount",
+    "dose_values", "dose_units", "dose_types", "total_volume_ml",
+    "drug_amount_mg", "diluent_amount_mg", "concentration_mg_per_ml")
+
+  /** `runners.py:104-108` renames. */
+  val renames: Map[String, String] = Map(
+    "generic_name" -> "matched_generic_name",
+    "reference_text" -> "matched_reference_text",
+    "sources" -> "matched_source")
+
+  /** @param annex   the Annex-F frame: `rowId` (unique, castable to
+    *                long), `textCol`, and any passthrough columns
+    * @param catalog tagger catalog ([[ScoredTagger.tagTexts]] contract)
+    * @return the annex columns (minus `rowId`) + renamed tagger columns,
+    *         with matched_reference_text placed after `textCol`
+    */
+  def tagAnnex(spark: SparkSession, annex: DataFrame, catalog: DataFrame,
+      rowId: String = "row_id", textCol: String = "Drug Description",
+      cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
+      brandMap: Map[String, String] = Map.empty,
+      synonyms: Map[String, String] = Map.empty): DataFrame = {
+    val texts = annex.select(col(rowId).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val tagged = ScoredTagger.tagTexts(spark, texts, catalog, cfg,
+      brandMap, synonyms = synonyms)
+      .select((Seq("id") ++ mergeCols).map(col): _*)
+    val annexCols = annex.columns.filterNot(_ == rowId).toSeq
+    val merged = annex
+      .join(tagged, annex(rowId).cast("long") === tagged("id"), "left")
+      .select((annexCols ++ mergeCols).map(col): _*)
+    val renamed = renames.foldLeft(merged) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    Sources.reorderColumnAfter(renamed, textCol, "matched_reference_text")
+  }
+}
