@@ -40,8 +40,11 @@ object Bench {
     // spend their first and often second execution inside C2 JIT
     // compilation — measured 5-9s on run 2 vs 1.2-2s steady state), a GC
     // point so neighbor cleanup doesn't bleed into the measurement, then
-    // best-of-2 timed runs (GC pauses during allocation-heavy queries
-    // otherwise add several seconds of run-to-run noise)
+    // THREE timed runs reported as the MEDIAN. Best-of-2 min hid a 41%
+    // no-code-change swing on the headline query between rounds (GC/JIT
+    // tail noise); the median is robust to a single slow outlier while
+    // not rewarding a single lucky fast run, and the min/max spread is
+    // emitted alongside so a reader can tell signal from noise.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { _ =>
@@ -52,8 +55,8 @@ object Bench {
       }
       // a query that throws must NOT report its time-to-exception as a
       // fast success: any failed timed run poisons the result to -1.0,
-      // which survives the min and is visible in BENCH output
-      val timed = (1 to 2).map { _ =>
+      // which is visible in BENCH output
+      val timed = (1 to 3).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         val ok =
@@ -61,12 +64,19 @@ object Bench {
           catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (timed.contains(-1.0)) -1.0 else timed.min)
+      val failed = timed.contains(-1.0)
+      val sortedT = timed.sorted
+      val median = if (failed) -1.0 else sortedT(sortedT.size / 2)
+      (name, median, if (failed) -1.0 else sortedT.head,
+        if (failed) -1.0 else sortedT.last)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val spread = results
+      .map { case (k, _, mn, mx) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

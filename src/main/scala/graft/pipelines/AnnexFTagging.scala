@@ -44,16 +44,29 @@ object AnnexFTagging {
     "sources" -> "matched_source")
 
   /** @param annex   the Annex-F frame: `rowId` (unique, castable to
-    *                long), `textCol`, and any passthrough columns
+    *                long), `textCol`, and any passthrough columns.
+    *                Passthrough columns whose names collide with the
+    *                tagger merge columns (or their renamed forms) are
+    *                DROPPED first — re-tagging an already-tagged frame is
+    *                therefore idempotent (the fresh tag replaces the
+    *                stale one) instead of dying on an ambiguous
+    *                reference or silently renaming a passthrough column.
     * @param catalog tagger catalog ([[ScoredTagger.tagTexts]] contract)
     * @return the annex columns (minus `rowId`) + renamed tagger columns,
     *         with matched_reference_text placed after `textCol`
     */
-  def tagAnnex(spark: SparkSession, annex: DataFrame, catalog: DataFrame,
+  def tagAnnex(spark: SparkSession, annex0: DataFrame, catalog: DataFrame,
       rowId: String = "row_id", textCol: String = "Drug Description",
       cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
       brandMap: Map[String, String] = Map.empty,
       synonyms: Map[String, String] = Map.empty): DataFrame = {
+    // a prior run's tag columns arrive under the RENAMED names plus the
+    // un-renamed remainder of mergeCols; both sets would collide (join
+    // select ambiguity for mergeCols, double-rename for rename targets)
+    val stale = (mergeCols ++ renames.values)
+      .filter(annex0.columns.contains)
+      .filterNot(c => c == rowId || c == textCol)
+    val annex = if (stale.isEmpty) annex0 else annex0.drop(stale: _*)
     val texts = annex.select(col(rowId).cast("long").as("id"),
       coalesce(col(textCol), lit("")).as("text"))
     val tagged = ScoredTagger.tagTexts(spark, texts, catalog, cfg,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bridge.Part4Bridge
-import graft.tagger.{LookupWaterfall, ScoredTagger}
+import graft.tagger.{FdaFoodFallback, LookupWaterfall, ScoredTagger}
 
 /** The drugs pipeline (C4 registration of the C1 flow, `registry.py:40`,
   * `pipelines/drugs/pipeline.py`): prepare hook supplies the (id, text)
@@ -27,7 +27,13 @@ final class DrugsTaggingPipeline(
     // Part-4 variant-expansion synonyms (the reference's generics_master
     // merge, runners.py:341-360) — a DIFFERENT universe from the tagger
     // dict above
-    part4Synonyms: Map[String, String] = Map.empty)
+    part4Synonyms: Map[String, String] = Map.empty,
+    // FDA food registry (brand_name, product_name, registration_number)
+    // rows: when supplied, texts the tagger could not match probe it as a
+    // fallback (`runners.py:1428-1495` — the reference defines the lookup
+    // + check pair for exactly this residue; the registered pipeline is
+    // where a real run would chain it)
+    fdaFood: Option[SparkSession => DataFrame] = None)
   extends Pipeline {
 
   val itemRefCode = "DrugsAndMedicine"
@@ -35,8 +41,24 @@ final class DrugsTaggingPipeline(
   def prepareInputs(spark: SparkSession): DataFrame = texts(spark)
 
   def matchRecords(spark: SparkSession, prepared: DataFrame): DataFrame = {
-    val tagged = ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg,
+    val tagged0 = ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg,
       brandMap, synonyms = synonyms)
+    // FDA food fallback over the unmatched residue (no_candidates /
+    // no_match rows only — matched rows never probe, mirroring the
+    // fallback's stated contract of running on texts that failed drug
+    // tagging). The food columns ride every output row (null when the
+    // row matched a drug or missed the registry too), so downstream
+    // consumers see one stable schema whether or not a registry is wired.
+    val tagged = fdaFood match {
+      case None => tagged0
+      case Some(food) =>
+        val residue = tagged0
+          .filter(col("match_reason").isin("no_candidates", "no_match"))
+          .select("id", "text")
+        val foodCols = FdaFoodFallback.check(spark, residue, food(spark))
+          .select("id", "food_match_type", "food_registration")
+        tagged0.join(foodCols, Seq("id"), "left")
+    }
     annex match {
       case None => tagged
       case Some(annexF) =>

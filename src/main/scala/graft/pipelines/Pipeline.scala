@@ -3,6 +3,7 @@ package graft.pipelines
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Pipeline orchestration (SURVEY §2.9 C4): registry of
   * item_ref_code -> pipeline with the reference's four-hook template
@@ -42,6 +43,16 @@ final class PipelineRegistry {
 
   /** Template-method run (`base.py:115-131`) returning the matched frame
     * plus per-phase timing metrics.
+    *
+    * The per-phase row counts are actions, so each phase frame is
+    * persisted BEFORE its count: the count materializes the lineage into
+    * the cache and every downstream consumer (the match phase reading
+    * `prepared`, the returned frame feeding the caller's sink) reads the
+    * cached blocks instead of re-executing the phase — without this the
+    * metrics trail costs 2-3x the pipeline itself at scale. `prepared` is
+    * unpersisted as soon as the match phase has materialized; `matched`
+    * is handed to the caller still persisted (the sink is about to read
+    * it) — call `unpersist()` on it when done.
     */
   def run(spark: SparkSession, itemRefCode: String): (DataFrame, Seq[PhaseMetric]) = {
     val p = pipelines.getOrElse(itemRefCode,
@@ -56,9 +67,12 @@ final class PipelineRegistry {
         (System.nanoTime() - t0) / 1000000L, rows(out))
       out
     }
+    val cachedCount: DataFrame => Long =
+      df => { df.persist(StorageLevel.MEMORY_AND_DISK); df.count() }
     timed[Unit]("pre_run", _ => 0L)(p.preRun(spark))
-    val prepared = timed[DataFrame]("prepare", _.count())(p.prepareInputs(spark))
-    val matched = timed[DataFrame]("match", _.count())(p.matchRecords(spark, prepared))
+    val prepared = timed[DataFrame]("prepare", cachedCount)(p.prepareInputs(spark))
+    val matched = timed[DataFrame]("match", cachedCount)(p.matchRecords(spark, prepared))
+    prepared.unpersist(blocking = false)
     timed[Unit]("post_run", _ => 0L)(p.postRun(spark, matched))
     (matched, metrics.result())
   }

@@ -11,26 +11,38 @@ import org.apache.spark.sql.functions._
 object FdaFoodFallback {
 
   /** (brand_name/product_name, registration_number) rows -> lookup frame
-    * with match-type tags (`load_fda_food_lookup`). Product rows overwrite
-    * brand rows on the same key in the reference dict build — encoded
-    * here as precedence in the keep-first dedup.
+    * with match-type tags (`load_fda_food_lookup`). The reference builds a
+    * plain dict row by row, so on a key collision the LAST assignment in
+    * file order wins — and within one row the product assignment follows
+    * the brand assignment (brand == product -> product wins). Encoded as
+    * a window keeping the max (row_order, field_order) entry per key.
+    * Registries carrying an explicit `row_order` column replay file order
+    * exactly; otherwise `monotonically_increasing_id` stands in (exact
+    * for the single-file broadcast-sized registries this models, since
+    * partition ids follow file offsets).
     */
   def buildLookup(foodDf: DataFrame): DataFrame = {
-    val brand = foodDf
+    val ordered =
+      if (foodDf.columns.contains("row_order")) foodDf
+      else foodDf.withColumn("row_order", monotonically_increasing_id())
+    val brand = ordered
       .select(upper(trim(col("brand_name"))).as("food_key"),
         col("registration_number").as("registration"),
-        lit("fda_food_brand").as("food_type"), lit(1).as("prec"))
+        lit("fda_food_brand").as("food_type"),
+        col("row_order"), lit(0).as("field_order"))
       .filter(col("food_key") =!= "" && col("food_key") =!= "-")
-    val product = foodDf
+    val product = ordered
       .select(upper(trim(col("product_name"))).as("food_key"),
         col("registration_number").as("registration"),
-        lit("fda_food_product").as("food_type"), lit(0).as("prec"))
+        lit("fda_food_product").as("food_type"),
+        col("row_order"), lit(1).as("field_order"))
       .filter(col("food_key") =!= "" && col("food_key") =!= "-")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("food_key").orderBy("prec", "registration")
+      .partitionBy("food_key")
+      .orderBy(col("row_order").desc, col("field_order").desc)
     brand.unionByName(product)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn", "prec")
+      .drop("rn", "row_order", "field_order")
   }
 
   /** @param texts (id, text) rows — typically the no_candidates/no_match

@@ -81,6 +81,38 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](reg.run(spark, "Missing"))
   }
 
+  test("registry materializes each phase once (metrics don't re-execute lineage)") {
+    import org.apache.spark.sql.functions.{col, udf}
+    import spark.implicits._
+    // accumulator-counted UDF calls: the phase count used to run the
+    // lineage once and the downstream consumer again (2-3x the work at
+    // scale); with the persist-before-count fix each phase's UDF fires
+    // exactly once per row across count + match + caller's collect
+    val prepCalls = spark.sparkContext.longAccumulator("prepCalls")
+    val matchCalls = spark.sparkContext.longAccumulator("matchCalls")
+    val reg = new PipelineRegistry
+    reg.register(new Pipeline {
+      val itemRefCode = "OncePipe"
+      def prepareInputs(s: SparkSession): DataFrame = {
+        val acc = prepCalls // local copy so the closure skips `this`
+        val f = udf { (x: Long) => acc.add(1L); x * 10 }
+        Seq(1L, 2L, 3L).toDF("id").withColumn("v", f(col("id")))
+      }
+      def matchRecords(s: SparkSession, prepared: DataFrame): DataFrame = {
+        val acc = matchCalls
+        val g = udf { (x: Long) => acc.add(1L); x + 1 }
+        prepared.withColumn("w", g(col("v")))
+      }
+    })
+    val (out, _) = reg.run(spark, "OncePipe")
+    assert(out.collect().length == 3) // the caller's "sink" read
+    out.unpersist()
+    assert(prepCalls.value == 3L,
+      s"prepare lineage ran ${prepCalls.value / 3.0}x")
+    assert(matchCalls.value == 3L,
+      s"match lineage ran ${matchCalls.value / 3.0}x")
+  }
+
   test("append metrics sink accumulates rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-metrics").toString + "/m"
