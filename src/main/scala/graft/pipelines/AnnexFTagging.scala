@@ -62,11 +62,30 @@ object AnnexFTagging {
       synonyms: Map[String, String] = Map.empty): DataFrame = {
     // a prior run's tag columns arrive under the RENAMED names plus the
     // un-renamed remainder of mergeCols; both sets would collide (join
-    // select ambiguity for mergeCols, double-rename for rename targets)
+    // select ambiguity for mergeCols, double-rename for rename targets).
+    // Auto-drop ONLY when the frame carries an unmistakable marker of a
+    // previous tagging run (`match_reason` / `matched_reference_text`
+    // exist only as tagger outputs); a collision WITHOUT the marker means
+    // a genuine passthrough column (annexes plausibly carry `dose`,
+    // `form`, `route`, `sources`) whose data a silent drop would destroy
+    // invisibly — that case fails loudly so the caller renames it.
     val stale = (mergeCols ++ renames.values)
       .filter(annex0.columns.contains)
       .filterNot(c => c == rowId || c == textCol)
-    val annex = if (stale.isEmpty) annex0 else annex0.drop(stale: _*)
+    val priorRunMarker = annex0.columns.contains("match_reason") ||
+      annex0.columns.contains("matched_reference_text")
+    val annex =
+      if (stale.isEmpty) annex0
+      else if (priorRunMarker) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"tagAnnex: re-tagging a previously tagged frame; dropping stale " +
+            s"tag columns [${stale.mkString(", ")}] before the fresh merge")
+        annex0.drop(stale: _*)
+      } else throw new IllegalArgumentException(
+        s"annex columns [${stale.mkString(", ")}] collide with tagger merge " +
+          "columns but the frame shows no prior tagging run (no " +
+          "match_reason/matched_reference_text); rename these passthrough " +
+          "columns instead of letting the merge silently replace their data")
     val texts = annex.select(col(rowId).cast("long").as("id"),
       coalesce(col(textCol), lit("")).as("text"))
     val tagged = ScoredTagger.tagTexts(spark, texts, catalog, cfg,

@@ -41,8 +41,20 @@ final class DrugsTaggingPipeline(
   def prepareInputs(spark: SparkSession): DataFrame = texts(spark)
 
   def matchRecords(spark: SparkSession, prepared: DataFrame): DataFrame = {
-    val tagged0 = ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg,
+    val taggedRaw = ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg,
       brandMap, synonyms = synonyms)
+    // The fallback and annex branches each consume the tagger output
+    // TWICE in one plan (residue-derive + rejoin; items-derive + rejoin).
+    // Without pinning, the whole scored-selection lineage (joins, window,
+    // mixture branches) appears 2+ times in the final plan and executes
+    // per copy — the double-materialization the registry-level persist
+    // can't see because it lives inside matchRecords. An eager local
+    // checkpoint materializes the tagger ONCE and truncates the lineage,
+    // so every downstream consumer reads stored blocks; the blocks are
+    // reclaimed by the ContextCleaner when the frame is collected.
+    val tagged0 =
+      if (fdaFood.isDefined || annex.isDefined) taggedRaw.localCheckpoint(true)
+      else taggedRaw
     // FDA food fallback over the unmatched residue (no_candidates /
     // no_match rows only — matched rows never probe, mirroring the
     // fallback's stated contract of running on texts that failed drug

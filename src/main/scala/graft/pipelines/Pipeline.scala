@@ -72,7 +72,15 @@ final class PipelineRegistry {
     timed[Unit]("pre_run", _ => 0L)(p.preRun(spark))
     val prepared = timed[DataFrame]("prepare", cachedCount)(p.prepareInputs(spark))
     val matched = timed[DataFrame]("match", cachedCount)(p.matchRecords(spark, prepared))
-    prepared.unpersist(blocking = false)
+    // A pass-through match phase returns `prepared` itself (or a frame
+    // with the same analyzed plan); Spark's cache is keyed by plan, so
+    // unpersisting `prepared` would ALSO evict `matched`'s cache and the
+    // postRun hook plus the caller's sink would re-execute the whole
+    // prepare lineage. Only unpersist when the two are genuinely
+    // distinct plans.
+    val passThrough = (matched eq prepared) ||
+      matched.queryExecution.analyzed.sameResult(prepared.queryExecution.analyzed)
+    if (!passThrough) prepared.unpersist(blocking = false)
     timed[Unit]("post_run", _ => 0L)(p.postRun(spark, matched))
     (matched, metrics.result())
   }

@@ -20,6 +20,14 @@ object FdaFoodFallback {
     * exactly; otherwise `monotonically_increasing_id` stands in (exact
     * for the single-file broadcast-sized registries this models, since
     * partition ids follow file offsets).
+    *
+    * INTENTIONAL divergence from the reference on missing registry
+    * fields: pandas' `str(NaN)` turns a missing brand/product into the
+    * literal key `'NAN'` (and can emit `nan` registration numbers), so a
+    * text containing the token `NAN` would "match" the registry hole.
+    * Here the null-propagating `upper(trim(col))` filter drops null
+    * brand/product rows instead — a missing field registers nothing.
+    * Pinned by FdaFoodGoldenSpec's null-brand-row test.
     */
   def buildLookup(foodDf: DataFrame): DataFrame = {
     val ordered =

@@ -88,4 +88,44 @@ class AnnexFTaggingSpec extends SparkSpec {
       s"\n${diffs.size} cell divergences from run_annex_f_tagging:\n" +
         diffs.take(60).mkString("\n"))
   }
+
+  private def miniCatalog = {
+    import spark.implicits._
+    Seq(("paracetamol", "PARACETAMOL", "N02BE01", "DB00316", "TABLET",
+      "ORAL", "who", "PARACETAMOL 500 MG TABLET"))
+      .toDF("key", "generic_name", "atc_code", "drugbank_id", "form",
+        "route", "source", "reference_text")
+  }
+
+  test("re-tagging an already-tagged frame is idempotent (stale columns dropped)") {
+    import spark.implicits._
+    val annex = Seq(
+      (1L, "D001", "PARACETAMOL 500MG TABLET"),
+      (2L, "D002", "SURGICAL GLOVES SIZE 7"))
+      .toDF("row_id", "Drug Code", "Drug Description")
+    val once = AnnexFTagging.tagAnnex(spark,
+      annex.withColumn("rid", col("row_id")), miniCatalog, rowId = "rid")
+    // `once` carries match_reason/matched_reference_text — the prior-run
+    // marker — so the second run drops the stale tag columns and the
+    // fresh tag replaces them byte-for-byte (runners.py:82-99 semantics)
+    val twice = AnnexFTagging.tagAnnex(spark,
+      once.withColumn("rid", col("row_id")), miniCatalog, rowId = "rid")
+    assert(twice.columns.toSeq == once.columns.toSeq)
+    val a = once.collect().map(r => r.getAs[Long]("row_id") ->
+      once.columns.map(c => ser(r.get(r.fieldIndex(c)))).toSeq).toMap
+    val b = twice.collect().map(r => r.getAs[Long]("row_id") ->
+      twice.columns.map(c => ser(r.get(r.fieldIndex(c)))).toSeq).toMap
+    assert(a == b, "re-tag changed cells")
+  }
+
+  test("merge-name collision without a prior-run marker fails loudly") {
+    import spark.implicits._
+    // `route` is a plausible genuine annex column; silently replacing its
+    // data with tagger output would be invisible data loss
+    val annex = Seq((1L, "PARACETAMOL 500MG TABLET", "WARD-STOCK"))
+      .toDF("row_id", "Drug Description", "route")
+    val ex = intercept[IllegalArgumentException](
+      AnnexFTagging.tagAnnex(spark, annex, miniCatalog))
+    assert(ex.getMessage.contains("route"))
+  }
 }

@@ -55,6 +55,35 @@ class DrugsPipelineSpec extends SparkSpec {
     assert(metrics.find(_.phase == "match").exists(_.rows == 5L))
   }
 
+  test("fallback branch pins the tagger to one materialization") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val registry = (s: org.apache.spark.sql.SparkSession) => {
+      import s.implicits._
+      Seq(("ENSURE", "Ensure Gold Powder", "FR-001"))
+        .toDF("brand_name", "product_name", "registration_number")
+    }
+    val reg = new PipelineRegistry
+    reg.register(new DrugsTaggingPipeline(
+      s => { import s.implicits._; esoa.toDF("id", "text") }, catalog,
+      synonyms = Map("CEPHALEXIN" -> "CEFALEXIN"),
+      fdaFood = Some(registry)))
+    val (out, _) = reg.run(spark, "DrugsAndMedicine")
+    // the residue-derive and the rejoin both consume the tagger output;
+    // the local checkpoint truncates its lineage to ONE materialized RDD,
+    // so the final plan must contain no surviving catalog scan (a
+    // LocalRelation carrying atc_code would mean the scored-selection
+    // subtree is being re-executed per consumer)
+    val plan = out.queryExecution.analyzed
+    val catalogScans = plan.collect {
+      case lr: LocalRelation if lr.output.exists(_.name == "atc_code") => lr
+    }
+    assert(catalogScans.isEmpty,
+      s"tagger lineage appears ${catalogScans.size}x in the final plan")
+    assert(plan.toString.contains("LogicalRDD"),
+      "expected the checkpointed tagger RDD in the plan")
+    out.unpersist()
+  }
+
   test("registered pipeline runs Parts 2/3/4 when an annex is supplied") {
     import graft.bridge.Part4Bridge
     val annex = (s: org.apache.spark.sql.SparkSession) => {

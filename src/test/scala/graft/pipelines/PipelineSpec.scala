@@ -113,6 +113,33 @@ class PipelineSpec extends SparkSpec {
       s"match lineage ran ${matchCalls.value / 3.0}x")
   }
 
+  test("pass-through match phase keeps the shared cache alive") {
+    import org.apache.spark.sql.functions.{col, udf}
+    import spark.implicits._
+    // when matchRecords returns `prepared` unchanged the two frames share
+    // one logical plan; unpersisting prepared would evict matched's cache
+    // too and the caller's sink would re-run the whole prepare lineage
+    val prepCalls = spark.sparkContext.longAccumulator("passThroughCalls")
+    val reg = new PipelineRegistry
+    reg.register(new Pipeline {
+      val itemRefCode = "PassThrough"
+      def prepareInputs(s: SparkSession): DataFrame = {
+        val acc = prepCalls
+        val f = udf { (x: Long) => acc.add(1L); x * 10 }
+        Seq(1L, 2L, 3L).toDF("id").withColumn("v", f(col("id")))
+      }
+      def matchRecords(s: SparkSession, prepared: DataFrame): DataFrame =
+        prepared
+    })
+    val (out, _) = reg.run(spark, "PassThrough")
+    assert(out.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "pass-through output lost its cache")
+    assert(out.collect().length == 3)
+    out.unpersist()
+    assert(prepCalls.value == 3L,
+      s"prepare lineage ran ${prepCalls.value / 3.0}x after pass-through")
+  }
+
   test("append metrics sink accumulates rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-metrics").toString + "/m"

@@ -47,6 +47,28 @@ class FdaFoodGoldenSpec extends SparkSpec {
     assert(diffs.isEmpty, s"\n${diffs.mkString("\n")}")
   }
 
+  test("null registry fields register nothing (intentional NaN divergence)") {
+    // pandas str(NaN) would insert a literal 'NAN' lookup key for the
+    // null-brand row (runners.py load_fda_food_lookup); graft's
+    // null-propagating filter drops the field instead, so a text
+    // carrying the token NAN matches only real registrations
+    val withNullBrand = registry.unionByName(
+      Seq((99L, null.asInstanceOf[String], "Nan Infant Formula", "FR-099"))
+        .toDF("row_order", "brand_name", "product_name", "registration_number"))
+    val texts = Seq(
+      (1L, "NAN"),                  // would direct-hit the pandas 'NAN' hole
+      (2L, "NAN4 MILK SUPPLEMENT"), // no >=4-char token matches either
+      (3L, "NAN INFANT FORMULA"))   // whole-text hit on the PRODUCT key
+      .toDF("id", "text")
+    val out = FdaFoodFallback.check(spark, texts, withNullBrand)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("food_match_type"))).toMap
+    assert(out(1L).isEmpty, "the null-brand hole must not register a NAN key")
+    assert(out(2L).isEmpty)
+    // the non-null product field of the same row still registers normally
+    assert(out(3L).contains("fda_food_product"))
+  }
+
   test("registered pipeline chains the fallback over the unmatched residue only") {
     val catalog = (s: org.apache.spark.sql.SparkSession) => {
       import s.implicits._
