@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (SparkSpec); running them on parallel
+// threads makes session-global assertions (persistent-RDD lifecycle,
+// accumulator counts, cache state) race each other's persists.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -35,7 +35,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q26_scored_tagger,q27_fuzzy_feedback limits the run
+    // for local iteration; the driver leaves it unset (full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // per-query: TWO untimed warm-up runs (the UDF-heavy tagger stages
     // spend their first and often second execution inside C2 JIT
     // compilation — measured 5-9s on run 2 vs 1.2-2s steady state), a GC
@@ -47,6 +52,12 @@ object Bench {
     // emitted alongside so a reader can tell signal from noise.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // queries are contractually self-contained (they unpersist what they
+      // persist), but a single leftover cache entry pins EVERY later local
+      // checkpoint's blocks (the ContextCleaner stops reclaiming them
+      // while the CacheManager holds plans), so stray block buildup from
+      // one query would bleed into every following measurement
+      spark.catalog.clearCache()
       (1 to 2).foreach { _ =>
         try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
         // GC between runs lets the ContextCleaner release the previous

@@ -3,16 +3,16 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Similarity, TextAnalysis, Waterfall}
+import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Runner, Similarity, TextAnalysis, Waterfall}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query key -> SURVEY §2 operator coverage:
   *   q01–q22  relational inventory (scans, filters, joins J1–J11, aggs
   *            A1–A10, dedup/top-k D1–D6, set ops U1–U2, explode G1–G5)
-  *   q23–q27  C1 composition: lookup waterfall, scored selection core
+  *   q23–q28  C1/C4 composition: lookup waterfall, scored selection core
   *            (windowed rank + ATC explode), fuzzy-correction feedback
-  *            (blocked fuzzy-join mode)
+  *            (blocked fuzzy-join mode), Part-2 runner merge algebra
   *   q30–q34  text analysis: token counting, language-ID, quality scoring,
   *            fingerprinting, exact dedup
   *   q35–q37  near-dup: n-gram Jaccard, MinHash+LSH, SimHash
@@ -24,8 +24,8 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Sim
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
-    Relational.defs ++ Waterfall.defs ++ Bridge.defs ++ Labs.defs ++
-      TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
+    Relational.defs ++ Waterfall.defs ++ Runner.defs ++ Bridge.defs ++
+      Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Events.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,204 @@
+package graft.functions
+
+/** Pure-JVM media codecs for the multimodal column path (SURVEY LLM-ops:
+  * decode / feature-extract over opaque `binary` columns). The container
+  * ships no native image/audio libraries, so the formats are the two
+  * classic codec-free ones — binary PPM (P6) and RIFF/WAVE PCM — parsed
+  * byte-by-byte from a real header grammar: magic, comment skipping,
+  * chunk walking, field validation. This replaces the round-1 "decode is
+  * stubbed" placeholder with genuine decode work; a deployment with
+  * richer codecs swaps these objects and keeps the same mapPartitions
+  * plumbing ([[graft.operators.Multimodal.MediaPipeline]]).
+  *
+  * Encoders exist so the synthetic corpus can mint REAL payloads
+  * deterministically from text (one pixel / one sample per character),
+  * which keeps the decode queries DuckDB-oracle-checkable: the oracle
+  * recomputes the expected stats from the characters while Spark goes
+  * text -> bytes -> parser -> stats.
+  */
+object MediaCodecs {
+
+  /** Decoded P6 image summary: dimensions + per-channel byte sums (exact
+    * integers — the oracle-friendly form of mean channel intensity).
+    */
+  final case class PpmImage(width: Int, height: Int,
+      sumR: Long, sumG: Long, sumB: Long)
+
+  object PpmCodec {
+    /** One gray-ish RGB pixel per character: r = code, g = 255 - code,
+      * b = (7 * code) mod 256; single row. A header comment line is
+      * included so decoders must handle the full P6 grammar.
+      */
+    def encode(text: String): Array[Byte] = {
+      val n = text.length
+      val header = s"P6\n# synthetic 1-row strip\n$n 1\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + 3 * n)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = 0
+      while (i < n) {
+        val c = text.charAt(i) & 0xff
+        out(header.length + 3 * i) = c.toByte
+        out(header.length + 3 * i + 1) = (255 - c).toByte
+        out(header.length + 3 * i + 2) = ((7 * c) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Strict P6 parser: magic, whitespace/comment-tolerant header ints
+      * (width, height, maxval), exactly one whitespace byte, then
+      * 3 * width * height raw bytes. Malformed input fails loudly — a
+      * silent partial decode would poison downstream aggregates.
+      */
+    def decode(bytes: Array[Byte]): PpmImage = {
+      var pos = 0
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"PPM: $msg at byte $pos")
+      def byteAt(i: Int): Int =
+        if (i < bytes.length) bytes(i) & 0xff else fail("truncated header")
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+        fail("bad magic (want P6)")
+      pos = 2
+      def skipWsAndComments(): Unit = {
+        var going = true
+        while (going) {
+          while (pos < bytes.length && Character.isWhitespace(byteAt(pos)))
+            pos += 1
+          if (pos < bytes.length && byteAt(pos) == '#') {
+            while (pos < bytes.length && byteAt(pos) != '\n') pos += 1
+          } else going = false
+        }
+      }
+      def parseInt(): Int = {
+        skipWsAndComments()
+        if (pos >= bytes.length || !Character.isDigit(byteAt(pos)))
+          fail("expected integer")
+        var v = 0
+        while (pos < bytes.length && Character.isDigit(byteAt(pos))) {
+          v = v * 10 + (byteAt(pos) - '0')
+          if (v < 0) fail("integer overflow")
+          pos += 1
+        }
+        v
+      }
+      val width = parseInt()
+      val height = parseInt()
+      val maxval = parseInt()
+      if (maxval != 255) fail(s"unsupported maxval $maxval (want 8-bit)")
+      // exactly ONE whitespace byte separates header and raster (spec)
+      if (pos >= bytes.length || !Character.isWhitespace(byteAt(pos)))
+        fail("missing raster separator")
+      pos += 1
+      val need = 3L * width * height
+      if (bytes.length - pos < need)
+        fail(s"raster truncated (${bytes.length - pos} of $need bytes)")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      val px = width * height
+      while (i < px) {
+        sr += bytes(pos + 3 * i) & 0xff
+        sg += bytes(pos + 3 * i + 1) & 0xff
+        sb += bytes(pos + 3 * i + 2) & 0xff
+        i += 1
+      }
+      PpmImage(width, height, sr, sg, sb)
+    }
+  }
+
+  /** Decoded PCM summary: format fields + exact integer sample stats. */
+  final case class WavAudio(sampleRate: Int, nSamples: Int,
+      sumAbs: Long, maxSample: Int)
+
+  object WavCodec {
+    private val Rate = 8000
+
+    /** 16-bit mono PCM, one sample per character:
+      * sample = 257 * code - 32768 (spreads the 7-bit code over the
+      * full signed-16 range, always in-range). An extra LIST chunk is
+      * written before `data` so decoders must genuinely walk chunks.
+      */
+    def encode(text: String): Array[Byte] = {
+      val n = text.length
+      val listBody = "INFOgrft".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val dataSize = 2 * n
+      val riffSize = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataSize)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(riffSize).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1.toShort)            // PCM
+        .putShort(1.toShort)            // mono
+        .putInt(Rate)
+        .putInt(Rate * 2)               // byte rate
+        .putShort(2.toShort)            // block align
+        .putShort(16.toShort)           // bits/sample
+      bb.put("LIST".getBytes).putInt(listBody.length).put(listBody)
+      bb.put("data".getBytes).putInt(dataSize)
+      var i = 0
+      while (i < n) {
+        bb.putShort((257 * (text.charAt(i) & 0xff) - 32768).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** RIFF chunk walker: validates RIFF/WAVE, reads `fmt ` (PCM, mono,
+      * 16-bit enforced), skips unknown chunks by their declared size
+      * (word-aligned), then folds the `data` chunk's samples.
+      */
+    def decode(bytes: Array[Byte]): WavAudio = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"WAV: $msg")
+      if (bytes.length < 12) fail("truncated RIFF header")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") fail("bad magic (want RIFF)")
+      val declared = bb.getInt
+      if (declared != bytes.length - 8)
+        fail(s"RIFF size $declared != payload ${bytes.length - 8}")
+      if (fourcc() != "WAVE") fail("bad form type (want WAVE)")
+      var rate = -1
+      var haveFmt = false
+      while (bb.remaining() >= 8) {
+        val id = fourcc()
+        val size = bb.getInt
+        if (size < 0 || size > bb.remaining()) fail(s"chunk $id size $size overruns")
+        id match {
+          case "fmt " =>
+            if (size < 16) fail("fmt chunk too small")
+            val fmtEnd = bb.position() + size
+            val audioFormat = bb.getShort
+            val channels = bb.getShort
+            rate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            val bits = bb.getShort
+            if (audioFormat != 1) fail(s"unsupported format $audioFormat (want PCM)")
+            if (channels != 1) fail(s"unsupported channels $channels (want mono)")
+            if (bits != 16) fail(s"unsupported bit depth $bits (want 16)")
+            bb.position(fmtEnd + (size & 1))
+            haveFmt = true
+          case "data" =>
+            if (!haveFmt) fail("data chunk before fmt")
+            if (size % 2 != 0) fail("odd data size for 16-bit samples")
+            val n = size / 2
+            var (sum, mx) = (0L, Int.MinValue)
+            var i = 0
+            while (i < n) {
+              val s: Int = bb.getShort.toInt
+              sum += math.abs(s.toLong)
+              if (s > mx) mx = s
+              i += 1
+            }
+            return WavAudio(rate, n, sum, if (n == 0) 0 else mx)
+          case _ =>
+            bb.position(bb.position() + size + (size & 1)) // skip, word-aligned
+        }
+      }
+      fail("no data chunk")
+    }
+  }
+}

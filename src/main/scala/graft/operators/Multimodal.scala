@@ -4,15 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
+import graft.functions.MediaCodecs
 
 /** Multimodal-column plumbing: treat media as opaque bytes + typed metadata,
   * with decode / frame-sample / feature-extract as per-partition transforms.
   *
-  * The container has no image/audio codecs, so the oracle-checked query
-  * (q50) does deterministic frame sampling over byte ranges (128-byte
-  * "frames", content-hashed) — the real Spark-side plumbing (schema,
-  * partitioning, batch shape). The typed binary path with a stubbed decoder
-  * lives in [[MediaPipeline]] and is exercised by ScalaTest.
+  * Three oracle-checked queries: q50 does deterministic frame sampling
+  * over byte ranges (the explode shape); q51/q52 run REAL pure-JVM
+  * decoders ([[graft.functions.MediaCodecs]]: strict P6/PPM header
+  * grammar, RIFF/WAVE chunk walking) over payloads minted from the
+  * corpus — text -> encode -> bytes -> parse -> stats, with DuckDB
+  * recomputing the expected stats from the characters. The typed
+  * binary Dataset path lives in [[MediaPipeline]].
   */
 object Multimodal {
 
@@ -47,6 +50,38 @@ object Multimodal {
       Tables(spark, dir, "documents")
         .select(col("doc_id").as("media_id"), lit("text/plain").as("mime"),
           col("text").cast("binary").as("payload"))
+
+    /** documents.text minted into REAL binary PPM payloads (one pixel per
+      * character) — the synthetic corpus's image column.
+      */
+    def ppmMedia(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      Tables(spark, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          MediaRecord(id, "image/x-portable-pixmap",
+            MediaCodecs.PpmCodec.encode(text))
+        }.toDF()
+    }
+
+    final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+        sum_r: Long, sum_g: Long, sum_b: Long)
+
+    /** Real image decode in the batch shape: parses each PPM payload with
+      * the strict header grammar and emits per-channel stats. Same
+      * mapPartitions contract as [[extract]] — a heavier codec would
+      * open once per partition.
+      */
+    def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
+      import spark.implicits._
+      media.as[MediaRecord].mapPartitions { it =>
+        it.map { m =>
+          val img = MediaCodecs.PpmCodec.decode(m.payload)
+          ImageFeatures(m.media_id, img.width, img.height,
+            img.sumR, img.sumG, img.sumB)
+        }
+      }.toDF()
+    }
 
     final case class MediaFrame(media_id: Long, frame_idx: Int,
         frame: Array[Byte], frame_hash: Long)
@@ -118,6 +153,64 @@ object Multimodal {
              |        unnest(generate_series(0, CAST(floor((n_chars - 1) / 128) AS INT)))
              |          AS frame_idx
              |      FROM documents) t
-             |ORDER BY doc_id, frame_idx""".stripMargin))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- real PPM decode: text -> P6 bytes -> strict parser -> channel sums
+    QueryDef(
+      "q51_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val img = MediaCodecs.PpmCodec.decode(
+                MediaCodecs.PpmCodec.encode(text))
+              (id, img.width, img.height, img.sumR, img.sumG, img.sumB)
+            }
+          }
+          .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+          .orderBy("doc_id")
+      },
+      Some("""WITH codes AS (
+             |  SELECT doc_id, len(text) AS n,
+             |    list_transform(range(1, len(text) + 1),
+             |      i -> unicode(substr(text, i, 1))) AS cs
+             |  FROM documents)
+             |SELECT doc_id, n AS width, 1 AS height,
+             |  CAST(list_sum(cs) AS BIGINT) AS sum_r,
+             |  CAST(255 * n - list_sum(cs) AS BIGINT) AS sum_g,
+             |  CAST(list_sum(list_transform(cs, c -> (7 * c) % 256)) AS BIGINT)
+             |    AS sum_b
+             |FROM codes ORDER BY doc_id""".stripMargin)),
+
+    // ---- real WAV decode: text -> RIFF bytes -> chunk walker -> PCM stats
+    QueryDef(
+      "q52_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val a = MediaCodecs.WavCodec.decode(
+                MediaCodecs.WavCodec.encode(text))
+              (id, a.sampleRate, a.nSamples, a.sumAbs, a.maxSample)
+            }
+          }
+          .toDF("doc_id", "sample_rate", "n_samples", "sum_abs", "max_sample")
+          .orderBy("doc_id")
+      },
+      // sample = 257*code - 32768 < 0 for 7-bit codes, so
+      // abs(sample) = 32768 - 257*code; the oracle folds that closed form
+      Some("""WITH codes AS (
+             |  SELECT doc_id, len(text) AS n,
+             |    list_transform(range(1, len(text) + 1),
+             |      i -> unicode(substr(text, i, 1))) AS cs
+             |  FROM documents)
+             |SELECT doc_id, 8000 AS sample_rate, n AS n_samples,
+             |  CAST(32768 * n - 257 * list_sum(cs) AS BIGINT) AS sum_abs,
+             |  CAST(257 * list_max(cs) - 32768 AS INT) AS max_sample
+             |FROM codes ORDER BY doc_id""".stripMargin))
   )
 }

@@ -55,42 +55,50 @@ object AnnexFTagging {
     * @return the annex columns (minus `rowId`) + renamed tagger columns,
     *         with matched_reference_text placed after `textCol`
     */
-  def tagAnnex(spark: SparkSession, annex0: DataFrame, catalog: DataFrame,
-      rowId: String = "row_id", textCol: String = "Drug Description",
-      cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
-      brandMap: Map[String, String] = Map.empty,
-      synonyms: Map[String, String] = Map.empty): DataFrame = {
-    // a prior run's tag columns arrive under the RENAMED names plus the
-    // un-renamed remainder of mergeCols; both sets would collide (join
-    // select ambiguity for mergeCols, double-rename for rename targets).
-    // Auto-drop ONLY when the frame carries an unmistakable marker of a
-    // previous tagging run (`match_reason` / `matched_reference_text`
-    // exist only as tagger outputs); a collision WITHOUT the marker means
-    // a genuine passthrough column (annexes plausibly carry `dose`,
-    // `form`, `route`, `sources`) whose data a silent drop would destroy
-    // invisibly — that case fails loudly so the caller renames it.
+  /** Drop a prior run's tag columns before a fresh merge.
+    *
+    * A prior run's tag columns arrive under the RENAMED names plus the
+    * un-renamed remainder of mergeCols; both sets would collide (join
+    * select ambiguity for mergeCols, double-rename for rename targets).
+    * Auto-drop ONLY when the frame carries an unmistakable marker of a
+    * previous tagging run (`match_reason` / `matched_reference_text`
+    * exist only as tagger outputs); a collision WITHOUT the marker means
+    * a genuine passthrough column (annexes plausibly carry `dose`,
+    * `form`, `route`, `sources`) whose data a silent drop would destroy
+    * invisibly — that case fails loudly so the caller renames it.
+    */
+  private def dropStale(annex0: DataFrame, rowId: String,
+      textCol: String): DataFrame = {
     val stale = (mergeCols ++ renames.values)
       .filter(annex0.columns.contains)
       .filterNot(c => c == rowId || c == textCol)
     val priorRunMarker = annex0.columns.contains("match_reason") ||
       annex0.columns.contains("matched_reference_text")
-    val annex =
-      if (stale.isEmpty) annex0
-      else if (priorRunMarker) {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"tagAnnex: re-tagging a previously tagged frame; dropping stale " +
-            s"tag columns [${stale.mkString(", ")}] before the fresh merge")
-        annex0.drop(stale: _*)
-      } else throw new IllegalArgumentException(
-        s"annex columns [${stale.mkString(", ")}] collide with tagger merge " +
-          "columns but the frame shows no prior tagging run (no " +
-          "match_reason/matched_reference_text); rename these passthrough " +
-          "columns instead of letting the merge silently replace their data")
-    val texts = annex.select(col(rowId).cast("long").as("id"),
-      coalesce(col(textCol), lit("")).as("text"))
-    val tagged = ScoredTagger.tagTexts(spark, texts, catalog, cfg,
-      brandMap, synonyms = synonyms)
-      .select((Seq("id") ++ mergeCols).map(col): _*)
+    if (stale.isEmpty) annex0
+    else if (priorRunMarker) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"tagAnnex: re-tagging a previously tagged frame; dropping stale " +
+          s"tag columns [${stale.mkString(", ")}] before the fresh merge")
+      annex0.drop(stale: _*)
+    } else throw new IllegalArgumentException(
+      s"annex columns [${stale.mkString(", ")}] collide with tagger merge " +
+        "columns but the frame shows no prior tagging run (no " +
+        "match_reason/matched_reference_text); rename these passthrough " +
+        "columns instead of letting the merge silently replace their data")
+  }
+
+  /** The runner's merge/rename/reorder algebra in isolation
+    * (`runners.py:81-112`): stale-column drop, 1:1 left merge of a tagger
+    * result frame (`id` + [[mergeCols]]) back onto the annex rows, the
+    * matched_* renames, and matched_reference_text placement. `rowId` is
+    * consumed by the merge and dropped, like the runner's row_idx.
+    * [[tagAnnex]] composes this with the real tagger; q28 pins it under
+    * the driver's DuckDB oracle with a SQL-expressible tagged frame.
+    */
+  def mergeTagged(annex0: DataFrame, tagged: DataFrame,
+      rowId: String = "row_id",
+      textCol: String = "Drug Description"): DataFrame = {
+    val annex = dropStale(annex0, rowId, textCol)
     val annexCols = annex.columns.filterNot(_ == rowId).toSeq
     val merged = annex
       .join(tagged, annex(rowId).cast("long") === tagged("id"), "left")
@@ -99,5 +107,19 @@ object AnnexFTagging {
       df.withColumnRenamed(from, to)
     }
     Sources.reorderColumnAfter(renamed, textCol, "matched_reference_text")
+  }
+
+  def tagAnnex(spark: SparkSession, annex0: DataFrame, catalog: DataFrame,
+      rowId: String = "row_id", textCol: String = "Drug Description",
+      cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
+      brandMap: Map[String, String] = Map.empty,
+      synonyms: Map[String, String] = Map.empty): DataFrame = {
+    val annex = dropStale(annex0, rowId, textCol)
+    val texts = annex.select(col(rowId).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val tagged = ScoredTagger.tagTexts(spark, texts, catalog, cfg,
+      brandMap, synonyms = synonyms)
+      .select((Seq("id") ++ mergeCols).map(col): _*)
+    mergeTagged(annex, tagged, rowId, textCol)
   }
 }

@@ -1,0 +1,150 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Scale-curve harness: replicates the sf0.1 corpus ×2/×4/×8 and times the
+  * most expensive queries at each factor, writing wall-time-vs-N JSON
+  * (BENCH_SCALE.json). Converts "the plan reads as linear" into a
+  * measurement: a hidden driver-side loop, a broadcast that should have
+  * been a shuffle, or an uncapped self-join shows up as a superlinear
+  * curve long before a real cluster would hit it.
+  *
+  * Replication is query-family-aware, because naive row duplication
+  * changes the WORKLOAD, not just the volume:
+  *
+  *  - tagger family (q26/q27): replica texts are word-ROTATIONS of the
+  *    originals — the vocabulary (and thus the corpus-derived catalog, a
+  *    bounded dimension by contract) stays fixed while distinct texts and
+  *    probes scale ×N. Suffixing tokens instead would scale the catalog
+  *    quadratically through the fuzzy leg, measuring a scenario the
+  *    pipeline contract rules out.
+  *  - near-dup family (q35/q36/q37): replica tokens get a replica-unique
+  *    SUFFIX — replicas are distinct in shingle space, so the corpus is N
+  *    disjoint copies (100 TB of *distinct* data, the design point).
+  *    Rotation here would make every replica a near-duplicate of its
+  *    original and measure an N²-pair corpus instead of an N× corpus.
+  *  - events (q60): ids shift per replica, timestamps keep — N× rows and
+  *    N× distinct users into the same hour buckets.
+  */
+object ScaleBench {
+
+  private def materialize(df: DataFrame): Unit =
+    df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
+
+  private val rotQueries = Seq("q26_scored_tagger", "q27_fuzzy_feedback")
+  private val sufQueries = Seq("q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash")
+  private val evtQueries = Seq("q60_event_hourly")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = if (args.length > 1) args(1) else "BENCH_SCALE.json"
+    val workDir = if (args.length > 2) args(2) else "/tmp/graft-scale"
+    val factors = Seq(1, 2, 4, 8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$baseDir/events.parquet")
+    val evSpan = events.agg(max("event_id")).head().getLong(0) + 1L
+    val userSpan = events.agg(max("user_id")).head().getLong(0) + 1L
+
+    // replica k of the tagger corpus: rotate words by k (mod word count) —
+    // same vocabulary, new distinct texts/probes, same lengths
+    def rotReplica(k: Int): DataFrame =
+      if (k == 0) docs
+      else {
+        val kk = s"($k % size(split(text, ' ')))"
+        docs.select(
+          (col("doc_id") + lit(k * idSpan)).as("doc_id"),
+          expr(s"""concat_ws(' ', flatten(array(
+                  |  slice(split(text, ' '), $kk + 1, size(split(text, ' ')) - $kk),
+                  |  slice(split(text, ' '), 1, $kk))))""".stripMargin).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+
+    // replica k of the near-dup corpus: suffix every token with xk —
+    // replicas share no shingles with any other replica
+    def sufReplica(k: Int): DataFrame =
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * idSpan)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1x$k").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+
+    def evtReplica(k: Int): DataFrame =
+      if (k == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(k * evSpan))
+        .withColumn("user_id", col("user_id") + lit(k * userSpan))
+
+    def gen(n: Int): (String, String) = {
+      val rotDir = s"$workDir/x$n-rot"
+      val sufDir = s"$workDir/x$n-suf"
+      if (!Files.exists(Paths.get(s"$rotDir/documents.parquet"))) {
+        (0 until n).map(rotReplica).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$rotDir/documents.parquet")
+        (0 until n).map(evtReplica).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$rotDir/events.parquet")
+        (0 until n).map(sufReplica).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$sufDir/documents.parquet")
+      }
+      (rotDir, sufDir)
+    }
+
+    // one untimed warm-up then two timed runs (min): the curve SHAPE
+    // across factors is the signal, per-point jitter matters less than in
+    // the round bench (and ×8 tagger runs are too slow for 5 repetitions)
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      spark.catalog.clearCache() // see Bench: stray cache pins checkpoint blocks
+      try materialize(fn(spark, dir)) catch { case _: Throwable => return -1.0 }
+      val t = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try { materialize(fn(spark, dir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      if (t.contains(-1.0)) -1.0 else t.min
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    factors.foreach { n =>
+      val (rotDir, sufDir) = gen(n)
+      (rotQueries.map(_ -> rotDir) ++ evtQueries.map(_ -> rotDir) ++
+        sufQueries.map(_ -> sufDir)).foreach { case (q, d) =>
+        val s = time(q, d)
+        results(q) = results.getOrElse(q, Seq.empty) :+ s
+        println(f"[scale] x$n%-2d $q%-22s $s%8.2f s")
+      }
+    }
+    val qJson = results.map { case (q, ts) =>
+      val pts = factors.zip(ts).map { case (n, t) => s"\"$n\":$t" }.mkString(",")
+      // slope: time(x8)/time(x1) relative to the 8x linear ideal
+      val rel = if (ts.head > 0 && ts.last > 0)
+        (ts.last / ts.head) / (factors.last.toDouble / factors.head) else -1.0
+      s""""$q":{"sec":{$pts},"x8_vs_linear":${f"$rel%.3f"}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],"queries":$qJson}"""
+    Files.writeString(Paths.get(outJson), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -83,6 +83,22 @@ class OperatorSpec extends SparkSpec {
     assert(a.forall(_.getAs[Int]("n_bytes") > 0))
   }
 
+  test("typed PPM media path: real payloads decode to text-derived stats") {
+    val media = Multimodal.MediaPipeline.ppmMedia(spark, sf0001)
+    val decoded = Multimodal.MediaPipeline.decodeImages(spark, media)
+      .orderBy("media_id").collect()
+    val wantWidth = graft.core.Tables(spark, sf0001, "documents")
+      .orderBy("doc_id").select("n_chars").collect()
+      .map(_.getAs[Long]("n_chars").toInt)
+    assert(decoded.length == wantWidth.length)
+    decoded.zip(wantWidth).foreach { case (r, w) =>
+      assert(r.getAs[Int]("width") == w)
+      assert(r.getAs[Int]("height") == 1)
+      // channel identity pinned by construction: g = 255*w - r
+      assert(r.getAs[Long]("sum_g") == 255L * w - r.getAs[Long]("sum_r"))
+    }
+  }
+
   test("frame sampling emits strided fixed-size frames with stable hashes") {
     val media = Multimodal.MediaPipeline.fakeMedia(spark, sf0001)
     val frames = Multimodal.MediaPipeline

@@ -53,6 +53,7 @@ class DrugsPipelineSpec extends SparkSpec {
     assert(metrics.map(_.phase) ==
       Seq("pre_run", "prepare", "match", "post_run"))
     assert(metrics.find(_.phase == "match").exists(_.rows == 5L))
+    out.unpersist()
   }
 
   test("fallback branch pins the tagger to one materialization") {
@@ -110,6 +111,7 @@ class DrugsPipelineSpec extends SparkSpec {
     assert(got(1L) == (("DR-P500", "matched_perfect")))
     assert(got(2L)._2 == "generic_not_in_annex") // cefalexin not in annex
     assert(got(5L)._1 == null)                   // no_candidates row: no code
+    out.unpersist()
   }
 
   test("Part-4 bridging chains on the tagged output") {

@@ -108,6 +108,28 @@ class DrugTaggerSpec extends SparkSpec {
     assert(run("scan").exists(r => r(0) == 1L && r(2) == "cefalexin"))
   }
 
+  test("ratio mode ignores fuzzyMaxDist (fuzzy gate is ratio-only)") {
+    import spark.implicits._
+    // referenceConfig runs fuzzyMode="ratio" while Config still carries
+    // the scan/blocked-mode fuzzyMaxDist knob; if a future edit wired
+    // that knob into the ratio leg, reference fuzzy semantics
+    // (rapidfuzz ratio >= 85, len >= 4) would silently change. Pin:
+    // identical output across the knob's whole range in ratio mode.
+    val cat = Seq("cefalexin", "paracetamol", "salbutamol", "amoxicillin")
+      .map(k => (k, k.toUpperCase)).toDF("key", "generic_name")
+    val probes = Seq((1L, 0, "cefalexim"), (2L, 0, "paracetamole"),
+      (3L, 0, "salbutamul"), (4L, 0, "zzzzz"))
+      .toDF("id", "probe_pos", "probe")
+    def run(d: Int) = LookupWaterfall.allMatches(probes, cat,
+        LookupWaterfall.referenceConfig.copy(fuzzyMaxDist = d))
+      .select("id", "probe", "key", "leg", "score")
+      .collect().map(_.toSeq).toSet
+    val base = run(2)
+    assert(run(0) == base, "fuzzyMaxDist=0 changed ratio-mode output")
+    assert(run(99) == base, "fuzzyMaxDist=99 changed ratio-mode output")
+    assert(base.exists(r => r(0) == 1L && r(2) == "cefalexin"))
+  }
+
   test("vaccine acronym expansion does NOT probe component-named catalogs") {
     import spark.implicits._
     val cat = Seq(

@@ -167,18 +167,34 @@ class ScoredTaggerSpec extends SparkSpec {
   test("sequential tagTexts calls do not accumulate persistent RDDs") {
     // the probe persist unpersists deterministically; the two local
     // checkpoints per call free via the ContextCleaner once the result
-    // frames are unreachable — poll a few GCs for the async cleaner
-    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    // frames are unreachable — poll a few GCs for the async cleaner.
+    // Earlier suites share this session: only the RDD ids MINTED DURING
+    // the two tag() calls are asserted on, and the cleaner's backlog
+    // from those suites' checkpoints/broadcasts is drained first (its
+    // single thread processes cleanups serially; in a full-suite run
+    // the queue behind it can take tens of seconds).
+    def ids(): Set[Int] = spark.sparkContext.getPersistentRDDs.keys.toSet
+    def drain(target: Set[Int], deadlineNs: Long): Set[Int] = {
+      var left = ids() & target
+      while (left.nonEmpty && System.nanoTime() < deadlineNs) {
+        System.gc()
+        Thread.sleep(250)
+        left = ids() & target
+      }
+      left
+    }
+    drain(ids(), System.nanoTime() + 60L * 1000 * 1000 * 1000)
+    val before = ids()
     tag(Seq((1L, "PARACETAMOL 500MG TABLET")))
     tag(Seq((2L, "IBUPROFEN 200MG TABLET")))
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    var n = persisted()
-    while (n > 0 && System.nanoTime() < deadline) {
-      System.gc()
-      Thread.sleep(250)
-      n = persisted()
-    }
-    assert(n == 0, s"$n cached RDDs survived GC + ContextCleaner")
+    val mine = ids() -- before
+    val left = drain(mine, System.nanoTime() + 60L * 1000 * 1000 * 1000)
+    val detail = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => left.contains(id) }
+      .map { case (id, r) => s"id=$id name=${r.name} ${r.toString}" }
+    assert(left.isEmpty,
+      s"${left.size} cached RDDs from tagTexts survived GC + ContextCleaner: " +
+        detail.mkString("; "))
   }
 
   test("shape classification flags") {
