@@ -108,20 +108,21 @@ object ScaleBench {
       (rotDir, sufDir)
     }
 
-    // one untimed warm-up then two timed runs (min): the curve SHAPE
-    // across factors is the signal, per-point jitter matters less than in
-    // the round bench (and ×8 tagger runs are too slow for 5 repetitions)
+    // one untimed warm-up then three timed runs reported as the MEDIAN:
+    // a min-of-2 first cut produced non-monotonic curves (single GC/JIT
+    // outliers at one factor masked the shape), and the curve SHAPE
+    // across factors is the whole point of this harness
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache() // see Bench: stray cache pins checkpoint blocks
       try materialize(fn(spark, dir)) catch { case _: Throwable => return -1.0 }
-      val t = (1 to 2).map { _ =>
+      val t = (1 to 3).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         try { materialize(fn(spark, dir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      if (t.contains(-1.0)) -1.0 else t.min
+      if (t.contains(-1.0)) -1.0 else t.sorted.apply(t.size / 2)
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
