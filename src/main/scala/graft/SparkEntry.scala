@@ -15,7 +15,10 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *            (blocked fuzzy-join mode), Part-2 runner merge algebra
   *   q30–q34  text analysis: token counting, language-ID, quality scoring,
   *            fingerprinting, exact dedup
-  *   q35–q37  near-dup: n-gram Jaccard, MinHash+LSH, SimHash
+  *   q44      deterministic stratified train/eval hash-split
+  *   q35–q39  near-dup: n-gram Jaccard, MinHash+LSH, SimHash, and
+  *            connected-components cluster assignment over the LSH
+  *            pair graph (iterative min-label propagation)
   *   q40–q43  similarity search: brute-force cosine top-k, sign-LSH ANN,
   *            IVF-flat ANN, embedding-cosine near-dup pairs
   *   q50      multimodal frame-sampling plumbing

@@ -88,6 +88,74 @@ object Dedup {
       .select(col("doc_id"), shinglesOf(col("t")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
+  /** q36's LSH candidate pairs (8 minhashes, 4 bands x 2 rows), shared by
+    * the pair query and the clustering query.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(s, dir).select("doc_id", "sh")
+    val minCols = (0 until 8).map(i =>
+      min(md5(concat_ws(":", lit(i), col("sh")))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
+    val bands = capHotKeys(
+      sig.select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> md5(concat(sig[b*2], sig[b*2+1])))")))
+        .toDF("doc_id", "band_idx", "band_key"),
+      HotKeyCap, "band_idx", "band_key")
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every vertex repeatedly adopts the smallest
+    * label among itself and its neighbors until a fixpoint; the component
+    * id is the component's minimum vertex id.
+    *
+    * Scale design: one shuffle per iteration (the neighbor-min
+    * aggregation), and each iteration's label frame is EAGERLY
+    * locally-checkpointed — without lineage truncation an iterative
+    * DataFrame loop doubles its plan every pass and dies at ~15
+    * iterations regardless of data size. Iteration count is bounded by
+    * the largest component's diameter, which for near-dup clusters is
+    * small by construction (duplicate groups are dense); the maxIter
+    * guard fails loudly rather than returning half-propagated labels.
+    * For adversarial long-chain graphs prefer the large-star/small-star
+    * variant (O(log²) rounds); the simple propagation is the right
+    * trade for dedup graphs and keeps every step oracle-checkable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true) // consumed once per iteration — pin the scan
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- n-gram Jaccard near-dup pairs via inverted-index join
@@ -124,32 +192,13 @@ object Dedup {
              |ORDER BY d1, d2""".stripMargin)),
 
     // ---- MinHash (8 hashes) + LSH (4 bands x 2 rows) candidate pairs
+    // All 8 minhashes compute in ONE aggregation pass (8 partial mins
+    // with map-side combine) instead of a seed crossJoin +
+    // per-(doc,seed) shuffle — one shuffle total, no row blowup (see
+    // minhashPairs).
     QueryDef(
       "q36_minhash_lsh",
-      (s, dir) => {
-        val sh = shingleIndex(s, dir).select("doc_id", "sh")
-        // All 8 minhashes in ONE aggregation pass (8 partial mins with
-        // map-side combine) instead of a seed crossJoin + per-(doc,seed)
-        // shuffle — one shuffle total, no row blowup.
-        val minCols = (0 until 8).map(i =>
-          min(md5(concat_ws(":", lit(i), col("sh")))).as(s"mh$i"))
-        val sig = sh.groupBy("doc_id")
-          .agg(minCols.head, minCols.tail: _*)
-          .select(col("doc_id"), array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
-        val bands = capHotKeys(
-          sig.select(col("doc_id"),
-              posexplode(expr(
-                "transform(sequence(0, 3), b -> md5(concat(sig[b*2], sig[b*2+1])))")))
-            .toDF("doc_id", "band_idx", "band_key"),
-          HotKeyCap, "band_idx", "band_key")
-        bands.as("a").join(bands.as("b"),
-            col("a.band_idx") === col("b.band_idx")
-              && col("a.band_key") === col("b.band_key")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-          .orderBy("d1", "d2")
-      },
+      (s, dir) => minhashPairs(s, dir).orderBy("d1", "d2"),
       Some("""WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
              |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
              |         generate_series(1, len(t)-2),
@@ -165,6 +214,40 @@ object Dedup {
              |FROM bands a JOIN bands b
              |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
              |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- near-dup CLUSTERS: connected components over the LSH pair graph
+    // (dedup pipelines need one representative per duplicate GROUP, not
+    // pairs; the canonical keep-rule "retain min doc_id per component" is
+    // exactly the cluster_id this emits)
+    QueryDef(
+      "q39_dedup_clusters",
+      (s, dir) => connectedComponents(minhashPairs(s, dir))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+             |tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         generate_series(1, len(t)-2),
+             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             |       FROM tt WHERE len(t) >= 3),
+             |mh AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed || ':' || sh)) AS mh
+             |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+             |       GROUP BY 1,2),
+             |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+             |bands AS (SELECT doc_id, b AS band_idx, md5(sig[2*b+1] || sig[2*b+2]) AS band_key
+             |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b) bb),
+             |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             |          FROM bands a JOIN bands b
+             |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             |               AND a.doc_id < b.doc_id),
+             |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+             |          UNION ALL SELECT d2, d1 FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+             |SELECT id AS doc_id, min(r) AS cluster_id
+             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- SimHash: 16-bit signature from md5 bits of distinct tokens
     QueryDef(

@@ -168,6 +168,30 @@ object TextAnalysis {
              |FROM (SELECT doc_id,
              |        md5(array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' ')) AS key_fp
              |      FROM documents) t
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- deterministic hash-split train/eval assignment: the standard
+    //      training-data split at 100 TB is a pure per-row hash of the
+    //      stable key — reproducible across engines and re-runs, no
+    //      sample() RNG, no shuffle, no coordination. md5 is the shared
+    //      engine-identical hash; the first two hex chars give a uniform
+    //      0..255 bucket, split 80/20 at 0xCC (204/256 = 79.7% train).
+    //      Stratification comes free by keying the hash on (lang, doc_id)
+    //      so each language splits independently at the same rate.
+    QueryDef(
+      "q44_train_split",
+      (s, dir) => {
+        val bucket = conv(
+          substring(md5(concat_ws(":", col("lang"), col("doc_id"))), 1, 2),
+          16, 10).cast("int")
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            when(bucket < 204, lit("train")).otherwise(lit("eval")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 204
+             |       THEN 'train' ELSE 'eval' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

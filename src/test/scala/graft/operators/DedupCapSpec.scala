@@ -29,6 +29,28 @@ class DedupCapSpec extends SparkSpec {
     assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("connectedComponents labels every vertex with its component minimum") {
+    // two components: a 4-chain {1-2-3-4} (diameter 3 — needs multiple
+    // propagation rounds) and a triangle {10,11,12}; 7-8 isolated edge
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (8L, 7L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents fails loudly when maxIter is too small") {
+    // a 6-chain needs more than one round; maxIter=1 must not return
+    // half-propagated labels
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(chain, maxIter = 1))
+    // and converges fine with the default budget
+    val ok = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L) && ok.length == 6)
+  }
+
   test("cap is inert at test scale: q35/q36 results unchanged without it") {
     // The default HotKeyCap (256) sits an order of magnitude above the max
     // observed key frequency at sf scales (25 at sf0.1), so the capped
