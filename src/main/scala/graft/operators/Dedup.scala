@@ -136,22 +136,30 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // one shuffle per round: neighbor labels + self labels union into a
+    // single min-aggregation (no second join to merge back). Convergence
+    // check rides the checkpointed result as a tiny aggregate: labels
+    // only ever DECREASE, so an unchanged exact sum ⟺ a fixpoint —
+    // decimal(38) keeps the sum exact at any realistic vertex count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+    while (!converged && it < maxIter) {
+      val msgs = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .unionByName(labels)
+      val next = msgs.groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       it += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter iterations")
     labels
   }

@@ -192,6 +192,87 @@ object TextAnalysis {
       Some("""SELECT doc_id, lang,
              |  CASE WHEN CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 204
              |       THEN 'train' ELSE 'eval' END AS split
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- repetition scoring: duplicate word-trigram fraction per doc
+    //      (the Gopher-family quality signal — boilerplate/spam shows up
+    //      as repeated n-grams). Pure per-row array algebra, no shuffle.
+    QueryDef(
+      "q45_repetition",
+      (s, dir) => {
+        // non-distinct trigrams via the same shifted-slice zip_with shape
+        // as Dedup.shinglesOf (lambda-argument-only, no inlined regex)
+        val t = toks
+        val tri = filter(
+          zip_with(
+            zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+              (a, b) => concat(a, lit(" "), b)),
+            slice(t, lit(3), greatest(size(t) - 2, lit(0))),
+            (ab, c) => concat(ab, lit(" "), c)),
+          x => x.isNotNull)
+        docs(s, dir)
+          .select(col("doc_id"), tri.as("tri"))
+          .select(col("doc_id"),
+            size(col("tri")).as("n_tri"),
+            (size(col("tri")) - size(array_distinct(col("tri")))).as("n_dup"))
+          .withColumn("dup_frac",
+            when(col("n_tri") > 0,
+              col("n_dup").cast("double") / col("n_tri").cast("double"))
+              .otherwise(lit(0.0)))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_tri, n_dup,
+             |  CASE WHEN n_tri > 0
+             |       THEN CAST(n_dup AS DOUBLE) / CAST(n_tri AS DOUBLE)
+             |       ELSE 0.0 END AS dup_frac
+             |FROM (SELECT doc_id,
+             |        len(tri) AS n_tri,
+             |        len(tri) - len(list_distinct(tri)) AS n_dup
+             |      FROM (SELECT doc_id,
+             |              CASE WHEN len(t) >= 3
+             |                   THEN list_transform(generate_series(1, len(t)-2),
+             |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             |                   ELSE [] END AS tri
+             |            FROM (SELECT doc_id,
+             |                    string_split_regex(trim(text), '\s+') AS t
+             |                  FROM documents) x) y) z
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII scrubbing: email + long-digit-run redaction with match
+    //      counts. The corpus carries no organic PII, so a deterministic
+    //      pii-bearing suffix is appended IN the query (identically in
+    //      both engines) — the redaction regexes provably fire on every
+    //      row instead of no-op'ing. Patterns stay in the RE2-compatible
+    //      subset so Spark (Java regex) and DuckDB (RE2) agree.
+    QueryDef(
+      "q46_pii_scrub",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val numRe = "[0-9]{7,}"
+        val withPii = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com ref "),
+          (col("doc_id") + 1) * 1234567)
+        docs(s, dir)
+          .select(col("doc_id"), withPii.as("raw"))
+          .select(col("doc_id"),
+            regexp_count(col("raw"), lit(emailRe)).as("n_email"),
+            regexp_count(col("raw"), lit(numRe)).as("n_num"),
+            regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              numRe, "<NUM>").as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             |  CAST(len(regexp_extract_all(raw, '[0-9]{7,}')) AS INT) AS n_num,
+             |  regexp_replace(
+             |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+             |FROM (SELECT doc_id,
+             |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |             || '@example.com ref '
+             |             || CAST((doc_id + 1) * 1234567 AS VARCHAR) AS raw
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin))
   )
 }
