@@ -37,7 +37,8 @@ object ScaleBench {
     df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).head()
 
   private val rotQueries = Seq("q26_scored_tagger", "q27_fuzzy_feedback")
-  private val sufQueries = Seq("q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash")
+  private val sufQueries = Seq("q35_ngram_jaccard", "q36_minhash_lsh",
+    "q37_simhash", "q39_dedup_clusters")
   private val evtQueries = Seq("q60_event_hourly")
 
   def main(args: Array[String]): Unit = {
