@@ -142,8 +142,11 @@ object Dedup {
     // only ever DECREASE, so an unchanged exact sum ⟺ a fixpoint —
     // decimal(38) keeps the sum exact at any realistic vertex count.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+      // sum over an EMPTY label frame is null (no pairs in the corpus →
+      // no vertices); treat as zero so the empty graph converges on the
+      // first round instead of NPE-ing the comparison
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

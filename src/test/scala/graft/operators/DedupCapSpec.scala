@@ -40,6 +40,13 @@ class DedupCapSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents on an empty edge frame returns no rows") {
+    // a clean corpus (zero candidate pairs) must yield an empty cluster
+    // frame, not a null-sum crash
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+  }
+
   test("connectedComponents fails loudly when maxIter is too small") {
     // a 6-chain needs more than one round; maxIter=1 must not return
     // half-propagated labels
