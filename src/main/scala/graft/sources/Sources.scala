@@ -104,4 +104,21 @@ object Sources {
     */
   def appendMetrics(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** Partitioned parquet sink with DYNAMIC partition overwrite — the
+    * scale-correct incremental sink (beyond the reference's single-file
+    * CSV contract): a re-run that produces partitions {d1, d2} replaces
+    * ONLY those directories, leaving every other partition's data
+    * untouched, so daily/batch reprocessing never rewrites the whole
+    * table and readers prune on the partition column. Static overwrite
+    * (Spark's default) would silently DELETE all other partitions — the
+    * classic data-loss foot-gun this wrapper exists to pin down.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partitionCols: String*): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

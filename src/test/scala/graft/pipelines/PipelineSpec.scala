@@ -140,6 +140,26 @@ class PipelineSpec extends SparkSpec {
       s"prepare lineage ran ${prepCalls.value / 3.0}x after pass-through")
   }
 
+  test("partitioned parquet sink overwrites only the partitions it writes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dynpart").toString + "/t"
+    Sources.writePartitionedParquet(
+      Seq((1L, "a", "d1"), (2L, "b", "d2"), (3L, "c", "d3"))
+        .toDF("id", "v", "day"), dir, "day")
+    // re-run covering only d1/d2: d3's data must survive (dynamic mode);
+    // static overwrite would have deleted it
+    Sources.writePartitionedParquet(
+      Seq((10L, "a2", "d1"), (20L, "b2", "d2"))
+        .toDF("id", "v", "day"), dir, "day")
+    val back = spark.read.parquet(dir)
+      .select("id", "day").as[(Long, String)].collect().toSet
+    assert(back == Set((10L, "d1"), (20L, "d2"), (3L, "d3")))
+    // partition pruning reaches the file listing: one partition dir read
+    val pruned = spark.read.parquet(dir).filter($"day" === "d3")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("append metrics sink accumulates rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-metrics").toString + "/m"
