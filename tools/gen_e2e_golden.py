@@ -321,6 +321,24 @@ TEXTS = [
     "PARACETAMOL 300MG IN 100ML NSS INFUSION",
     "QWERTYZINE 10MG TAB",
     "",
+    # ---- round-7 adversarial expansion: punctuation/separator abuse,
+    #      ratio & unit strengths, brand+generic in one text, tabs,
+    #      numbers-first ordering, percent gels, IU-per-ml
+    "PARACETAMOL;500MG,TAB",
+    "PARACETAMOL/IBUPROFEN 325/200MG TAB",
+    "500MG PARACETAMOL TABLET",
+    "BIOGESIC PARACETAMOL 500MG TAB",
+    "LIDOCAINE 2% GEL 30G",
+    "EPINEPHRINE 1:1000 1ML AMPULE",
+    "HEPARIN 5000 IU/ML VIAL 5ML",
+    "INSULIN 100 UNITS/ML VIAL",
+    "LEVOTHYROXINE 50MCG TABLET",
+    "PARACETAMOL\t500MG\tTABLET",
+    "IBUPROFEN 200 MG TAB (OVER THE COUNTER)",
+    "CO AMOXICLAV 1.2G VIAL",
+    "SALBUTAMOL: 2 NEBULES 2.5MG/2.5ML",
+    "PARACETAMOL 500MG TAB #100",
+    "OMEPRAZOLE 20 MG CAPSULE, DELAYED RELEASE",
 ]
 
 
