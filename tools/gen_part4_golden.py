@@ -144,6 +144,17 @@ ESOA = [
     "FERROUS SULFATE 325MG TABLET",
     "AMOXICILLIN 500MG + CLAVULANIC ACID 125MG TABLET",
     "GENTAMICIN 80MG/2ML VIAL",
+    # ---- round-7 expansion: dose-cascade stressors
+    "PARACETAMOL 0.5G TABLET",              # g->mg conversion must hit D001
+    "OMEPRAZOLE 40MG",                      # no form/route: D004 vs D005 tie
+    "PARACETAMOL 500MG",                    # tablet vs suppository tie
+    "SALBUTAMOL 100 MCG/DOSE INHALER",      # spaced mcg/dose vs D022
+    "SODIUM CHLORIDE 0.9% 500ML SOLUTION",  # percent strength, volume differs
+    "AMOXICILLIN 500MG TABLET",             # capsule-only annex: form mismatch
+    "MAGNESIUM SULFATE 250 MG/ML 10ML VIAL",# spaced concentration
+    "IBUPROFEN 400MG TABLET",               # exact annex twin of D003
+    "DEXTROSE 5% 1L",                       # bare D5 phrasing vs D013
+    "PENICILLIN G 1000000 UNITS VIAL",      # UNITS spelling of IU + synonym
 ]
 
 MERGE_COLS = [
