@@ -57,15 +57,21 @@ object AnnexFTagging {
     */
   /** Drop a prior run's tag columns before a fresh merge.
     *
-    * A prior run's tag columns arrive under the RENAMED names plus the
-    * un-renamed remainder of mergeCols; both sets would collide (join
-    * select ambiguity for mergeCols, double-rename for rename targets).
-    * Auto-drop ONLY when the frame carries an unmistakable marker of a
-    * previous tagging run (`match_reason` / `matched_reference_text`
-    * exist only as tagger outputs); a collision WITHOUT the marker means
-    * a genuine passthrough column (annexes plausibly carry `dose`,
-    * `form`, `route`, `sources`) whose data a silent drop would destroy
-    * invisibly — that case fails loudly so the caller renames it.
+    * INTENTIONAL extension over the reference: `run_annex_f_tagging`
+    * merges its tag columns blindly, so re-running it over its own
+    * output produces duplicate/suffixed columns and crashes on
+    * `merged["atc_code"]` (verified by tools/gen_annexf_golden.py's
+    * re-tag probe against the real runner) — the reference cannot
+    * re-tag a tagged file. Here a prior run's tag columns (the RENAMED
+    * names plus the un-renamed remainder of mergeCols, which would
+    * collide as join-select ambiguity / double renames) are auto-dropped
+    * ONLY when the frame carries an unmistakable marker of a previous
+    * tagging run (`match_reason` / `matched_reference_text` exist only
+    * as tagger outputs), making re-tag idempotent. A collision WITHOUT
+    * the marker means a genuine passthrough column (annexes plausibly
+    * carry `dose`, `form`, `route`, `sources`) whose data a silent drop
+    * would destroy invisibly — that case fails loudly so the caller
+    * renames it.
     */
   private def dropStale(annex0: DataFrame, rowId: String,
       textCol: String): DataFrame = {

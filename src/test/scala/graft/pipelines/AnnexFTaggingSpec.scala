@@ -87,6 +87,24 @@ class AnnexFTaggingSpec extends SparkSpec {
     assert(diffs.isEmpty,
       s"\n${diffs.size} cell divergences from run_annex_f_tagging:\n" +
         diffs.take(60).mkString("\n"))
+
+    // graft extension pinned against the SAME golden: re-tagging the
+    // fully tagged frame (markers present -> stale drop fires) must
+    // reproduce every golden cell — the reference runner crashes here
+    val retag = AnnexFTagging.tagAnnex(spark,
+      keep.withColumn("rid2", col("row_id")), catalog,
+      rowId = "rid2",
+      brandMap = brandMap, synonyms = synonymMap)
+    assert(retag.columns.toSeq == keep.columns.toSeq)
+    val byId2 = retag.collect().map(r => r.getAs[Long]("row_id") -> r).toMap
+    val diffs2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (id <- g.keys.toSeq.sorted; c <- wantCols if c != "row_id") {
+      val want = Option(g(id).getAs[String](c)).getOrElse(Null)
+      val got = ser(byId2(id).get(byId2(id).fieldIndex(c)))
+      if (got != want) diffs2 += s"row=$id $c: reference=$want retag=$got"
+    }
+    assert(diffs2.isEmpty,
+      s"\n${diffs2.size} re-tag divergences:\n" + diffs2.take(40).mkString("\n"))
   }
 
   private def miniCatalog = {
@@ -107,7 +125,9 @@ class AnnexFTaggingSpec extends SparkSpec {
       annex.withColumn("rid", col("row_id")), miniCatalog, rowId = "rid")
     // `once` carries match_reason/matched_reference_text — the prior-run
     // marker — so the second run drops the stale tag columns and the
-    // fresh tag replaces them byte-for-byte (runners.py:82-99 semantics)
+    // fresh tag replaces them byte-for-byte. Graft extension: the
+    // reference runner CRASHES re-tagging its own output (no stale-drop;
+    // see AnnexFTagging.dropStale scaladoc)
     val twice = AnnexFTagging.tagAnnex(spark,
       once.withColumn("rid", col("row_id")), miniCatalog, rowId = "rid")
     assert(twice.columns.toSeq == once.columns.toSeq)
