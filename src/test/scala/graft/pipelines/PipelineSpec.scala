@@ -79,6 +79,7 @@ class PipelineSpec extends SparkSpec {
     assert(metrics.map(_.phase) == Seq("pre_run", "prepare", "match", "post_run"))
     assert(metrics.find(_.phase == "match").exists(_.rows == 1L))
     intercept[IllegalArgumentException](reg.run(spark, "Missing"))
+    out.unpersist()
   }
 
   test("registry materializes each phase once (metrics don't re-execute lineage)") {
