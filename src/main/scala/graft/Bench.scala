@@ -39,8 +39,23 @@ object Bench {
     // for local iteration; the driver leaves it unset (full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val base = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_ORDER=reverse|first:qNN[,qMM] reorders the run — the
+    // diagnostic for "does a query's number depend on what ran before it"
+    // (block churn / ordering pressure vs genuine cost): if a late query
+    // speeds up when run first, the session history is the suspect, not
+    // the plan
+    val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "sorted")
+    val names = order match {
+      case "sorted"  => base
+      case "reverse" => base.reverse
+      case s if s.startsWith("first:") =>
+        val pri = s.stripPrefix("first:").split(",").map(_.trim).toSeq
+        pri.filter(base.contains) ++ base.filterNot(pri.contains)
+      case other => sys.error(
+        s"SPARK_GRAFT_ORDER must be sorted|reverse|first:<q,...>, got $other")
+    }
     // per-query: TWO untimed warm-up runs (the UDF-heavy tagger stages
     // spend their first and often second execution inside C2 JIT
     // compilation — measured 5-9s on run 2 vs 1.2-2s steady state), a GC
@@ -87,7 +102,7 @@ object Bench {
       .map { case (k, _, mn, mx) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"order":"$order","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,8 +15,9 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *            (blocked fuzzy-join mode), Part-2 runner merge algebra
   *   q30–q34  text analysis: token counting, language-ID, quality scoring,
   *            fingerprinting, exact dedup
-  *   q44–q46  corpus ops: deterministic stratified train/eval hash-split,
-  *            duplicate-trigram repetition fraction, PII scrubbing
+  *   q44–q47  corpus ops: deterministic stratified train/eval hash-split,
+  *            duplicate-trigram repetition fraction, PII scrubbing,
+  *            BPE-ish regex token counting (+fertility)
   *   q35–q39  near-dup: n-gram Jaccard, MinHash+LSH, SimHash, and
   *            connected-components cluster assignment over the LSH
   *            pair graph (iterative min-label propagation)

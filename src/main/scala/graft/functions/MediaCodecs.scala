@@ -18,6 +18,21 @@ package graft.functions
   */
 object MediaCodecs {
 
+  /** The synthetic payloads are minted "one pixel / one sample per
+    * CHARACTER", and the DuckDB oracle recomputes the expected stats
+    * with code-point functions (`unicode(substr(..))`, `len`). JVM-side
+    * `charAt` works in UTF-16 units, so the two sides only agree when
+    * every character is a single ASCII unit — enforce that contract
+    * loudly at encode time instead of silently truncating `& 0xff`.
+    */
+  private def asciiCode(text: String, i: Int): Int = {
+    val c = text.charAt(i)
+    require(c <= 127,
+      s"media encoders require ASCII corpus text (oracle parity contract); " +
+        s"found U+${c.toInt.toHexString} at index $i")
+    c.toInt
+  }
+
   /** Decoded P6 image summary: dimensions + per-channel byte sums (exact
     * integers — the oracle-friendly form of mean channel intensity).
     */
@@ -37,7 +52,7 @@ object MediaCodecs {
       System.arraycopy(header, 0, out, 0, header.length)
       var i = 0
       while (i < n) {
-        val c = text.charAt(i) & 0xff
+        val c = asciiCode(text, i)
         out(header.length + 3 * i) = c.toByte
         out(header.length + 3 * i + 1) = (255 - c).toByte
         out(header.length + 3 * i + 2) = ((7 * c) & 0xff).toByte
@@ -137,7 +152,7 @@ object MediaCodecs {
       bb.put("data".getBytes).putInt(dataSize)
       var i = 0
       while (i < n) {
-        bb.putShort((257 * (text.charAt(i) & 0xff) - 32768).toShort)
+        bb.putShort((257 * asciiCode(text, i) - 32768).toShort)
         i += 1
       }
       bb.array()

@@ -167,6 +167,94 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (the
+    * two-phase algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the opt-in alternative to
+    * [[connectedComponents]] for ADVERSARIAL graphs: rounds scale with
+    * O(log² n) instead of the component diameter, so a pathological
+    * long-chain component (which would blow past min-label propagation's
+    * maxIter) still converges in a handful of passes.
+    *
+    * large-star: every node connects its LARGER neighbors to the minimum
+    * of its closed neighborhood; small-star: every node connects its
+    * smaller neighbors (and itself) to the minimum among them. Both
+    * steps preserve connectivity and strictly shrink star height; at the
+    * fixpoint every edge is (component-min, member). Each round is two
+    * grouped aggregations + joins — the same one-shuffle-per-pass
+    * profile as the simple propagation — with eager localCheckpoints
+    * truncating the iterative lineage. Convergence is detected on an
+    * exact (count, decimal sum of per-edge hashes) pair: a star-fixpoint
+    * edge set reproduces itself, so an unchanged checksum ⟺ done (the
+    * decimal(38) sum keeps the arithmetic exact; hash collisions would
+    * need two DIFFERENT edge sets with equal count and equal exact sum
+    * of xxhash64 values — not a realistic failure mode for a dedup
+    * graph, and the parity spec cross-checks against the simple
+    * propagation).
+    *
+    * Same contract as [[connectedComponents]]: labels every vertex that
+    * appears in `edges` with its component's minimum vertex id.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val vertices = edges.select(col("d1").as("id"))
+      .unionByName(edges.select(col("d2").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var e = edges
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var prev = checksum(e)
+    var converged = prev._1 == 0L // empty graph: nothing to do
+    var it = 0
+    while (!converged && it < maxIter) {
+      // ---- large-star: for node u with closed-neighborhood min m,
+      //      connect every neighbor v > u to m
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val nbrMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(nbrMin, "u")
+        .where(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+      // ---- small-star: for node u with smaller-neighbor min m, connect
+      //      every smaller neighbor and u itself to m
+      val sym2 = ls.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(ls.select(col("b").as("u"), col("a").as("v")))
+      val neg = sym2.where(col("v") < col("u"))
+      val negMin = neg.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = neg.join(negMin, "u")
+        .select(col("v").as("x"), col("m"))
+        .unionByName(negMin.select(col("u").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("m").as("a"), col("x").as("b")) // m < x by construction
+        .distinct()
+        .localCheckpoint(true)
+      val cur = checksum(ss)
+      converged = cur == prev
+      prev = cur
+      e = ss
+      it += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint edges are star edges (component-min, member); centers and
+    // any singleton-collapsed vertex label themselves
+    vertices
+      .join(e.select(col("b").as("id"), col("a").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- n-gram Jaccard near-dup pairs via inverted-index join

@@ -37,7 +37,8 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- token counting (whitespace tokenizer; BPE-ish variant in textlib)
+    // ---- token counting (whitespace tokenizer; the BPE-ish regex
+    //      variant is q47 below)
     QueryDef(
       "q30_token_count",
       (s, dir) =>
@@ -47,6 +48,40 @@ object TextAnalysis {
       Some("""SELECT doc_id, n_chars,
              |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE-ish token counting: a GPT-family pre-tokenizer approximated
+    //      in the RE2-compatible subset (no lookahead) so Spark's Java
+    //      regex and DuckDB's RE2 agree token-for-token — contraction
+    //      suffixes, letter runs, digit runs capped at 3 (the modern BPE
+    //      number-splitting convention), punctuation runs. Both engines
+    //      use leftmost-first alternation, so the pattern is portable.
+    //      `fertility` (BPE tokens per whitespace word) is the standard
+    //      budget-estimation signal this count exists to feed.
+    QueryDef(
+      "q47_bpe_token_count",
+      (s, dir) => {
+        val bpeRe = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(toks).as("n_ws_tokens"),
+            size(regexp_extract_all(col("text"), lit(bpeRe), lit(0)))
+              .as("n_bpe_tokens"))
+          .withColumn("fertility",
+            when(col("n_ws_tokens") > 0,
+              ratio(col("n_bpe_tokens"), col("n_ws_tokens")))
+              .otherwise(lit(0.0)))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+             |  CASE WHEN n_ws_tokens > 0
+             |       THEN CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)
+             |       ELSE 0.0 END AS fertility
+             |FROM (SELECT doc_id,
+             |        len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+             |        CAST(len(regexp_extract_all(text,
+             |          '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS INT) AS n_bpe_tokens
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- language-ID: per-language stopword hit counts + argmax vote
     QueryDef(
@@ -181,8 +216,11 @@ object TextAnalysis {
     QueryDef(
       "q44_train_split",
       (s, dir) => {
+        // coalesce: concat_ws SKIPS nulls while the oracle's || propagates
+        // them through md5 — a null-lang row would split differently per
+        // engine without pinning both sides to the empty string
         val bucket = conv(
-          substring(md5(concat_ws(":", col("lang"), col("doc_id"))), 1, 2),
+          substring(md5(concat_ws(":", coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2),
           16, 10).cast("int")
         docs(s, dir)
           .select(col("doc_id"), col("lang"),
@@ -190,7 +228,7 @@ object TextAnalysis {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang,
-             |  CASE WHEN CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 204
+             |  CASE WHEN CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 204
              |       THEN 'train' ELSE 'eval' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

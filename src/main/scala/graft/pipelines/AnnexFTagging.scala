@@ -104,6 +104,8 @@ object AnnexFTagging {
   def mergeTagged(annex0: DataFrame, tagged: DataFrame,
       rowId: String = "row_id",
       textCol: String = "Drug Description"): DataFrame = {
+    Sources.requireColumns(annex0, "annex frame", rowId, textCol)
+    Sources.requireColumns(tagged, "tagged frame", "id" +: mergeCols: _*)
     val annex = dropStale(annex0, rowId, textCol)
     val annexCols = annex.columns.filterNot(_ == rowId).toSeq
     val merged = annex
@@ -120,6 +122,7 @@ object AnnexFTagging {
       cfg: LookupWaterfall.Config = LookupWaterfall.referenceConfig,
       brandMap: Map[String, String] = Map.empty,
       synonyms: Map[String, String] = Map.empty): DataFrame = {
+    Sources.requireColumns(annex0, "annex frame", rowId, textCol)
     val annex = dropStale(annex0, rowId, textCol)
     val texts = annex.select(col(rowId).cast("long").as("id"),
       coalesce(col(textCol), lit("")).as("text"))

@@ -38,7 +38,21 @@ final class DrugsTaggingPipeline(
 
   val itemRefCode = "DrugsAndMedicine"
 
-  def prepareInputs(spark: SparkSession): DataFrame = texts(spark)
+  /** The reference probes the text column by name on whatever frame the
+    * caller loaded (`runners.py:176-182`); graft's downstream contract is
+    * `(id, text)`, so a frame arriving with any reference-candidate name
+    * (`ITEM_DESCRIPTION`, `Drug Description`, …) is normalized to `text`
+    * here, and a frame with none — or without `id` — fails loudly before
+    * any tagging work (`prepare.py:57-59` semantics).
+    */
+  def prepareInputs(spark: SparkSession): DataFrame = {
+    val raw = texts(spark)
+    val df =
+      if (raw.columns.contains("text")) raw
+      else raw.withColumnRenamed(
+        graft.sources.Sources.resolveTextColumn(raw), "text")
+    graft.sources.Sources.requireColumns(df, "prepared texts", "id", "text")
+  }
 
   def matchRecords(spark: SparkSession, prepared: DataFrame): DataFrame = {
     val taggedRaw = ScoredTagger.tagTexts(spark, prepared, catalog(spark), cfg,

@@ -70,6 +70,40 @@ object Sources {
     deleted
   }
 
+  /** The reference's free-text column candidates, probed in order
+    * (`runners.py:176-182`).
+    */
+  val TextColumnCandidates: Seq[String] = Seq(
+    "raw_text", "ITEM_DESCRIPTION", "DESCRIPTION", "Drug Description",
+    "description")
+
+  /** Text-column probe (`runners.py:176-182`): the reference tries each
+    * candidate name in order against the loaded eSOA frame and raises
+    * listing the actual columns when none hits — the first thing a real
+    * user's mis-shaped CSV runs into. Same semantics over `df.columns`
+    * (metadata only, no scan).
+    */
+  def resolveTextColumn(df: DataFrame,
+      candidates: Seq[String] = TextColumnCandidates): String =
+    candidates.find(df.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        s"No text column found. Columns: ${df.columns.mkString("[", ", ", "]")}" +
+          s" (tried ${candidates.mkString("[", ", ", "]")})"))
+
+  /** Fail-fast required-column guard (`prepare.py:57-59`): downstream
+    * stages' schema assumptions surface here, before any heavy work, with
+    * the table name and the full present-column list in the error instead
+    * of an unresolved-attribute failure deep in a plan.
+    */
+  def requireColumns(df: DataFrame, table: String,
+      required: String*): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"$table is missing required column(s): ${missing.mkString(", ")} " +
+        s"(present: ${df.columns.mkString("[", ", ", "]")})")
+    df
+  }
+
   /** P3 `reorder_columns_after` (`io_utils.py:25-40`): move one column to
     * sit right after another; no-op when either is absent or already in
     * place. Pure projection — Catalyst prunes/reorders at zero cost.

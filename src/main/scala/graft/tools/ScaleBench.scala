@@ -30,6 +30,15 @@ import graft.SparkEntry
   *    original and measure an N²-pair corpus instead of an N× corpus.
   *  - events (q60): ids shift per replica, timestamps keep — N× rows and
   *    N× distinct users into the same hour buckets.
+  *  - bridge family (q24): only the ITEM rows (p_partkey%3==1) replicate,
+  *    with partkeys shifted by a multiple of 3 so their mod-3 class (and
+  *    thus the item/catalog split) is preserved — the annex catalog is a
+  *    bounded dimension by contract, so probes scale ×N against a fixed
+  *    catalog, which is the 100-TB shape of this join.
+  *
+  * Factors default to ×1/2/4/8; `SPARK_GRAFT_SCALE_FACTORS=1,2,4,8,16`
+  * extends the curve (the ×16 point exists to separate measurement noise
+  * from real growth when one segment looks superlinear).
   */
 object ScaleBench {
 
@@ -40,12 +49,14 @@ object ScaleBench {
   private val sufQueries = Seq("q35_ngram_jaccard", "q36_minhash_lsh",
     "q37_simhash", "q39_dedup_clusters")
   private val evtQueries = Seq("q60_event_hourly")
+  private val prtQueries = Seq("q24_bridge_match")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outJson = if (args.length > 1) args(1) else "BENCH_SCALE.json"
     val workDir = if (args.length > 2) args(2) else "/tmp/graft-scale"
-    val factors = Seq(1, 2, 4, 8)
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,17 +106,39 @@ object ScaleBench {
         .withColumn("event_id", col("event_id") + lit(k * evSpan))
         .withColumn("user_id", col("user_id") + lit(k * userSpan))
 
+    val part = spark.read.parquet(s"$baseDir/part.parquet")
+    // shift by a multiple of 3 so p_partkey%3 (the item/catalog split in
+    // q24's construction) survives replication
+    val partSpan3 = {
+      val mx = part.agg(max(col("p_partkey").cast("long"))).head().getLong(0)
+      (mx / 3 + 1) * 3
+    }
+    // replica k of the bridge probes: ITEM rows only, catalog stays the
+    // replica-0 one (fixed dimension, scaled probe side)
+    def partReplica(k: Int): DataFrame =
+      if (k == 0) part
+      else part.filter(col("p_partkey") % 3 === 1)
+        .withColumn("p_partkey", col("p_partkey") + lit(k * partSpan3))
+
+    // each dataset gates on its OWN completed write (_SUCCESS is the
+    // commit marker): an interrupted earlier run leaves a partial dir
+    // that must regenerate, and must not block the OTHER datasets'
+    // generation by being checked collectively
+    def writeIfAbsent(mk: => DataFrame, path: String): Unit =
+      if (!Files.exists(Paths.get(s"$path/_SUCCESS")))
+        mk.write.mode("overwrite").parquet(path)
+
     def gen(n: Int): (String, String) = {
       val rotDir = s"$workDir/x$n-rot"
       val sufDir = s"$workDir/x$n-suf"
-      if (!Files.exists(Paths.get(s"$rotDir/documents.parquet"))) {
-        (0 until n).map(rotReplica).reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$rotDir/documents.parquet")
-        (0 until n).map(evtReplica).reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$rotDir/events.parquet")
-        (0 until n).map(sufReplica).reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$sufDir/documents.parquet")
-      }
+      writeIfAbsent((0 until n).map(rotReplica).reduce(_ unionByName _),
+        s"$rotDir/documents.parquet")
+      writeIfAbsent((0 until n).map(evtReplica).reduce(_ unionByName _),
+        s"$rotDir/events.parquet")
+      writeIfAbsent((0 until n).map(partReplica).reduce(_ unionByName _),
+        s"$rotDir/part.parquet")
+      writeIfAbsent((0 until n).map(sufReplica).reduce(_ unionByName _),
+        s"$sufDir/documents.parquet")
       (rotDir, sufDir)
     }
 
@@ -130,6 +163,7 @@ object ScaleBench {
     factors.foreach { n =>
       val (rotDir, sufDir) = gen(n)
       (rotQueries.map(_ -> rotDir) ++ evtQueries.map(_ -> rotDir) ++
+        prtQueries.map(_ -> rotDir) ++
         sufQueries.map(_ -> sufDir)).foreach { case (q, d) =>
         val s = time(q, d)
         results(q) = results.getOrElse(q, Seq.empty) :+ s
@@ -138,10 +172,10 @@ object ScaleBench {
     }
     val qJson = results.map { case (q, ts) =>
       val pts = factors.zip(ts).map { case (n, t) => s"\"$n\":$t" }.mkString(",")
-      // slope: time(x8)/time(x1) relative to the 8x linear ideal
+      // slope: time(xMAX)/time(x1) relative to the MAXx linear ideal
       val rel = if (ts.head > 0 && ts.last > 0)
         (ts.last / ts.head) / (factors.last.toDouble / factors.head) else -1.0
-      s""""$q":{"sec":{$pts},"x8_vs_linear":${f"$rel%.3f"}}"""
+      s""""$q":{"sec":{$pts},"x${factors.last}_vs_linear":${f"$rel%.3f"}}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],"queries":$qJson}"""

@@ -76,4 +76,19 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](WavCodec.decode(cut))
       .getMessage.contains("data"))
   }
+
+  test("encoders enforce the ASCII corpus contract instead of truncating") {
+    // the q51/q52 oracles recompute stats from CODE POINTS while charAt
+    // works in UTF-16 units — non-ASCII text must fail at encode time,
+    // not silently diverge from the oracle via `& 0xff` truncation
+    for (bad <- Seq("café", "中文", "a😀b")) {
+      assert(intercept[IllegalArgumentException](PpmCodec.encode(bad))
+        .getMessage.contains("ASCII"))
+      assert(intercept[IllegalArgumentException](WavCodec.encode(bad))
+        .getMessage.contains("ASCII"))
+    }
+    // plain ASCII still encodes
+    assert(PpmCodec.decode(PpmCodec.encode("ok!")).width == 3)
+    assert(WavCodec.decode(WavCodec.encode("ok!")).nSamples == 3)
+  }
 }

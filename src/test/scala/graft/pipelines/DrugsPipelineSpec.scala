@@ -56,6 +56,27 @@ class DrugsPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("prepareInputs resolves a reference-candidate text column to `text`") {
+    // a frame arriving as (id, ITEM_DESCRIPTION) — the reference's probe
+    // list (runners.py:176-182) — must tag identically to (id, text)
+    val reg = new PipelineRegistry
+    reg.register(new DrugsTaggingPipeline(
+      s => { import s.implicits._; esoa.toDF("id", "ITEM_DESCRIPTION") },
+      catalog,
+      synonyms = Map("CEPHALEXIN" -> "CEFALEXIN")))
+    val (out, _) = reg.run(spark, "DrugsAndMedicine")
+    val got = out.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[String]("match_reason")).toMap
+    assert(got(1L) == "matched" && got(2L) == "matched" && got(3L) == "matched")
+    out.unpersist()
+    // and a frame with NO recognizable text column fails loudly at prepare
+    val reg2 = new PipelineRegistry
+    reg2.register(new DrugsTaggingPipeline(
+      s => { import s.implicits._; esoa.toDF("id", "note") }, catalog))
+    val e = intercept[IllegalArgumentException](reg2.run(spark, "DrugsAndMedicine"))
+    assert(e.getMessage.contains("No text column found"))
+  }
+
   test("fallback branch pins the tagger to one materialization") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val registry = (s: org.apache.spark.sql.SparkSession) => {

@@ -61,6 +61,35 @@ class PipelineSpec extends SparkSpec {
       Seq("w", "x", "y", "z"))
   }
 
+  test("resolveTextColumn probes candidates in order; loud miss (runners.py:176-182)") {
+    import spark.implicits._
+    // first candidate hit
+    assert(Sources.resolveTextColumn(
+      Seq((1L, "x")).toDF("id", "raw_text")) == "raw_text")
+    // later candidate hit — and probe ORDER wins over column order
+    assert(Sources.resolveTextColumn(
+      Seq((1L, "x", "y")).toDF("id", "description", "ITEM_DESCRIPTION"))
+      == "ITEM_DESCRIPTION")
+    // loud miss names the actual and tried columns
+    val miss = intercept[IllegalArgumentException](
+      Sources.resolveTextColumn(Seq((1L, "x")).toDF("id", "note")))
+    assert(miss.getMessage.contains("No text column found"))
+    assert(miss.getMessage.contains("note"))
+    assert(miss.getMessage.contains("raw_text"))
+  }
+
+  test("requireColumns passes through or fails fast naming the table (prepare.py:57-59)") {
+    import spark.implicits._
+    val df = Seq((1L, "m", "r")).toDF("Molecule", "Route", "ATC Code")
+    assert(Sources.requireColumns(df, "pnf.csv", "Molecule", "Route", "ATC Code")
+      .columns.length == 3)
+    val e = intercept[IllegalArgumentException](
+      Sources.requireColumns(df.drop("Route"), "pnf.csv", "Molecule", "Route"))
+    assert(e.getMessage.contains("pnf.csv"))
+    assert(e.getMessage.contains("Route"))
+    assert(e.getMessage.contains("Molecule")) // present-column listing
+  }
+
   test("registry runs hooks in order and records phase metrics") {
     import spark.implicits._
     val reg = new PipelineRegistry

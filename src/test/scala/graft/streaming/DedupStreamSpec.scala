@@ -1,12 +1,19 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.SparkSpec
 
 /** Streaming MinHash near-dup: per-row signature parity with the batch
-  * aggregation, and cross-batch first-seen flagging semantics.
+  * aggregation, cross-batch first-seen flagging, short-doc null-band
+  * hygiene, per-batch hot-key capping, and the sliding event-time
+  * horizon (stale representatives re-seed; idle band state is evicted
+  * once the watermark passes its deadline). Event timestamps are
+  * explicit, so every case is deterministic — no clocks, no sleeps.
   */
 class DedupStreamSpec extends SparkSpec {
 
@@ -16,8 +23,20 @@ class DedupStreamSpec extends SparkSpec {
     "the quick brown fox jumps over the lazy dog near the river bank today"
   private val nearCopy =
     "the quick brown fox jumps over the lazy dog near the river bank now"
+  private val nearCopy2 =
+    "the quick brown fox jumps over the lazy dog near the river bank soon"
   private val unrelated =
     "completely different words about spark shuffles and parquet footers here"
+
+  private def at(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  /** Latest reported state-store row count (sum over state operators). */
+  private def stateRows(q: StreamingQuery): Long =
+    q.recentProgress.reverseIterator
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(-1L)
 
   test("per-row signature equals the batch groupBy signature") {
     // the stream folds min(md5(seed:shingle)) per ROW; q36's batch path
@@ -49,15 +68,18 @@ class DedupStreamSpec extends SparkSpec {
 
   test("cross-batch collisions flag against the first-seen representative") {
     implicit val sql = spark.sqlContext
-    val stream = MemoryStream[(Long, String)]
-    val q = DedupStream.nearDupFlags(spark, stream.toDF().toDF("id", "text"))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = DedupStream.nearDupFlags(
+        spark, stream.toDF().toDF("id", "text", "ts"))
       .writeStream.format("memory").queryName("neardup_stream")
       .outputMode("append").start()
     try {
-      stream.addData((1L, original), (2L, unrelated))
+      stream.addData((1L, original, at("10:00")), (2L, unrelated, at("10:00")))
       q.processAllAvailable()
       // batch 2: a near-copy of doc 1 (shares bands) + a fresh doc
-      stream.addData((3L, nearCopy), (4L, "totally novel content streaming in fresh tokens only"))
+      stream.addData(
+        (3L, nearCopy, at("10:05")),
+        (4L, "totally novel content streaming in fresh tokens only", at("10:05")))
       q.processAllAvailable()
     } finally q.stop()
     val flags = spark.table("neardup_stream")
@@ -66,5 +88,112 @@ class DedupStreamSpec extends SparkSpec {
     assert(flags.contains((3L, 1L)), s"near-copy not flagged: $flags")
     assert(!flags.exists(_._1 == 2L), "unrelated doc wrongly flagged")
     assert(!flags.exists(_._1 == 4L), "novel doc wrongly flagged")
+  }
+
+  test("short docs (< 3 tokens) produce no band keys, no flags, no state") {
+    // < 3 tokens -> empty shingle array -> all-null signature -> null
+    // band keys; without the null filter every short doc would share the
+    // null key and all but the first would be flagged forever
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = DedupStream.nearDupFlags(
+        spark, stream.toDF().toDF("id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_short")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "hi", at("10:00")), (2L, "ok bye", at("10:00")))
+      q.processAllAvailable()
+      stream.addData((3L, "yes", at("10:01")), (4L, "", at("10:01")))
+      q.processAllAvailable()
+      assert(spark.table("neardup_short").isEmpty,
+        "short docs must not be flagged as near-dups of each other")
+      assert(stateRows(q) == 0L,
+        s"short docs must claim no band-key state, got ${stateRows(q)}")
+    } finally q.stop()
+  }
+
+  test("a band key hotter than the cap is skipped for that batch") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    // 4 identical docs in one batch: every band key has 4 docs > cap 2
+    val q = DedupStream.nearDupFlags(
+        spark, stream.toDF().toDF("id", "text", "ts"), hotKeyCap = 2)
+      .writeStream.format("memory").queryName("neardup_hot")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, original, at("10:00")), (2L, original, at("10:00")),
+        (3L, original, at("10:00")), (4L, original, at("10:00")))
+      q.processAllAvailable()
+      assert(spark.table("neardup_hot").isEmpty,
+        "boilerplate-hot band must be skipped, not flagged")
+      assert(stateRows(q) == 0L,
+        "boilerplate-hot band must not claim state")
+    } finally q.stop()
+    // the same docs under the default cap DO flag (the cap only guards
+    // degenerate bands, it must not change normal semantics)
+    val stream2 = MemoryStream[(Long, String, Timestamp)]
+    val q2 = DedupStream.nearDupFlags(
+        spark, stream2.toDF().toDF("id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_hot_default")
+      .outputMode("append").start()
+    try {
+      stream2.addData((1L, original, at("10:00")), (2L, original, at("10:00")),
+        (3L, original, at("10:00")), (4L, original, at("10:00")))
+      q2.processAllAvailable()
+      val flagged = spark.table("neardup_hot_default")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(flagged == Set(2L, 3L, 4L), s"expected 2,3,4 dup of 1: $flagged")
+    } finally q2.stop()
+  }
+
+  test("event-time TTL: stale representative re-seeds; idle state evicts") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = DedupStream.nearDupFlags(
+        spark, stream.toDF().toDF("id", "text", "ts"),
+        ttlMs = 3600L * 1000) // 1 h horizon
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append").start()
+    try {
+      // batch 1 @10:00: original + unrelated seed 8 band-key entries
+      stream.addData((1L, original, at("10:00")), (2L, unrelated, at("10:00")))
+      q.processAllAvailable()
+      val afterSeed = stateRows(q)
+      assert(afterSeed == 8L, s"expected 8 seeded band keys, got $afterSeed")
+
+      // batch 2 @12:00 (2 h later, past the 1 h horizon): nearCopy shares
+      // doc 1's bands, but the stored representative is stale -> NOT
+      // flagged; the keys it touches re-seed with rep=3, deadline 13:00.
+      // The data batch runs with watermark 10:00 (so the stale state is
+      // still VISIBLE for the re-seed decision); committing it advances
+      // the watermark to 12:00, which makes the engine run a follow-up
+      // timeout batch that EVICTS every idle key whose 11:00 deadline
+      // has passed — doc 1/doc 2's 8 seeds are gone, only doc 3's 4
+      // re-seeded keys survive
+      stream.addData((3L, nearCopy, at("12:00")))
+      q.processAllAvailable()
+      val flags1 = spark.table("neardup_ttl")
+        .select("doc_id").as[Long].collect().toSet
+      assert(!flags1.contains(3L),
+        s"doc 3 must NOT be a dup of an expired representative: $flags1")
+      val afterReseed = stateRows(q)
+      assert(afterReseed == 4L,
+        s"idle state must be evicted once the watermark passes 11:00: " +
+          s"want 4 (= doc 3's re-seeded bands), got $afterReseed")
+
+      // batch 3 @12:10 (inside the horizon of rep 3): another near-copy
+      // IS flagged against the re-seeded representative; state is now
+      // bands(doc3) ∪ bands(doc5) — 6 keys (the two texts share 2 of
+      // their 4 md5 band keys; deterministic, so pinned exactly)
+      stream.addData((5L, nearCopy2, at("12:10")))
+      q.processAllAvailable()
+      val flags2 = spark.table("neardup_ttl")
+        .select("doc_id", "dup_of").distinct().as[(Long, Long)].collect().toSet
+      assert(flags2.exists(f => f._1 == 5L && f._2 == 3L),
+        s"doc 5 must be a dup of the re-seeded rep 3: $flags2")
+      val afterEvict = stateRows(q)
+      assert(afterEvict == 6L,
+        s"state must be exactly bands(doc3) ∪ bands(doc5): want 6, got $afterEvict")
+    } finally q.stop()
   }
 }
