@@ -43,9 +43,16 @@ object EventsStream {
   /** Per-user RUNNING totals via `mapGroupsWithState` — the custom-state
     * escape hatch for semantics the built-in windowed aggregations can't
     * express (cumulative state across all micro-batches). State is one
-    * (count, cents) pair per user; ProcessingTimeTimeout would bound
-    * state for idle keys in production, left off here so parity tests
-    * are deterministic.
+    * (count, cents) pair per user — by DESIGN unbounded in time (a
+    * running total is a forever metric; state size is bounded by the
+    * user dimension, not the event volume). A deployment that instead
+    * wants totals-within-an-activity-horizon should evict idle users
+    * with an EVENT-time TTL exactly as [[DedupStream.nearDupFlags]]
+    * does (watermark + EventTimeTimeout + lastSeen in state) — NOT
+    * ProcessingTimeTimeout, which makes the micro-batch engine
+    * re-trigger empty batches forever (`shouldRunAnotherBatch` is
+    * unconditionally true once wall-clock deadlines exist; measured as
+    * a 100%-CPU idle stream and a hanging `processAllAvailable`).
     */
   def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._

@@ -57,6 +57,13 @@ object TaggerStream {
         col("generic_name"), col("atc_code"), col("leg"), col("score"))
       .as[StreamHit]
 
+    // flatMapGroupsWithState is used ONLY for arbitrary per-id logic in
+    // append mode (a windowed aggregation would force a watermark); the
+    // state handle is never written, so the state store stays EMPTY —
+    // NoTimeout is safe here because there is nothing to evict, unlike
+    // DedupStream whose cross-batch state needs the event-time TTL. All
+    // of an id's hits arrive in one micro-batch by construction (probes
+    // derive from the text row that carries them).
     hits.groupByKey(_.id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, rows: Iterator[StreamHit], state: GroupState[Boolean]) =>

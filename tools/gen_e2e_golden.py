@@ -339,6 +339,26 @@ TEXTS = [
     "SALBUTAMOL: 2 NEBULES 2.5MG/2.5ML",
     "PARACETAMOL 500MG TAB #100",
     "OMEPRAZOLE 20 MG CAPSULE, DELAYED RELEASE",
+    # ---- round-8 adversarial expansion: decimal commas, gram-unit
+    #      strengths, dose ranges, pack multipliers, parenthesized
+    #      strengths, per-actuation doses, leading noise prefixes,
+    #      repeated tokens, spaced-slash combos, accented input
+    "PARACETAMOL 0.5 G TABLET",
+    "PARACETAMOL 0,5G TAB",
+    "LEVOTHYROXINE 50UG TAB",
+    "PARACETAMOL 500-650MG TAB",
+    "PARACETAMOL 500MG X 100 TABLETS",
+    "AMOXICILLIN (500MG) CAPSULE",
+    "SALBUTAMOL 100MCG/ACTUATION INHALER",
+    "LOSARTAN 50MG/ TAB",
+    "amLODIPine  5 Mg Tab",
+    "NSS 500 ML",
+    "TYLENOL 500MG CAPLET BOTTLE OF 50",
+    "LAMIVUDINE/ZIDOVUDINE 150/300 MG TAB",
+    "ITEM: PARACETAMOL 500MG TAB",
+    "PARACETAMOL PARACETAMOL 500MG TAB",
+    "PARACÉTAMOL 500MG TAB",
+    "VITAMIN B12 1MG AMPULE",
 ]
 
 
