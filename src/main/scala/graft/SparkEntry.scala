@@ -21,6 +21,9 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *   q35–q39  near-dup: n-gram Jaccard, MinHash+LSH, SimHash, and
   *            connected-components cluster assignment over the LSH
   *            pair graph (iterative min-label propagation)
+  *   q48–q49  scale-path twins under the SAME oracles: large-star/
+  *            small-star connected components (≡ q39) and one-pass
+  *            broadcast-dict language-ID (≡ q31)
   *   q40–q43  similarity search: brute-force cosine top-k, sign-LSH ANN,
   *            IVF-flat ANN, embedding-cosine near-dup pairs
   *   q50      multimodal frame-sampling plumbing

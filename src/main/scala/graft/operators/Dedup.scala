@@ -255,6 +255,36 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Shared DuckDB oracle for q39/q48: min-reachable-id per vertex of the
+    * LSH pair graph via a recursive CTE. Both CC variants must land on
+    * identical components.
+    */
+  private val clustersOracle: String =
+    """WITH RECURSIVE
+      |tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(t)-2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |       FROM tt WHERE len(t) >= 3),
+      |mh AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed || ':' || sh)) AS mh
+      |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+      |       GROUP BY 1,2),
+      |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
+      |bands AS (SELECT doc_id, b AS band_idx, md5(sig[2*b+1] || sig[2*b+2]) AS band_key
+      |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b) bb),
+      |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |          FROM bands a JOIN bands b
+      |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |               AND a.doc_id < b.doc_id),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+      |SELECT id AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- n-gram Jaccard near-dup pairs via inverted-index join
@@ -323,30 +353,18 @@ object Dedup {
       (s, dir) => connectedComponents(minhashPairs(s, dir))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id"),
-      Some("""WITH RECURSIVE
-             |tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             |         generate_series(1, len(t)-2),
-             |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-             |       FROM tt WHERE len(t) >= 3),
-             |mh AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed || ':' || sh)) AS mh
-             |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
-             |       GROUP BY 1,2),
-             |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY 1),
-             |bands AS (SELECT doc_id, b AS band_idx, md5(sig[2*b+1] || sig[2*b+2]) AS band_key
-             |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b) bb),
-             |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-             |          FROM bands a JOIN bands b
-             |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             |               AND a.doc_id < b.doc_id),
-             |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-             |          UNION ALL SELECT d2, d1 FROM pairs),
-             |reach(id, r) AS (
-             |  SELECT DISTINCT src, src FROM edges
-             |  UNION
-             |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
-             |SELECT id AS doc_id, min(r) AS cluster_id
-             |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(clustersOracle)),
+
+    // ---- the same clusters via the large-star/small-star variant, under
+    // the SAME recursive-CTE oracle — proves the adversarial-graph
+    // algorithm computes identical components on the real LSH pair
+    // graph, not just on the spec's synthetic graphs
+    QueryDef(
+      "q48_dedup_clusters_star",
+      (s, dir) => connectedComponentsStar(minhashPairs(s, dir))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id"),
+      Some(clustersOracle)),
 
     // ---- SimHash: 16-bit signature from md5 bits of distinct tokens
     QueryDef(
