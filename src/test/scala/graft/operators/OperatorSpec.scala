@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -9,7 +11,7 @@ import graft.functions.GraftFunctions
   * parity with DuckDB is covered by the driver gate / tools/compare.py —
   * these specs assert structural invariants instead).
   */
-class OperatorSpec extends SparkSpec {
+class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf0001)
 
@@ -22,6 +24,19 @@ class OperatorSpec extends SparkSpec {
       val df = q.fn(spark, sf0001)
       assert(df.columns.nonEmpty, q.name)
     }
+  }
+
+  test("q49's language dict joins via broadcast (its linear-in-languages claim)") {
+    // the one-pass form's whole point is that the dict side never
+    // shuffles: the (word -> lang) map rides a broadcast while tokens
+    // stream — if this regressed to a shuffled join the variant would
+    // lose to q31's regex scans at every dictionary size
+    val df = run("q49_lang_id_onepass")
+    df.count() // materialize so AQE finalizes the physical plan
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "dict join must be a BroadcastHashJoin")
   }
 
   test("oracleSql keys are a subset of queries") {
