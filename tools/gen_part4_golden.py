@@ -155,6 +155,17 @@ ESOA = [
     "IBUPROFEN 400MG TABLET",               # exact annex twin of D003
     "DEXTROSE 5% 1L",                       # bare D5 phrasing vs D013
     "PENICILLIN G 1000000 UNITS VIAL",      # UNITS spelling of IU + synonym
+    # ---- round-8 expansion: more cascade stressors
+    "PARACETAMOL 0,5G TAB",                 # decimal-comma strength
+    "PARACETAMOL 500-650MG TAB",            # dose range: which bound keys?
+    "PARACETAMOL 500MG X 100 TABLETS",      # pack multiplier after strength
+    "AMOXICILLIN (500MG) CAPSULE",          # parenthesized strength
+    "GENTAMICIN 40MG/ML 2ML VIAL",          # same total, different phrasing
+    "BENZYLPENICILLIN 1MIU VIAL",           # MIU abbreviation of 1e6 IU
+    "SALBUTAMOL 100MCG/ACTUATION INHALER",  # per-actuation strength
+    "FERROUS SULFATE 325 MG TAB X 30",      # spaced strength + pack count
+    "OMEPRAZOLE 20MG + 20MG TABLET",        # repeated strength tokens
+    "DEXTROSE 50% 50 ML AMPULE",            # spaced volume, ampule form
 ]
 
 MERGE_COLS = [
