@@ -18,6 +18,19 @@ package graft.functions
   */
 object MediaCodecs {
 
+  /** Upstream guard for callers feeding REAL corpus text: the encoders
+    * THROW on any non-ASCII character (the oracle-parity contract below),
+    * which is right for the oracle-gated queries over the ASCII synthetic
+    * corpus but means one bad document would abort a whole job. Filter
+    * first — `.where(MediaCodecs.asciiOnly(col("text")))` — so non-ASCII
+    * documents degrade to "skipped" instead of "query failed".
+    */
+  def asciiOnly(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.rlike("^[\\x00-\\x7F]*$")
+
+  /** Row-side form of [[asciiOnly]] (same contract the encoders enforce). */
+  def isAscii(text: String): Boolean = text.forall(_ <= 127)
+
   /** The synthetic payloads are minted "one pixel / one sample per
     * CHARACTER", and the DuckDB oracle recomputes the expected stats
     * with code-point functions (`unicode(substr(..))`, `len`). JVM-side

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{QueryDef, Tables, Ws}
 
 /** Near-duplicate detection over `documents`: n-gram Jaccard via an
   * inverted-index (shared-shingle) join, MinHash+LSH banding, and SimHash.
@@ -83,7 +83,7 @@ object Dedup {
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     graft.core.CpuSpread.byKey(
       docs(s, dir)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")),
+        .select(col("doc_id"), split(trim(col("text")), Ws.Plus).as("t")),
       col("doc_id"))
       .select(col("doc_id"), shinglesOf(col("t")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
@@ -182,14 +182,13 @@ object Dedup {
     * fixpoint every edge is (component-min, member). Each round is two
     * grouped aggregations + joins — the same one-shuffle-per-pass
     * profile as the simple propagation — with eager localCheckpoints
-    * truncating the iterative lineage. Convergence is detected on an
-    * exact (count, decimal sum of per-edge hashes) pair: a star-fixpoint
-    * edge set reproduces itself, so an unchanged checksum ⟺ done (the
-    * decimal(38) sum keeps the arithmetic exact; hash collisions would
-    * need two DIFFERENT edge sets with equal count and equal exact sum
-    * of xxhash64 values — not a realistic failure mode for a dedup
-    * graph, and the parity spec cross-checks against the simple
-    * propagation).
+    * truncating the iterative lineage. Convergence detection is two-tier:
+    * an exact (count, decimal sum of per-edge xxhash64) checksum is the
+    * cheap per-round trigger (a star-fixpoint edge set reproduces
+    * itself), and when it fires, an exact `except`-based set-equality
+    * check confirms before the loop terminates — so termination is
+    * EXACT, not probabilistic, and the confirmation job runs only once,
+    * at the fixpoint.
     *
     * Same contract as [[connectedComponents]]: labels every vertex that
     * appears in `edges` with its component's minimum vertex id.
@@ -241,7 +240,14 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       val cur = checksum(ss)
-      converged = cur == prev
+      // the checksum is the cheap per-round trigger; before actually
+      // terminating, confirm with an EXACT set-equality check (equal count
+      // from the checksum + one-sided except empty ⟹ equal sets, both are
+      // distinct). It runs once, at the fixpoint, so the loop's cost is
+      // unchanged — but termination no longer rests on xxhash64 being
+      // collision-free on a correctness-critical path: a colliding
+      // not-yet-fixed edge set fails the exact check and the loop continues.
+      converged = cur == prev && ss.except(e).isEmpty
       prev = cur
       e = ss
       it += 1
@@ -261,7 +267,7 @@ object Dedup {
     */
   private val clustersOracle: String =
     """WITH RECURSIVE
-      |tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |tt AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         generate_series(1, len(t)-2),
       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
@@ -308,7 +314,7 @@ object Dedup {
       Some("""WITH d AS (
              |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
              |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
-             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents)
              |  WHERE len(t) >= 3),
              |ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
              |p AS (SELECT x.doc_id AS d1, y.doc_id AS d2, x.n_sh AS s1, y.n_sh AS s2,
@@ -328,7 +334,7 @@ object Dedup {
     QueryDef(
       "q36_minhash_lsh",
       (s, dir) => minhashPairs(s, dir).orderBy("d1", "d2"),
-      Some("""WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      Some("""WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
              |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
              |         generate_series(1, len(t)-2),
              |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
@@ -372,7 +378,7 @@ object Dedup {
       (s, dir) => {
         val tok = docs(s, dir)
           .select(col("doc_id"),
-            explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tok"))
+            explode(array_distinct(split(trim(lower(col("text"))), Ws.Plus))).as("tok"))
         // 16-way bit fanout as a generator (posexplode of a literal
         // sequence) instead of a broadcast crossJoin: same row count, no
         // join operator, stays in one whole-stage-codegen span
@@ -394,7 +400,7 @@ object Dedup {
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id,
-             |         unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok
+             |         unnest(list_distinct(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'))) AS tok
              |       FROM documents),
              |v AS (SELECT doc_id, b, sum(2*bit - 1) AS vote FROM (
              |        SELECT doc_id, bb.b AS b,

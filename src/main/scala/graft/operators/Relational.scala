@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{QueryDef, Tables, Ws}
 
 /** Relational operator coverage (SURVEY.md §2.1–§2.7) over the synthetic
   * TPC-H-ish tables. Each query is the Spark-first re-expression of one
@@ -369,7 +369,7 @@ object Relational {
     QueryDef(
       "q21_component_key",
       (s, dir) => {
-        val toks = split(trim(col("text")), "\\s+")
+        val toks = split(trim(col("text")), Ws.Plus)
         t(s, dir, "documents")
           .select(
             array_join(array_sort(array_distinct(slice(toks, 1, 3))), "|").as("component_key"),
@@ -381,7 +381,7 @@ object Relational {
       Some("""SELECT component_key, count(*) AS n_docs, min(doc_id) AS first_doc
              |FROM (SELECT doc_id,
              |        array_to_string(list_sort(list_distinct(
-             |          string_split_regex(trim(text), '\s+')[1:3])), '|') AS component_key
+             |          string_split_regex(trim(text), '[ \t\n\f\r]+')[1:3])), '|') AS component_key
              |      FROM documents) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{QueryDef, Tables, Ws}
 
 /** Text-analysis operators over the `documents` table: token counting,
   * language-ID (stopword-vote heuristic), quality scoring, and document
@@ -20,8 +20,11 @@ object TextAnalysis {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  /** Whitespace tokens of trimmed text (matches DuckDB string_split_regex). */
-  private val toks: Column = split(trim(col("text")), "\\s+")
+  /** Whitespace tokens of trimmed text (matches DuckDB string_split_regex).
+    * Explicit ASCII class, not `\s` — see [[graft.core.Ws]]: Java and RE2
+    * disagree on U+000B, so `\s` would quietly diverge from the oracle.
+    */
+  private val toks: Column = split(trim(col("text")), Ws.Plus)
 
   private def ratio(num: Column, den: Column): Column =
     num.cast("double") / den.cast("double")
@@ -47,7 +50,7 @@ object TextAnalysis {
           .select(col("doc_id"), col("n_chars"), size(toks).as("n_tokens"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, n_chars,
-             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |  len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS n_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- BPE-ish token counting: a GPT-family pre-tokenizer approximated
@@ -61,7 +64,10 @@ object TextAnalysis {
     QueryDef(
       "q47_bpe_token_count",
       (s, dir) => {
-        val bpeRe = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+        // explicit ASCII whitespace in the negated class (not \s): Java
+        // counts U+000B as \s, RE2 does not — Ws.InClass pins both engines
+        val bpeRe =
+          s"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9${Ws.InClass}]+"
         docs(s, dir)
           .select(col("doc_id"),
             size(toks).as("n_ws_tokens"),
@@ -78,9 +84,9 @@ object TextAnalysis {
              |       THEN CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)
              |       ELSE 0.0 END AS fertility
              |FROM (SELECT doc_id,
-             |        len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+             |        len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS n_ws_tokens,
              |        CAST(len(regexp_extract_all(text,
-             |          '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS INT) AS n_bpe_tokens
+             |          '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 \t\n\f\r]+')) AS INT) AS n_bpe_tokens
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
@@ -178,7 +184,7 @@ object TextAnalysis {
     QueryDef(
       "q32_quality_score",
       (s, dir) => {
-        val lowToks = split(trim(lower(col("text"))), "\\s+")
+        val lowToks = split(trim(lower(col("text"))), Ws.Plus)
         docs(s, dir)
           .select(
             col("doc_id"),
@@ -207,10 +213,10 @@ object TextAnalysis {
              |       WHEN CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 4.5 THEN 'long_tokens'
              |       ELSE 'ok' END AS quality
              |FROM (SELECT doc_id,
-             |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
-             |    CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+             |    len(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+')) AS n_tokens,
+             |    CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'),
              |                                 t -> len(t))) AS BIGINT) AS sum_tok_len,
-             |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |    len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'),
              |        t -> t = 'the' OR t = 'a' OR t = 'and' OR t = 'of' OR t = 'in')) AS n_stop,
              |    len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
              |    len(text) AS len_chars
@@ -259,7 +265,7 @@ object TextAnalysis {
           .orderBy("key_fp"),
       Some("""SELECT key_fp, count(*) AS n_docs, min(doc_id) AS first_doc
              |FROM (SELECT doc_id,
-             |        md5(array_to_string(string_split_regex(trim(text), '\s+')[1:5], ' ')) AS key_fp
+             |        md5(array_to_string(string_split_regex(trim(text), '[ \t\n\f\r]+')[1:5], ' ')) AS key_fp
              |      FROM documents) t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -330,7 +336,7 @@ object TextAnalysis {
              |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
              |                   ELSE [] END AS tri
              |            FROM (SELECT doc_id,
-             |                    string_split_regex(trim(text), '\s+') AS t
+             |                    string_split_regex(trim(text), '[ \t\n\f\r]+') AS t
              |                  FROM documents) x) y) z
              |ORDER BY doc_id""".stripMargin)),
 

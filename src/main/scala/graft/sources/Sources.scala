@@ -49,12 +49,35 @@ object Sources {
       .map(p => new File(dir, p._2).getPath)
   }
 
+  /** Outcome of [[purgeOldDatedFiles]]: how many files went, and which
+    * stale files could NOT be deleted (permissions, locks). Failures are
+    * returned rather than swallowed — the reference logs every per-file
+    * deletion (`run_drugs_all.py:124-166`), and a purge that silently
+    * leaves stale files behind defeats its own purpose.
+    */
+  final case class PurgeResult(deleted: Int, failed: Seq[String]) {
+    def requireClean(): PurgeResult = {
+      require(failed.isEmpty,
+        s"purgeOldDatedFiles could not delete: ${failed.mkString(", ")}")
+      this
+    }
+  }
+
   /** S12: old-dated-file purge (`run_drugs_all.py:124-166`): group files
     * matching `name_YYYY-MM-DD[_suffix].ext` by (name, ext), delete all
-    * but the latest date per group. Driver-side FS utility; returns the
-    * number of deleted files.
+    * but the latest date per group. Driver-side FS utility; failed
+    * deletes are surfaced in the result (call `.requireClean()` to make
+    * them fatal).
     */
-  def purgeOldDatedFiles(dir: String): Int = {
+  def purgeOldDatedFiles(dir: String): PurgeResult =
+    purgeOldDatedFiles(dir, _.delete())
+
+  /** Seam for the delete syscall: permission-denied is untestable as root
+    * (CAP_DAC_OVERRIDE ignores directory write bits), so the spec injects
+    * a failing `rm` to pin the failure-surfacing contract.
+    */
+  private[graft] def purgeOldDatedFiles(dir: String,
+      rm: File => Boolean): PurgeResult = {
     val rx = "^(.+?)_(\\d{4}-\\d{2}-\\d{2})(?:_.*)?(\\.\\w+)$".r
     val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.isFile)
@@ -63,11 +86,14 @@ object Sources {
         ((m.group(1), m.group(3)), (m.group(2), f)))
     }.groupBy(_._1).values
     var deleted = 0
+    val failed = Seq.newBuilder[String]
     for (g <- groups if g.length > 1) {
       val sorted = g.map(_._2).sortBy(_._1).reverse
-      for ((_, f) <- sorted.tail if f.delete()) deleted += 1
+      for ((_, f) <- sorted.tail) {
+        if (rm(f)) deleted += 1 else failed += f.getPath
+      }
     }
-    deleted
+    PurgeResult(deleted, failed.result().sorted)
   }
 
   /** The reference's free-text column candidates, probed in order

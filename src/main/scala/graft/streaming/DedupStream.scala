@@ -54,7 +54,7 @@ object DedupStream {
     * Dedup.shinglesOf: lambda-argument-only, no inlined regex).
     */
   private def shingles(textCol: Column): Column = {
-    val t = split(trim(textCol), "\\s+")
+    val t = split(trim(textCol), graft.core.Ws.Plus)
     val tri = zip_with(
       zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b)),
@@ -93,9 +93,16 @@ object DedupStream {
     * @param hotKeyCap max distinct docs one band key may contribute per
     *        micro-batch before the band is treated as boilerplate and
     *        skipped (default [[Dedup.HotKeyCap]])
-    * @param lateness watermark delay for out-of-order arrivals (rows
-    *        later than this are dropped by the engine before the
-    *        stateful operator)
+    * @param lateness watermark delay for out-of-order arrivals. Rows whose
+    *        event time trails the watermark are dropped by the ENGINE
+    *        before the stateful operator — with a zero delay any row that
+    *        arrives out of order is silently never flagged and never seeds
+    *        state, which is wrong for real ingest streams (they are rarely
+    *        perfectly ordered). The default therefore buys a 10-minute
+    *        reordering buffer; set it to the source's actual disorder
+    *        bound ("0 seconds" only if the source guarantees order). The
+    *        only cost of a larger value is eviction lag: idle state lives
+    *        `lateness` longer before the watermark reaches its deadline.
     * @return streaming (doc_id, dup_of) — one row per (later doc, band)
     *         collision with the band's first-seen doc; a doc colliding on
     *         several bands emits several rows (aggregate downstream if a
@@ -106,7 +113,7 @@ object DedupStream {
       docs: DataFrame,
       ttlMs: Long = 24L * 3600 * 1000,
       hotKeyCap: Int = Dedup.HotKeyCap,
-      lateness: String = "0 seconds"): DataFrame = {
+      lateness: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     docs
       .withWatermark("ts", lateness)

@@ -32,7 +32,9 @@ class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // stream — if this regressed to a shuffled join the variant would
     // lose to q31's regex scans at every dictionary size
     val df = run("q49_lang_id_onepass")
-    df.count() // materialize so AQE finalizes the physical plan
+    // materialize THIS df's QueryExecution (df.count() would plan a separate
+    // aggregate query and leave df's own AQE plan unfinalized)
+    df.collect()
     val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
       case j: BroadcastHashJoinExec => j
     }

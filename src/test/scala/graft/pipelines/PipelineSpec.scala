@@ -42,11 +42,32 @@ class PipelineSpec extends SparkSpec {
       "other_2026-01-01.csv", "undated.csv").foreach { n =>
       Files.writeString(dir.resolve(n), "x")
     }
-    val deleted = Sources.purgeOldDatedFiles(dir.toString)
-    assert(deleted == 2) // the two older fda_drug .csv versions
+    val res = Sources.purgeOldDatedFiles(dir.toString).requireClean()
+    assert(res.deleted == 2) // the two older fda_drug .csv versions
     val left = dir.toFile.listFiles().map(_.getName).toSet
     assert(left == Set("fda_drug_2025-11-20.csv", "fda_drug_2025-11-20.parquet",
       "other_2026-01-01.csv", "undated.csv"))
+  }
+
+  test("purgeOldDatedFiles surfaces failed deletes instead of swallowing them") {
+    // a stale file whose unlink fails (permissions, locks) must be
+    // REPORTED — and requireClean must be loud — not silently skipped.
+    // Injected failing rm: permission-denied is unreproducible as root.
+    val dir = Files.createTempDirectory("graft-purge-fail")
+    Seq("fda_drug_2025-01-03.csv", "fda_drug_2025-02-14.csv",
+      "fda_drug_2025-11-20.csv").foreach { n =>
+      Files.writeString(dir.resolve(n), "x")
+    }
+    val res = Sources.purgeOldDatedFiles(dir.toString,
+      f => !f.getName.contains("2025-01-03") && f.delete())
+    assert(res.deleted == 1) // 2025-02-14 went
+    assert(res.failed.map(new java.io.File(_).getName) ==
+      Seq("fda_drug_2025-01-03.csv"))
+    val ex = intercept[IllegalArgumentException](res.requireClean())
+    assert(ex.getMessage.contains("fda_drug_2025-01-03.csv"))
+    // the stuck file is still on disk alongside the survivor
+    val left = dir.toFile.listFiles().map(_.getName).toSet
+    assert(left == Set("fda_drug_2025-01-03.csv", "fda_drug_2025-11-20.csv"))
   }
 
   test("reorderColumnAfter moves a column right after the target (P3)") {

@@ -51,12 +51,12 @@ class DedupStreamSpec extends SparkSpec {
       .select(col("id"), explode(expr(
         """array_distinct(filter(
           |  zip_with(
-          |    zip_with(split(trim(text), '\\s+'),
-          |      slice(split(trim(text), '\\s+'), 2,
-          |        greatest(size(split(trim(text), '\\s+')) - 1, 0)),
+          |    zip_with(split(trim(text), '[ \\t\\n\\f\\r]+'),
+          |      slice(split(trim(text), '[ \\t\\n\\f\\r]+'), 2,
+          |        greatest(size(split(trim(text), '[ \\t\\n\\f\\r]+')) - 1, 0)),
           |      (a, b) -> concat(a, ' ', b)),
-          |    slice(split(trim(text), '\\s+'), 3,
-          |      greatest(size(split(trim(text), '\\s+')) - 2, 0)),
+          |    slice(split(trim(text), '[ \\t\\n\\f\\r]+'), 3,
+          |      greatest(size(split(trim(text), '[ \\t\\n\\f\\r]+')) - 2, 0)),
           |    (ab, c) -> concat(ab, ' ', c)),
           |  x -> x IS NOT NULL))""".stripMargin)).as("sh"))
     val agged = exploded.groupBy("id")
