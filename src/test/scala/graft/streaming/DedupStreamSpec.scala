@@ -146,6 +146,83 @@ class DedupStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("crash recovery: state, representatives and TTL deadlines survive a restart") {
+    // the production failure mode for any stateful ingest job: the query
+    // dies mid-stream and restarts from its checkpoint. Everything the
+    // operator knows — band representatives, lastSeen, timeout deadlines,
+    // the watermark — must come back from the state store, not from the
+    // replayed data (committed batches are NOT re-read).
+    implicit val sql = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dedup-ckpt").toString
+    def bandsOf(text: String): Set[String] =
+      Seq(text).toDF("text")
+        .select(explode(DedupStream.bandKeys(
+          DedupStream.signature(col("text")))).as("b"))
+        .as[String].collect().toSet
+    val unrelated2 = "parquet row groups carry min max stats for pruning scans"
+    val fresh = "entirely new tokens appear here after the restart happened"
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    // the memory sink refuses checkpoint recovery, so the restartable
+    // form uses foreachBatch (the production shape anyway) collecting
+    // into a buffer
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val collectBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (df, _) => {
+        val rows = df.select("doc_id", "dup_of").as[(Long, Long)].collect()
+        got.synchronized { got ++= rows }
+      }
+    def start() = DedupStream.nearDupFlags(
+        spark, stream.toDF().toDF("id", "text", "ts"),
+        ttlMs = 3600L * 1000) // 1 h horizon, default 10 min lateness
+      .writeStream.foreachBatch(collectBatch)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // ---- run 1: seed two docs' band state, commit, then "crash"
+    val q1 = start()
+    try {
+      stream.addData((1L, original, at("10:00")), (2L, unrelated, at("10:00")))
+      q1.processAllAvailable()
+      assert(stateRows(q1) == (bandsOf(original) ++ bandsOf(unrelated)).size,
+        "seed state must be exactly the two docs' band keys")
+      assert(got.isEmpty, s"unrelated seed docs must not flag: $got")
+    } finally q1.stop()
+
+    // ---- run 2: restart from the same checkpoint
+    val q2 = start()
+    try {
+      // (a) a colliding doc arriving AFTER the restart must flag against
+      // the PRE-restart representative — only possible if its band state
+      // was restored from the checkpoint (batch 1 is committed, so the
+      // restarted query does not re-process it)
+      stream.addData((3L, nearCopy, at("10:05")))
+      q2.processAllAvailable()
+      val flags = got.synchronized(got.toSet)
+      assert(flags == Set((3L, 1L)),
+        s"post-restart near-copy must flag against pre-restart rep 1: $flags")
+
+      // (b) deadlines survived with their exact VALUES: an arrival at
+      // 10:55 puts the watermark at 10:45 — before every 11:00/11:05
+      // deadline — so nothing may evict yet...
+      stream.addData((4L, unrelated2, at("10:55")))
+      q2.processAllAvailable()
+      val all4 = bandsOf(original) ++ bandsOf(unrelated) ++
+        bandsOf(nearCopy) ++ bandsOf(unrelated2)
+      assert(stateRows(q2) == all4.size,
+        s"watermark 10:45 is before every restored deadline; want ${all4.size} rows")
+
+      // ...and an arrival at 12:30 puts it at 12:20 — past them all — so
+      // the restored idle keys evict and only the fresh doc's bands remain
+      stream.addData((5L, fresh, at("12:30")))
+      q2.processAllAvailable()
+      assert(stateRows(q2) == bandsOf(fresh).size,
+        s"restored deadlines must fire post-restart: want ${bandsOf(fresh).size} " +
+          s"(= fresh doc's bands), got ${stateRows(q2)}")
+    } finally q2.stop()
+  }
+
   test("event-time TTL: stale representative re-seeds; idle state evicts") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[(Long, String, Timestamp)]
