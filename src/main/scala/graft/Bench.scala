@@ -102,7 +102,16 @@ object Bench {
       .map { case (k, _, mn, mx) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"order":"$order","sf":"$sfDir"}""")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"order":"$order","sf":"$sfDir","out":"$outPath"}"""
+    // the driver captures only a truncated stdout tail, which in past
+    // rounds cut the leading per-query numbers out of the committed
+    // artifact — persist the full line to a file so every timing survives
+    // machine-parseable regardless of what truncation spares
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] $outPath write failed: $e") }
+    println(json)
     spark.stop()
   }
 }
