@@ -81,6 +81,7 @@ object Repeat {
       }
     })
     var lastGc = gcMillis()
+    val walls = Seq.newBuilder[Double]
     (1 to k).foreach { i =>
       stages.clear(); tasks.clear()
       val t0 = System.nanoTime()
@@ -101,6 +102,20 @@ object Repeat {
       }.mkString(" ")
       println(f"[repeat] run=$i%-3d wall=$wall%7.2f s  gc_delta=${gcNow - lastGc}%6d ms  codecache=${codeCacheUsedKb() / 1024}%4d MB  $top")
       lastGc = gcNow
+      walls += wall
+    }
+    // SPARK_GRAFT_REPEAT_OUT=<file>: append one JSON line per SESSION so
+    // multi-session envelopes (the only trustworthy kind on this host —
+    // see scaladoc) can be assembled machine-readably into the artifacts
+    sys.env.get("SPARK_GRAFT_REPEAT_OUT").foreach { out =>
+      val w = walls.result().sorted
+      val line =
+        s"""{"query":"$name","k":$k,"sf":"$dir","min":${w.head},"median":${w(w.size / 2)},"max":${w.last},"spread_ratio":${w.last / w.head},"walls":${w.mkString("[", ",", "]")}}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      println(s"[repeat] appended summary to $out")
     }
     spark.stop()
   }
