@@ -149,11 +149,20 @@ object LookupWaterfall {
     val exact = probes.join(cat, col("probe") === col("key"))
       .withColumn("leg", lit(1)).withColumn("score", lit(0))
 
+    // the probe-side mirror of exact_only: an optional boolean
+    // `exact_probe` column marks probes that exist ONLY as equality
+    // lookups in the reference (pipe-joined mixture component keys,
+    // `tagger.py:327-360` WHERE component_key = ?) — they never enter
+    // the prefix or fuzzy legs against the generics universe
+    val unifiedProbes =
+      if (probes.columns.contains("exact_probe"))
+        probes.filter(!col("exact_probe"))
+      else probes
     // the miss-chain tracks the UNIFIED lookup only: an exact hit on an
     // exact_only (mixture) row is a separate-table lookup in the
     // reference and must NOT stop the probe from running the prefix and
     // fuzzy legs against the generics universe
-    val missExact = probes.join(
+    val missExact = unifiedProbes.join(
       exact.filter(!col("exact_only")).select("probe").distinct(),
       Seq("probe"), "left_anti")
     val prefixCond: Column = cfg.prefixMode match {

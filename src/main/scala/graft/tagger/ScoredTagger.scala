@@ -66,6 +66,10 @@ object ScoredTagger {
       j12_probes: Seq[String],     // synonym-of-stripped keys (syn != sg) —
                                    // the ONLY probes allowed to hit J12
                                    // mixture-NAME rows (`tagger.py:784-788`)
+      mx_probes: Seq[String],      // pipe-joined mixture component keys —
+                                   // looked up ONLY by exact equality
+                                   // (`tagger.py:327-360` WHERE
+                                   // component_key = ?); never prefix/fuzzy
       input_forms: Seq[String],    // categorized forms, first-seen order
       extra_norm: Seq[String],     // combo-key synonyms (syn != key)
       has_plus: Boolean,
@@ -286,6 +290,7 @@ object ScoredTagger {
     ShapeRow(
       probes = probes,
       j12_probes = j12Probes,
+      mx_probes = mixtureKey,
       input_forms = cats("form").keys.toSeq,
       extra_norm = extraNorm,
       has_plus = text.contains("+"),
@@ -644,12 +649,16 @@ object ScoredTagger {
       .select(col("id"), col("shape.*"))
       .localCheckpoint(true)
     val probes = shapes
-      .select(col("id"), col("j12_probes"),
+      .select(col("id"), col("j12_probes"), col("mx_probes"),
         posexplode(col("probes")).as(Seq("probe_pos", "probe")))
       .select(col("id"), col("probe_pos"), col("probe"),
-        array_contains(col("j12_probes"), col("probe")).as("j12_ok"))
+        array_contains(col("j12_probes"), col("probe")).as("j12_ok"),
+        // component keys are a separate-table equality lookup in the
+        // reference (`tagger.py:327-360`) — restrict them to the exact
+        // leg so they can never prefix/fuzzy-hit the generics universe
+        array_contains(col("mx_probes"), col("probe")).as("exact_probe"))
     val selected = tagCandidates(probes, catalog,
-      shapes.drop("probes", "j12_probes"), cfg, syn)
+      shapes.drop("probes", "j12_probes", "mx_probes"), cfg, syn)
 
     val matched = col("match_reason") === "matched"
     // component-key mixture hits take the reference's `_lookup_mixture`
