@@ -47,9 +47,16 @@ object ScaleBench {
 
   private val rotQueries = Seq("q26_scored_tagger", "q27_fuzzy_feedback")
   private val sufQueries = Seq("q35_ngram_jaccard", "q36_minhash_lsh",
-    "q37_simhash", "q39_dedup_clusters")
+    "q37_simhash", "q39_dedup_clusters", "q48_dedup_clusters_star")
   private val evtQueries = Seq("q60_event_hourly")
   private val prtQueries = Seq("q24_bridge_match")
+  // chain mode: q48 on a corpus whose near-dup graph is ONE long chain
+  // with diameter ∝ N — the adversarial shape the star variant exists
+  // for (propagation would need diameter rounds and fail loudly at
+  // maxIter; its 30-node envelope spec already pins that, so only the
+  // star curve is timed here). Result key carries a _chain suffix.
+  private val chnQueries = Seq("q48_dedup_clusters_star")
+  private val chainB = 1500 // chain docs at x1; diameter scales with N
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -128,9 +135,23 @@ object ScaleBench {
       if (!Files.exists(Paths.get(s"$path/_SUCCESS")))
         mk.write.mode("overwrite").parquet(path)
 
-    def gen(n: Int): (String, String) = {
+    // sliding-window chain corpus: doc j = tokens t_j .. t_{j+9}, so
+    // consecutive docs share 9 of 10 tokens (7 of 8 trigram shingles) and
+    // the whole corpus is one near-dup component of diameter ~n*B — NOT a
+    // replication of the base corpus; volume and diameter scale together,
+    // which is the point of the adversarial mode
+    def chnDocs(n: Int): DataFrame =
+      spark.range(n.toLong * chainB).select(
+        col("id").as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(id, id + 9), i -> concat('t', i)))")
+          .as("text"),
+        lit("en").as("lang"), lit("chain").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+
+    def gen(n: Int): (String, String, String) = {
       val rotDir = s"$workDir/x$n-rot"
       val sufDir = s"$workDir/x$n-suf"
+      val chnDir = s"$workDir/x$n-chn"
       writeIfAbsent((0 until n).map(rotReplica).reduce(_ unionByName _),
         s"$rotDir/documents.parquet")
       writeIfAbsent((0 until n).map(evtReplica).reduce(_ unionByName _),
@@ -139,7 +160,8 @@ object ScaleBench {
         s"$rotDir/part.parquet")
       writeIfAbsent((0 until n).map(sufReplica).reduce(_ unionByName _),
         s"$sufDir/documents.parquet")
-      (rotDir, sufDir)
+      writeIfAbsent(chnDocs(n), s"$chnDir/documents.parquet")
+      (rotDir, sufDir, chnDir)
     }
 
     // one untimed warm-up then three timed runs reported as the MEDIAN:
@@ -159,16 +181,25 @@ object ScaleBench {
       if (t.contains(-1.0)) -1.0 else t.sorted.apply(t.size / 2)
     }
 
+    // SPARK_GRAFT_SCALE_ONLY=key1,key2 limits the run to those result
+    // keys (chain mode's key is q48_dedup_clusters_star_chain) — for
+    // adding one family's curve without re-timing the whole set
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     factors.foreach { n =>
-      val (rotDir, sufDir) = gen(n)
-      (rotQueries.map(_ -> rotDir) ++ evtQueries.map(_ -> rotDir) ++
-        prtQueries.map(_ -> rotDir) ++
-        sufQueries.map(_ -> sufDir)).foreach { case (q, d) =>
-        val s = time(q, d)
-        results(q) = results.getOrElse(q, Seq.empty) :+ s
-        println(f"[scale] x$n%-2d $q%-22s $s%8.2f s")
-      }
+      val (rotDir, sufDir, chnDir) = gen(n)
+      (rotQueries.map(q => (q, q, rotDir)) ++
+        evtQueries.map(q => (q, q, rotDir)) ++
+        prtQueries.map(q => (q, q, rotDir)) ++
+        sufQueries.map(q => (q, q, sufDir)) ++
+        chnQueries.map(q => (s"${q}_chain", q, chnDir)))
+        .filter { case (key, _, _) => only.forall(_.contains(key)) }
+        .foreach { case (key, q, d) =>
+          val s = time(q, d)
+          results(key) = results.getOrElse(key, Seq.empty) :+ s
+          println(f"[scale] x$n%-2d $key%-28s $s%8.2f s")
+        }
     }
     val qJson = results.map { case (q, ts) =>
       val pts = factors.zip(ts).map { case (n, t) => s"\"$n\":$t" }.mkString(",")

@@ -241,9 +241,10 @@ class DedupStreamSpec extends SparkSpec {
       // batch 2 @12:00 (2 h later, past the 1 h horizon): nearCopy shares
       // doc 1's bands, but the stored representative is stale -> NOT
       // flagged; the keys it touches re-seed with rep=3, deadline 13:00.
-      // The data batch runs with watermark 10:00 (so the stale state is
-      // still VISIBLE for the re-seed decision); committing it advances
-      // the watermark to 12:00, which makes the engine run a follow-up
+      // The data batch runs with the pre-batch watermark (so the stale
+      // state is still VISIBLE for the re-seed decision); committing it
+      // advances the watermark to 11:50 (12:00 minus the default
+      // 10-minute lateness), which makes the engine run a follow-up
       // timeout batch that EVICTS every idle key whose 11:00 deadline
       // has passed — doc 1/doc 2's 8 seeds are gone, only doc 3's 4
       // re-seeded keys survive
