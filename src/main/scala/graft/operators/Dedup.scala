@@ -372,6 +372,70 @@ object Dedup {
         .orderBy("doc_id"),
       Some(clustersOracle)),
 
+    // ---- benchmark decontamination: flag corpus docs whose word-trigram
+    // set overlaps an eval/benchmark sample (the train-on-test leak check
+    // every LLM data pipeline runs before training). The benchmark here
+    // is a deterministic md5-bucket sample of the corpus (bucket >= 250,
+    // ~2.3%) standing in for a held-out eval suite; in production the
+    // benchmark side is a separate, small-by-definition table. The join
+    // side is the benchmark's DISTINCT shingle SET — set membership, not
+    // per-doc pairs — so each corpus shingle matches at most once and the
+    // broadcast join has zero fanout regardless of how common a trigram
+    // is (no hot-key cap needed). Corpus side: one scan, one groupBy.
+    QueryDef(
+      "q53_decontam",
+      (s, dir) => {
+        // q44's engine-identical md5 bucketing (lang-salted, 0..255)
+        val bucket = conv(
+          substring(md5(concat_ws(":",
+            coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2),
+          16, 10).cast("int")
+        val base = docs(s, dir)
+          .select(col("doc_id"), bucket.as("bucket"),
+            split(trim(col("text")), Ws.Plus).as("t"))
+          .select(col("doc_id"), col("bucket"), shinglesOf(col("t")).as("shs"))
+        val bench = base.filter(col("bucket") >= 250)
+          .select(explode(col("shs")).as("sh")).distinct()
+        val corpus = base.filter(col("bucket") < 250)
+        // shinglesOf is distinct per doc and bench is a distinct set, so
+        // count(*) after the semi-shaped inner join = |doc ∩ bench|
+        val hits = corpus
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        corpus.select(col("doc_id"), size(col("shs")).as("n_sh"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("containment",
+            when(col("n_sh") > 0,
+              col("n_hit").cast("double") / col("n_sh").cast("double"))
+              .otherwise(lit(0.0)))
+          .withColumn("contaminated", col("containment") >= 0.2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket,
+             |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
+             |sh AS (SELECT doc_id, bucket,
+             |         CASE WHEN len(t) >= 3
+             |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             |              ELSE [] END AS shs
+             |       FROM d),
+             |ev AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE bucket >= 250),
+             |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE bucket < 250),
+             |h AS (SELECT doc_id, count(*) AS n_hit FROM ex JOIN ev USING (sh) GROUP BY 1),
+             |c AS (SELECT s.doc_id, len(s.shs) AS n_sh,
+             |        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+             |      FROM sh s LEFT JOIN h ON s.doc_id = h.doc_id
+             |      WHERE s.bucket < 250)
+             |SELECT doc_id, n_sh, n_hit,
+             |  CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
+             |       ELSE 0.0 END AS containment,
+             |  CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
+             |       ELSE 0.0 END >= 0.2 AS contaminated
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- SimHash: 16-bit signature from md5 bits of distinct tokens
     QueryDef(
       "q37_simhash",

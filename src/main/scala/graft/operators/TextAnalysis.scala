@@ -296,6 +296,35 @@ object TextAnalysis {
              |       THEN 'train' ELSE 'eval' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- stratified resampling: rebalance the language mix by
+    //      downsampling the dominant language to 25% while keeping the
+    //      rest whole — the corpus-rebalancing step before training. A
+    //      SALTED md5 bucket ("smp:" prefix) keeps this draw independent
+    //      of q44's split buckets; the whole query is a deterministic
+    //      map-side filter — no shuffle, no RNG, no coordination, and
+    //      re-runs (or retried tasks on a cluster) select identical rows.
+    QueryDef(
+      "q54_stratified_sample",
+      (s, dir) => {
+        val bucket = conv(
+          substring(md5(concat_ws(":", lit("smp"),
+            coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2),
+          16, 10).cast("int")
+        // null lang falls into the ELSE (keep-whole) branch on both sides
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .filter(col("bucket") <
+            when(col("lang") === "en", lit(64)).otherwise(lit(256)))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    CAST('0x' || substr(md5('smp:' || coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+             |  FROM documents) x
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 256 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- repetition scoring: duplicate word-trigram fraction per doc
     //      (the Gopher-family quality signal — boilerplate/spam shows up
     //      as repeated n-grams). Pure per-row array algebra, no shuffle.

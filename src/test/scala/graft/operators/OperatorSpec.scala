@@ -41,6 +41,42 @@ class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "dict join must be a BroadcastHashJoin")
   }
 
+  test("q53's benchmark shingle set joins via broadcast with no fanout") {
+    // the containment join's scale claim: the benchmark side is a
+    // DISTINCT shingle set riding a broadcast, so a corpus shingle
+    // matches at most once — n_hit can never exceed n_sh, and the
+    // corpus side never shuffles for the membership probe
+    val df = run("q53_decontam")
+    val rows = df.collect()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "benchmark membership join must be a BroadcastHashJoin")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Int]("n_sh").toLong,
+        s"fanout at doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("q54 keeps non-dominant languages whole and is a pure filter") {
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val sampled = run("q54_stratified_sample")
+    // non-en rows survive verbatim; en rows shrink
+    val nonEn = docs.filter(col("lang") =!= "en" || col("lang").isNull)
+    assert(sampled.filter(col("lang") =!= "en" || col("lang").isNull).count()
+      == nonEn.count())
+    val en = docs.filter(col("lang") === "en").count()
+    val enKept = sampled.filter(col("lang") === "en").count()
+    assert(enKept < en && enKept > 0, s"en: $enKept of $en")
+    // determinism: a second run selects the identical row set
+    val again = run("q54_stratified_sample")
+    assert(sampled.collect().toSeq == again.collect().toSeq)
+    // no shuffle before the output sort: the sample itself is map-side
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), "sampling must not aggregate")
+  }
+
   test("oracleSql keys are a subset of queries") {
     val qs = graft.SparkEntry.queries.keySet
     assert(graft.SparkEntry.oracleSql.keySet.subsetOf(qs))
