@@ -129,6 +129,16 @@ object Dedup {
     * variant (O(log²) rounds); the simple propagation is the right
     * trade for dedup graphs and keeps every step oracle-checkable.
     */
+  /** Per-round progress line for the iterative CC loops, gated behind
+    * SPARK_GRAFT_CC_LOG (any value): a long-running production CC job is
+    * opaque without round cadence, and the line is what diagnosed the
+    * scale-curve shape (round COUNT vs per-round cost attribution).
+    */
+  private def roundLog(kind: String, round: Int, edges: Long,
+      t0: Long): Unit =
+    if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+      println(f"[cc:$kind] round $round%2d  edges=$edges%-9d  elapsed=${(System.nanoTime() - t0) / 1e9}%7.2f s")
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
@@ -150,6 +160,7 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
+    val t0 = System.nanoTime()
     while (!converged && it < maxIter) {
       val msgs = sym.join(labels, sym("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
@@ -161,6 +172,7 @@ object Dedup {
       prevSum = s
       labels = next
       it += 1
+      roundLog("prop", it, -1L, t0)
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter iterations")
@@ -213,6 +225,7 @@ object Dedup {
     var prev = checksum(e)
     var converged = prev._1 == 0L // empty graph: nothing to do
     var it = 0
+    val t0 = System.nanoTime()
     while (!converged && it < maxIter) {
       // ---- large-star: for node u with closed-neighborhood min m,
       //      connect every neighbor v > u to m
@@ -251,6 +264,7 @@ object Dedup {
       prev = cur
       e = ss
       it += 1
+      roundLog("star", it, cur._1, t0)
     }
     require(converged,
       s"connectedComponentsStar did not converge in $maxIter rounds")
