@@ -24,9 +24,10 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *   q48–q49  scale-path twins under the SAME oracles: large-star/
   *            small-star connected components (≡ q39) and one-pass
   *            broadcast-dict language-ID (≡ q31)
-  *   q53–q54  corpus hygiene: benchmark decontamination (trigram
-  *            containment vs a broadcast benchmark shingle set) and
-  *            deterministic stratified language resampling
+  *   q53–q55  corpus hygiene: benchmark decontamination (trigram
+  *            containment vs a broadcast benchmark shingle set),
+  *            deterministic stratified language resampling, and
+  *            token-window document chunking (size 8, stride 6)
   *   q40–q43  similarity search: brute-force cosine top-k, sign-LSH ANN,
   *            IVF-flat ANN, embedding-cosine near-dup pairs
   *   q50      multimodal frame-sampling plumbing

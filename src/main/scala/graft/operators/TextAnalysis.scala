@@ -325,6 +325,36 @@ object TextAnalysis {
              |WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 256 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- document chunking: fixed-size token windows with stride (the
+    //      pre-training chunk step — sequence-length-bounded windows
+    //      with overlap so no boundary context is lost). Window size 8,
+    //      stride 6 (overlap 2). One generator explode per doc, chunk
+    //      text via slice — no shuffle before the output sort, and the
+    //      explode multiplies rows by ~len/stride, not len.
+    QueryDef(
+      "q55_chunking",
+      (s, dir) => {
+        docs(s, dir)
+          .filter(trim(col("text")) =!= "")
+          .select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), col("t"),
+            posexplode(sequence(lit(1), size(col("t")), lit(6)))
+              .as(Seq("chunk_idx", "start")))
+          .select(col("doc_id"), col("chunk_idx"),
+            least(lit(8), size(col("t")) - col("start") + 1).as("n_tok"),
+            array_join(slice(col("t"), col("start"), lit(8)), " ").as("chunk"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |         string_split_regex(trim(text), '[ \t\n\f\r]+') AS t
+             |       FROM documents WHERE trim(text) <> ''),
+             |e AS (SELECT doc_id, t,
+             |        unnest(generate_series(1, len(t), 6)) AS s FROM d)
+             |SELECT doc_id, CAST((s-1)/6 AS INT) AS chunk_idx,
+             |  CAST(least(8, len(t) - s + 1) AS INT) AS n_tok,
+             |  array_to_string(t[s:least(s+7, len(t))], ' ') AS chunk
+             |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ---- repetition scoring: duplicate word-trigram fraction per doc
     //      (the Gopher-family quality signal — boilerplate/spam shows up
     //      as repeated n-grams). Pure per-row array algebra, no shuffle.
