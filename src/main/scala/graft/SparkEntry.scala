@@ -20,7 +20,9 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *            BPE-ish regex token counting (+fertility)
   *   q35–q39  near-dup: n-gram Jaccard, MinHash+LSH, SimHash, and
   *            connected-components cluster assignment over the LSH
-  *            pair graph (iterative min-label propagation)
+  *            pair graph (iterative min-label propagation); q56
+  *            applies the clusters — the deduplicated corpus keeping
+  *            one representative per cluster plus unpaired docs
   *   q48–q49  scale-path twins under the SAME oracles: large-star/
   *            small-star connected components (≡ q39) and one-pass
   *            broadcast-dict language-ID (≡ q31)

@@ -279,7 +279,7 @@ object Dedup {
     * LSH pair graph via a recursive CTE. Both CC variants must land on
     * identical components.
     */
-  private val clustersOracle: String =
+  private val clustersCte: String =
     """WITH RECURSIVE
       |tt AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -301,7 +301,10 @@ object Dedup {
       |reach(id, r) AS (
       |  SELECT DISTINCT src, src FROM edges
       |  UNION
-      |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin
+
+  private val clustersOracle: String = clustersCte +
+    """
       |SELECT id AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -449,6 +452,34 @@ object Dedup {
              |  CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
              |       ELSE 0.0 END >= 0.2 AS contaminated
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup APPLICATION: materialize the deduplicated corpus — keep
+    // every doc that is its cluster's representative (minimum doc_id)
+    // or appears in no near-dup pair at all. This closes the loop from
+    // pair detection (q36) and cluster labeling (q39/q48) to the actual
+    // corpus a training run would read: one left join of the corpus
+    // against the (small) label frame — docs without an LSH pair never
+    // enter the CC iteration at all, so the expensive path only touches
+    // the near-dup subset.
+    QueryDef(
+      "q56_dedup_apply",
+      (s, dir) => {
+        val labels = connectedComponents(minhashPairs(s, dir))
+          .withColumnRenamed("id", "doc_id")
+        docs(s, dir)
+          .join(labels, Seq("doc_id"), "left")
+          .filter(col("label").isNull || col("label") === col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(clustersCte +
+        """,
+          |labels AS (SELECT id AS doc_id, min(r) AS cluster_id
+          |           FROM reach GROUP BY 1)
+          |SELECT d.doc_id, d.lang, d.n_chars
+          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+          |WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- SimHash: 16-bit signature from md5 bits of distinct tokens
     QueryDef(
