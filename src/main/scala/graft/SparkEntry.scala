@@ -26,10 +26,12 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *   q48–q49  scale-path twins under the SAME oracles: large-star/
   *            small-star connected components (≡ q39) and one-pass
   *            broadcast-dict language-ID (≡ q31)
-  *   q53–q55  corpus hygiene: benchmark decontamination (trigram
-  *            containment vs a broadcast benchmark shingle set),
-  *            deterministic stratified language resampling, and
-  *            token-window document chunking (size 8, stride 6)
+  *   q53–q57  corpus hygiene & mixing: benchmark decontamination
+  *            (trigram containment vs a broadcast benchmark shingle
+  *            set), deterministic stratified language resampling,
+  *            token-window document chunking (size 8, stride 6),
+  *            dedup application (q56, under Dedup), and
+  *            source-weighted upsampling for training-mix epochs
   *   q40–q43  similarity search: brute-force cosine top-k, sign-LSH ANN,
   *            IVF-flat ANN, embedding-cosine near-dup pairs
   *   q50      multimodal frame-sampling plumbing

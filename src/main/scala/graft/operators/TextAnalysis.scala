@@ -325,6 +325,30 @@ object TextAnalysis {
              |WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 256 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- corpus mixing by source weight: upsample each source to its
+    //      mixing weight (docs from weight-w sources are seen w times
+    //      per training pass) — the complement of q54's downsampling.
+    //      Weights derive deterministically from the source id here
+    //      (suffix mod 3 + 1, i.e. 1..3); production supplies a weight
+    //      table, the shape is the same. A generator explode multiplies
+    //      rows by the bounded weight — no shuffle, no join.
+    QueryDef(
+      "q57_source_mix",
+      (s, dir) => {
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            (substring(col("source"), 4, 10).cast("int") % 3 + 1).as("weight"))
+          .select(col("doc_id"), col("source"), col("weight"),
+            explode(sequence(lit(1), col("weight"))).as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""SELECT doc_id, source, weight,
+             |  unnest(generate_series(1, weight)) AS epoch
+             |FROM (SELECT doc_id, source,
+             |        CAST(substr(source, 4) AS INT) % 3 + 1 AS weight
+             |      FROM documents) x
+             |ORDER BY doc_id, epoch""".stripMargin)),
+
     // ---- document chunking: fixed-size token windows with stride (the
     //      pre-training chunk step — sequence-length-bounded windows
     //      with overlap so no boundary context is lost). Window size 8,
