@@ -77,6 +77,50 @@ class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("HashAggregate"), "sampling must not aggregate")
   }
 
+  test("q55 chunks reconstruct the document (stride-aligned prefix property)") {
+    // concatenating each chunk's first 6 tokens (the stride), plus the
+    // final chunk's tail, must reproduce the tokenized document exactly —
+    // chunking may lose NO content (the whole point of overlap windows)
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        split(trim(col("text")), graft.core.Ws.Plus).as("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val chunks = run("q55_chunking").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, rows) =>
+      val ordered = rows.sortBy(_.getAs[Int]("chunk_idx"))
+      val rebuilt = ordered.flatMap { r =>
+        val toks = r.getAs[String]("chunk").split(" ").toSeq
+        if (r eq ordered.last) toks else toks.take(6)
+      }
+      assert(rebuilt.toSeq == docs(id).toSeq, s"doc $id lost content through chunking")
+    }
+  }
+
+  test("q56 keeps exactly the representatives and the unpaired docs") {
+    val total = graft.core.Tables(spark, sf0001, "documents").count()
+    val clusters = run("q39_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val paired = clusters.length.toLong
+    val representatives = clusters.count { case (d, c) => d == c }.toLong
+    val kept = run("q56_dedup_apply").count()
+    assert(kept == total - paired + representatives,
+      s"kept=$kept total=$total paired=$paired reps=$representatives")
+  }
+
+  test("q57 emits each doc exactly its weight times, epochs 1..w") {
+    run("q57_source_mix").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .foreach { case (id, rows) =>
+        val w = rows.head.getAs[Int]("weight")
+        assert(rows.length == w, s"doc $id: ${rows.length} rows, weight $w")
+        assert(rows.map(_.getAs[Int]("epoch")).sorted.toSeq == (1 to w),
+          s"doc $id epochs")
+      }
+  }
+
   test("oracleSql keys are a subset of queries") {
     val qs = graft.SparkEntry.queries.keySet
     assert(graft.SparkEntry.oracleSql.keySet.subsetOf(qs))

@@ -130,6 +130,29 @@ class DrugTaggerSpec extends SparkSpec {
     assert(base.exists(r => r(0) == 1L && r(2) == "cefalexin"))
   }
 
+  test("exact_probe probes never reach the prefix or fuzzy legs") {
+    import spark.implicits._
+    // the probe-side mirror of exact_only (RateParitySpec caught the
+    // leak this pins): a pipe-joined mixture component key is an exact
+    // equality lookup in the reference (tagger.py:327-360) — without
+    // the flag, 'budesonide|formoterol'-style keys fuzzy-match nearby
+    // generics-universe keys at ratio >= 85
+    val cat = Seq(
+      ("budesonide + formoterol", "BUDESONIDE + FORMOTEROL"),
+      ("paracetamol", "PARACETAMOL"))
+      .toDF("key", "generic_name")
+    val probes = Seq(
+      (1L, 0, "budesonide|formoterol", true), // mixture key: exact only
+      (2L, 0, "budesonide + formoterall", false)) // control: fuzzy allowed
+      .toDF("id", "probe_pos", "probe", "exact_probe")
+    val hits = LookupWaterfall.allMatches(probes, cat,
+        LookupWaterfall.referenceConfig)
+      .select("id", "leg").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(!hits.exists(_._1 == 1L),
+      "exact-only probe leaked into a non-exact leg")
+    assert(hits.contains((2L, 3)), "control probe should fuzzy-match")
+  }
+
   test("vaccine acronym expansion does NOT probe component-named catalogs") {
     import spark.implicits._
     val cat = Seq(
