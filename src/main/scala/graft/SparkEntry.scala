@@ -32,6 +32,9 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *            token-window document chunking (size 8, stride 6),
   *            dedup application (q56, under Dedup), and
   *            source-weighted upsampling for training-mix epochs
+  *   q58      sequence packing: concat-and-chunk bin bookkeeping via a
+  *            distributed two-phase prefix sum (never a global-order
+  *            single-partition window)
   *   q40–q43  similarity search: brute-force cosine top-k, sign-LSH ANN,
   *            IVF-flat ANN, embedding-cosine near-dup pairs
   *   q50      multimodal frame-sampling plumbing

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables, Ws}
@@ -378,6 +379,66 @@ object TextAnalysis {
              |  CAST(least(8, len(t) - s + 1) AS INT) AS n_tok,
              |  array_to_string(t[s:least(s+7, len(t))], ' ') AS chunk
              |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- sequence packing: concat-and-chunk bookkeeping for fixed
+    //      context-length training sequences (budget 16 tokens). In
+    //      doc_id order every doc's tokens occupy the global offset
+    //      range [cum, cum+n); the output says which packed sequence
+    //      (bin) a doc starts and ends in and where inside its first
+    //      bin — the step after q55 that turns chunks into training
+    //      sequences with no padding waste. The global running sum is
+    //      a DISTRIBUTED two-phase prefix sum: an order-preserving
+    //      block id derived from doc_id, a per-block window for the
+    //      local cumsum, and a tiny per-block offset frame (≤ #blocks
+    //      rows) broadcast back. The naive `Window.orderBy(doc_id)`
+    //      with no partitionBy would collapse the whole corpus into
+    //      ONE task — the single-partition-window anti-pattern this
+    //      query exists to avoid (OperatorSpec pins the two forms
+    //      equal and the plan shape partitioned). At cluster scale
+    //      block sizing comes from parquet column stats (max doc_id
+    //      is a footer read, not a scan); local[32] uses 32 blocks.
+    QueryDef(
+      "q58_sequence_pack",
+      (s, dir) => {
+        val budget = 16
+        val d = docs(s, dir)
+          .filter(trim(col("text")) =!= "")
+          .select(col("doc_id"), size(toks).as("n_tok"))
+        val span = d.agg(max("doc_id")).head().getLong(0) + 1L
+        val block = math.max(1L, (span + 31) / 32)
+        val sized = d
+          .withColumn("pid", (col("doc_id") / lit(block)).cast("long"))
+          .repartition(col("pid"))
+        val pw = Window.partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // the offsets window is single-partition BY DESIGN: it runs over
+        // the per-block totals (≤ #blocks rows), never over the corpus
+        val ow = Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = sized.groupBy("pid").agg(sum("n_tok").as("ptot"))
+          .withColumn("poff", coalesce(sum("ptot").over(ow), lit(0L)))
+          .select("pid", "poff")
+        sized.join(broadcast(offsets), "pid")
+          .withColumn("cum",
+            coalesce(sum("n_tok").over(pw), lit(0L)) + col("poff"))
+          .select(col("doc_id"), col("n_tok"),
+            expr(s"cum div $budget").as("first_bin"),
+            expr(s"(cum + n_tok - 1) div $budget").as("last_bin"),
+            (col("cum") % budget).as("bin_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |        len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS n_tok
+             |      FROM documents WHERE trim(text) <> ''),
+             |c AS (SELECT doc_id, n_tok,
+             |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+             |      FROM d)
+             |SELECT doc_id, n_tok,
+             |  cum // 16 AS first_bin,
+             |  (cum + n_tok - 1) // 16 AS last_bin,
+             |  cum % 16 AS bin_offset
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- repetition scoring: duplicate word-trigram fraction per doc
     //      (the Gopher-family quality signal — boilerplate/spam shows up

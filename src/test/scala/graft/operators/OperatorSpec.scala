@@ -110,6 +110,34 @@ class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"kept=$kept total=$total paired=$paired reps=$representatives")
   }
 
+  test("q58 prefix sum is gapless and its corpus window is partitioned") {
+    // semantic check: replay the packing sequentially — the distributed
+    // two-phase prefix sum must equal the single-threaded cumsum exactly
+    // (first_bin/last_bin/bin_offset all derive from it)
+    val df = run("q58_sequence_pack")
+    val rows = df.collect().sortBy(_.getAs[Long]("doc_id"))
+    var cum = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tok").toLong
+      assert(r.getAs[Long]("first_bin") == cum / 16, s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("last_bin") == (cum + n - 1) / 16, s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("bin_offset") == cum % 16, s"doc ${r.get(0)}")
+      cum += n
+    }
+    assert(rows.nonEmpty && cum > 0)
+    // scale check: the corpus-wide window must be partitioned (by block
+    // id) — only the ≤32-row per-block offsets frame may use the
+    // single-partition global window, and it must ride a broadcast back
+    val plan = df.queryExecution.executedPlan
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "corpus cumsum must run in a PARTITIONED window")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "block offsets must join back via broadcast")
+  }
+
   test("q57 emits each doc exactly its weight times, epochs 1..w") {
     run("q57_source_mix").collect()
       .groupBy(_.getAs[Long]("doc_id"))
