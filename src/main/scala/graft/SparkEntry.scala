@@ -35,6 +35,9 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *   q58      sequence packing: concat-and-chunk bin bookkeeping via a
   *            distributed two-phase prefix sum (never a global-order
   *            single-partition window)
+  *   q59      cross-split leakage: eval docs with a train-side LSH
+  *            near-dup partner (q44 ∘ q36 composition — the
+  *            split-hygiene gate before training)
   *   q40–q43  similarity search: brute-force cosine top-k, sign-LSH ANN,
   *            IVF-flat ANN, embedding-cosine near-dup pairs
   *   q50      multimodal frame-sampling plumbing

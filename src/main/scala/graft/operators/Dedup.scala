@@ -279,9 +279,12 @@ object Dedup {
     * LSH pair graph via a recursive CTE. Both CC variants must land on
     * identical components.
     */
-  private val clustersCte: String =
-    """WITH RECURSIVE
-      |tt AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
+  /** Shared oracle prefix: the capped-band LSH candidate pair graph
+    * (pairs + undirected edges), reused by the clusters oracle (with a
+    * recursive reach tail) and q59's split-leakage oracle (without).
+    */
+  private val pairsCte: String =
+    """tt AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         generate_series(1, len(t)-2),
       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
@@ -297,11 +300,15 @@ object Dedup {
       |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
       |               AND a.doc_id < b.doc_id),
       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-      |          UNION ALL SELECT d2, d1 FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT DISTINCT src, src FROM edges
-      |  UNION
-      |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin
+      |          UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
+
+  private val clustersCte: String =
+    "WITH RECURSIVE\n" + pairsCte +
+      """,
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin
 
   private val clustersOracle: String = clustersCte +
     """
@@ -452,6 +459,55 @@ object Dedup {
              |  CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
              |       ELSE 0.0 END >= 0.2 AS contaminated
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- cross-split leakage: eval docs that are LSH near-dups of a
+    // TRAIN doc — the split-hygiene check run before training (a random
+    // split scatters near-dup groups across the boundary; leaked eval
+    // rows measure memorization, not generalization). Composes q44's
+    // deterministic md5 split with q36's capped LSH candidate pairs: an
+    // equi-join membership probe against the train side (a shuffle
+    // join, NOT a broadcast — train is half the corpus by construction)
+    // then a grouped partner count per eval doc. The remediation path
+    // is q56-shaped: drop leaked eval docs or re-assign whole q39
+    // clusters to one side of the split.
+    QueryDef(
+      "q59_split_leakage",
+      (s, dir) => {
+        val bucket = conv(
+          substring(md5(concat_ws(":",
+            coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2),
+          16, 10).cast("int")
+        val split = docs(s, dir).select(col("doc_id"),
+          when(bucket < 204, lit("train")).otherwise(lit("eval")).as("split"))
+        val pairs = minhashPairs(s, dir)
+        val und = pairs.select(col("d1").as("doc_id"), col("d2").as("other"))
+          .unionByName(pairs.select(col("d2").as("doc_id"), col("d1").as("other")))
+        val train = split.filter(col("split") === "train")
+          .select(col("doc_id").as("other"))
+        // pairs are distinct, so count(*) = distinct train partners
+        val leak = und.join(train, "other")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_train_dups"))
+        split.filter(col("split") === "eval").select("doc_id")
+          .join(leak, Seq("doc_id"), "left")
+          .withColumn("n_train_dups", coalesce(col("n_train_dups"), lit(0L)))
+          .withColumn("leaked", col("n_train_dups") > 0)
+          .orderBy("doc_id")
+      },
+      Some("WITH " + pairsCte +
+        """,
+          |sp AS (SELECT doc_id,
+          |         CASE WHEN CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 204
+          |              THEN 'train' ELSE 'eval' END AS split
+          |       FROM documents),
+          |leak AS (SELECT e.src AS doc_id, count(*) AS n_train_dups
+          |         FROM edges e JOIN sp t ON t.doc_id = e.dst AND t.split = 'train'
+          |         GROUP BY 1)
+          |SELECT s.doc_id,
+          |  COALESCE(l.n_train_dups, 0) AS n_train_dups,
+          |  COALESCE(l.n_train_dups, 0) > 0 AS leaked
+          |FROM sp s LEFT JOIN leak l ON l.doc_id = s.doc_id
+          |WHERE s.split = 'eval'
+          |ORDER BY s.doc_id""".stripMargin)),
 
     // ---- dedup APPLICATION: materialize the deduplicated corpus — keep
     // every doc that is its cluster's representative (minimum doc_id)

@@ -138,6 +138,29 @@ class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "block offsets must join back via broadcast")
   }
 
+  test("q59 flags exactly the eval docs with a train-side LSH partner") {
+    // recompose the query from its two building blocks' own outputs:
+    // q44's split + q36's pairs must predict q59 row for row
+    val split = run("q44_train_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val pairs = run("q36_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    val expected = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (e, t) => split(e) == "eval" && split(t) == "train" }
+      .groupBy(_._1).map { case (e, ps) => e -> ps.length.toLong }
+    val rows = run("q59_split_leakage").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet
+      == split.collect { case (id, "eval") => id }.toSet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_train_dups") == expected.getOrElse(id, 0L),
+        s"doc $id")
+      assert(r.getAs[Boolean]("leaked") == expected.contains(id), s"doc $id")
+    }
+    assert(expected.nonEmpty,
+      "the sf0.001 corpus should leak at least one eval doc")
+  }
+
   test("q57 emits each doc exactly its weight times, epochs 1..w") {
     run("q57_source_mix").collect()
       .groupBy(_.getAs[Long]("doc_id"))
