@@ -47,7 +47,10 @@ object ScaleBench {
 
   private val rotQueries = Seq("q26_scored_tagger", "q27_fuzzy_feedback")
   private val sufQueries = Seq("q35_ngram_jaccard", "q36_minhash_lsh",
-    "q37_simhash", "q39_dedup_clusters", "q48_dedup_clusters_star")
+    "q37_simhash", "q39_dedup_clusters", "q48_dedup_clusters_star",
+    // packing: the block-id prefix sum must stay flat-per-row as blocks
+    // fill; leakage: N disjoint replicas → N× pairs, N× split probes
+    "q58_sequence_pack", "q59_split_leakage")
   private val evtQueries = Seq("q60_event_hourly")
   private val prtQueries = Seq("q24_bridge_match")
   // chain mode: q48 on a corpus whose near-dup graph is ONE long chain
