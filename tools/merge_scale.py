@@ -38,13 +38,15 @@ for sp in session_paths:
             sessions.setdefault(str(n), []).append(t)
             cur = entry["sec"].get(str(n))
             entry["sec"][str(n)] = t if (cur is None or (0 < t < cur)) else cur
-        # recompute the slope key from the merged mins over this
-        # session's factor span
-        lo, hi = str(factors[0]), str(factors[-1])
-        tlo, thi = entry["sec"].get(lo, -1), entry["sec"].get(hi, -1)
+        # recompute the slope key from the merged mins over the FULL
+        # merged factor span (a partial session, e.g. an x8/x16 re-time,
+        # must not shrink the baseline to its own first factor)
+        span = sorted(int(n) for n in entry["sec"])
+        lo, hi = span[0], span[-1]
+        tlo, thi = entry["sec"].get(str(lo), -1), entry["sec"].get(str(hi), -1)
         if tlo and thi and tlo > 0 and thi > 0:
-            entry[f"x{hi}_vs_linear"] = round(
-                (thi / tlo) / (factors[-1] / factors[0]), 3)
+            entry.pop(f"x{factors[-1]}_vs_linear", None)
+            entry[f"x{hi}_vs_linear"] = round((thi / tlo) / (hi / lo), 3)
 
 if repeat_path:
     sessions = []
