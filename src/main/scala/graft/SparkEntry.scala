@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Runner, Similarity, TextAnalysis, Waterfall}
+import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, RangeJoin, Relational, Runner, Similarity, TextAnalysis, Waterfall}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,13 +42,18 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, Relational, Run
   *            IVF-flat ANN, embedding-cosine near-dup pairs
   *   q50      multimodal frame-sampling plumbing
   *   q60      time-bucketed event aggregation (streaming-shaped, batch form)
+  *   q61–q63  temporal/range operators: gap sessionization (two windows +
+  *            agg over ONE user_id exchange), as-of join (union + running
+  *            last(ignoreNulls) — no inequality join), and a bucketed
+  *            range join (interval decomposition -> broadcast equi-join,
+  *            never a nested loop)
   */
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
     Relational.defs ++ Waterfall.defs ++ Runner.defs ++ Bridge.defs ++
       Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
-      Multimodal.defs ++ Events.defs
+      Multimodal.defs ++ Events.defs ++ RangeJoin.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
