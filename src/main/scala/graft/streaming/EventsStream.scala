@@ -72,14 +72,18 @@ object EventsStream {
       .toDF("user_id", "n_events", "sum_value_cents")
   }
 
-  /** Per-user running value totals with 30min session-style windows keyed
-    * by user — demonstrates keyed stateful aggregation without custom
-    * state: session_window is the built-in (Spark 3.2+).
+  /** Per-user session aggregates via the built-in session_window (Spark
+    * 3.2+) — keyed stateful aggregation without custom state. This is the
+    * STREAMING twin of the oracle-gated batch q61 (`Events` q61_sessionize):
+    * session_window opens a new session when the gap is >= `gap` while
+    * q61's lag-formulation splits on gap > threshold, so the two agree on
+    * every corpus with no exact-threshold gap (EventsStreamSpec pins the
+    * parity on the sf0.001 events table and asserts the edge is absent).
     */
-  def userSessions(events: DataFrame): DataFrame =
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
       .select(col("session_window.start").as("session_start"),

@@ -51,8 +51,17 @@ object ScaleBench {
     // packing: the block-id prefix sum must stay flat-per-row as blocks
     // fill; leakage: N disjoint replicas → N× pairs, N× split probes
     "q58_sequence_pack", "q59_split_leakage")
-  private val evtQueries = Seq("q60_event_hourly")
+  private val evtQueries = Seq("q60_event_hourly",
+    // sessionize/as-of: replication shifts user_id per replica, so N×
+    // rows arrive as N× users at the SAME per-user density — the curve
+    // measures whether the single user_id exchange really is the only
+    // scaling cost (per-user window work is constant by construction)
+    "q61_sessionize", "q62_asof_join")
   private val prtQueries = Seq("q24_bridge_match")
+  // range join: probe rows (lineitem) scale ×N against the fixed 25-row
+  // interval dimension — the 100-TB shape of a banded join; the exploded
+  // bucket index must stay a broadcast at every factor
+  private val linQueries = Seq("q63_range_join")
   // chain mode: q48 on a corpus whose near-dup graph is ONE long chain
   // with diameter ∝ N — the adversarial shape the star variant exists
   // for (propagation would need diameter rounds and fail loudly at
@@ -130,6 +139,14 @@ object ScaleBench {
       else part.filter(col("p_partkey") % 3 === 1)
         .withColumn("p_partkey", col("p_partkey") + lit(k * partSpan3))
 
+    val lineitem = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    val orderSpan = lineitem.agg(max("l_orderkey")).head().getLong(0) + 1L
+    // replica k of the range-join probe side: orderkeys shift (distinct
+    // rows), prices keep — N× probes into the same fixed interval bands
+    def linReplica(k: Int): DataFrame =
+      if (k == 0) lineitem
+      else lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(k * orderSpan))
+
     // each dataset gates on its OWN completed write (_SUCCESS is the
     // commit marker): an interrupted earlier run leaves a partial dir
     // that must regenerate, and must not block the OTHER datasets'
@@ -161,6 +178,11 @@ object ScaleBench {
         s"$rotDir/events.parquet")
       writeIfAbsent((0 until n).map(partReplica).reduce(_ unionByName _),
         s"$rotDir/part.parquet")
+      writeIfAbsent((0 until n).map(linReplica).reduce(_ unionByName _),
+        s"$rotDir/lineitem.parquet")
+      // fixed dimension for the range join (25 interval seeds)
+      writeIfAbsent(spark.read.parquet(s"$baseDir/nation.parquet"),
+        s"$rotDir/nation.parquet")
       writeIfAbsent((0 until n).map(sufReplica).reduce(_ unionByName _),
         s"$sufDir/documents.parquet")
       writeIfAbsent(chnDocs(n), s"$chnDir/documents.parquet")
@@ -195,6 +217,7 @@ object ScaleBench {
       (rotQueries.map(q => (q, q, rotDir)) ++
         evtQueries.map(q => (q, q, rotDir)) ++
         prtQueries.map(q => (q, q, rotDir)) ++
+        linQueries.map(q => (q, q, rotDir)) ++
         sufQueries.map(q => (q, q, sufDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)))
         .filter { case (key, _, _) => only.forall(_.contains(key)) }

@@ -81,6 +81,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_events") == 1)
   }
 
+  test("userSessions(6h) agrees with the oracle-gated batch q61 on real events") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+    // the two formulations differ only on an EXACT-threshold gap
+    // (session_window splits at >= gap, q61's lag form at > gap);
+    // prove the edge is absent from the corpus, then parity is exact
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val exactEdge = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us") === 6L * 3600L * 1000000L)
+      .count()
+    assert(exactEdge == 0L, "corpus has an exact 6h gap; parity undefined")
+    val viaSessionWindow = EventsStream.userSessions(ev, "6 hours")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("sum_value_cents"))
+      .collect().map(_.toSeq).toSet
+    val viaQ61 = graft.SparkEntry.queries("q61_sessionize")(
+        spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        col("sum_value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(viaSessionWindow == viaQ61)
+    assert(viaQ61.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
