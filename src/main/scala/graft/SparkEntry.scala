@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, RangeJoin, Relational, Runner, Similarity, TextAnalysis, Waterfall}
+import graft.operators.{Analytic, Bridge, Dedup, Events, Labs, Multimodal, RangeJoin, Relational, Runner, Similarity, TextAnalysis, Waterfall}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,13 +47,16 @@ import graft.operators.{Bridge, Dedup, Events, Labs, Multimodal, RangeJoin, Rela
   *            last(ignoreNulls) — no inequality join), and a bucketed
   *            range join (interval decomposition -> broadcast equi-join,
   *            never a nested loop)
+  *   q64–q67  analytic functions: trailing RANGE-frame window, discrete
+  *            quantiles (percentile_disc), explicit-values pivot, rollup
+  *            grouping sets + grouping_id
   */
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
     Relational.defs ++ Waterfall.defs ++ Runner.defs ++ Bridge.defs ++
       Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
-      Multimodal.defs ++ Events.defs ++ RangeJoin.defs
+      Multimodal.defs ++ Events.defs ++ RangeJoin.defs ++ Analytic.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
