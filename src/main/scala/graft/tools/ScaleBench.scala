@@ -56,7 +56,7 @@ object ScaleBench {
     // rows arrive as N× users at the SAME per-user density — the curve
     // measures whether the single user_id exchange really is the only
     // scaling cost (per-user window work is constant by construction)
-    "q61_sessionize", "q62_asof_join")
+    "q61_sessionize", "q62_asof_join", "q64_trailing_window")
   private val prtQueries = Seq("q24_bridge_match")
   // range join: probe rows (lineitem) scale ×N against the fixed 25-row
   // interval dimension — the 100-TB shape of a banded join; the exploded
