@@ -50,6 +50,9 @@ import graft.operators.{Analytic, Bridge, Dedup, Events, Labs, Multimodal, Range
   *   q64–q67  analytic functions: trailing RANGE-frame window, discrete
   *            quantiles (percentile_disc), explicit-values pivot, rollup
   *            grouping sets + grouping_id
+  *   q68–q69  scale-path + corpus ops: salted two-phase top-k (skew twin
+  *            under q09's oracle verbatim) and vocabulary induction +
+  *            OOV coverage (TakeOrderedAndProject top-V, broadcast probe)
   */
 object SparkEntry {
 

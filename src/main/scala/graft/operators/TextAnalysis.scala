@@ -519,6 +519,52 @@ object TextAnalysis {
              |             || '@example.com ref '
              |             || CAST((doc_id + 1) * 1234567 AS VARCHAR) AS raw
              |      FROM documents) t
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    /* Vocabulary induction + OOV coverage — the "train the tokenizer on
+     * the corpus, then measure what it misses" loop. The vocab is the
+     * top-V words by (count DESC, word ASC) — a TOTAL order, so the
+     * boundary of the vocab is deterministic on both engines (plain
+     * the un-keyed sort+LIMIT would tie-break arbitrarily). Per doc:
+     * token count and out-of-vocab count. Scale shape: the token explode
+     * is map-side; the top-V selection is sort+limit, which Spark plans
+     * as TakeOrderedAndProject (per-partition partial top-V, V rows per
+     * partition merged — NEVER a global-order single-partition window,
+     * the q58 anti-pattern); the vocab is bounded (V=20 — below the synthetic corpus's 31
+     * distinct words, so the OOV path is exercised) by
+     * CONSTRUCTION so its membership probe rides a broadcast left join;
+     * the per-doc re-agg shuffles on doc_id once.
+     */
+    QueryDef(
+      "q69_vocab_coverage",
+      (s, dir) => {
+        val v = 20
+        val words = docs(s, dir)
+          .select(col("doc_id"), explode(toks).as("word"))
+        val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(v)
+          .select(col("word"), lit(1).as("in_vocab"))
+        words
+          .join(broadcast(vocab), Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS word
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT word FROM (
+             |    SELECT word, row_number() OVER (
+             |      ORDER BY count(*) DESC, word) AS vrank
+             |    FROM words GROUP BY word) t
+             |  WHERE vrank <= 20)
+             |SELECT w.doc_id, count(*) AS n_tokens,
+             |  count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov
+             |FROM words w LEFT JOIN vocab v ON w.word = v.word
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

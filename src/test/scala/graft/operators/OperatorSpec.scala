@@ -282,4 +282,64 @@ class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(resized == (orig + 3) / 4)
     }
   }
+
+  test("q68 salted top-k is row-identical to q09 and survives a hot group") {
+    // same-oracle twin contract (the q48/q49 pattern): the salted
+    // decomposition must be invisible in the result
+    val direct = run("q09_topk_per_group").collect().map(_.toSeq).toSeq
+    val salted = run("q68_topk_salted").collect().map(_.toSeq).toSeq
+    assert(salted == direct)
+    // adversarial skew: ONE group holds every row; the salted form must
+    // still pick the exact global top-3 (each true winner survives its
+    // own salt's local top-3 — a row beaten by 3 in its salt is beaten
+    // by 3 globally)
+    import spark.implicits._
+    val hot = (1 to 50000).map(i => ("HOT", i.toLong, i % 7, i * 1.0 % 9973))
+      .toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    hot.createOrReplaceTempView("skew_in")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val expect = hot.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("l_returnflag", "rank", "l_orderkey").collect().map(_.toSeq).toSeq
+    val salts = 8
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"), col("salt"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val got = hot
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+      .withColumn("lrank", row_number().over(local))
+      .filter(col("lrank") <= 3)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("l_returnflag", "rank", "l_orderkey")
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(got == expect)
+  }
+
+  test("q69 vocab selection plans as TakeOrderedAndProject + broadcast probe") {
+    val df = run("q69_vocab_coverage")
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the top-V must be the distributed partial top-k operator, not a
+    // global-order window (the q58 anti-pattern) or a full sort
+    val topk = collectWithSubqueries(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty, "vocab top-V must plan as TakeOrderedAndProject")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "vocab membership probe must be a BroadcastHashJoin")
+    // conservation: token totals match the corpus; OOV bounded by total
+    val totalToks = run("q30_token_count")
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens")))
+    // V=100 most frequent words cover the bulk of this zipf-ish corpus:
+    // the query is only interesting if the vocab actually absorbs tokens
+    val oov = rows.map(_.getAs[Long]("n_oov")).sum
+    assert(oov > 0 && oov < totalToks / 2, s"oov=$oov of $totalToks")
+  }
 }
