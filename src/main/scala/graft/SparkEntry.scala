@@ -53,6 +53,9 @@ import graft.operators.{Analytic, Bridge, Dedup, Events, Labs, Multimodal, Range
   *   q68–q69  scale-path + corpus ops: salted two-phase top-k (skew twin
   *            under q09's oracle verbatim) and vocabulary induction +
   *            OOV coverage (TakeOrderedAndProject top-V, broadcast probe)
+  *   q70      approximate sketches beside exact twins (HLL distinct,
+  *            approx_percentile) — rows-only by design, error bounds
+  *            spec-pinned
   */
 object SparkEntry {
 

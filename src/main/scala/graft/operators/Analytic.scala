@@ -134,6 +134,36 @@ object Analytic {
              |    AS qty_cents
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST"""
-        .stripMargin))
+        .stripMargin)),
+
+    /* Approximate sketches beside their exact twins — the cardinality /
+     * quantile estimators a 100-TB profiling pass actually runs (exact
+     * COUNT DISTINCT shuffles every distinct key; HLL merges fixed-size
+     * registers map-side, and approx_percentile merges bounded
+     * QuantileSummaries). Emitted WITH the exact answers so the error is
+     * part of the result, and spec-bounded (rel_err under the 5% rsd
+     * contract). No oracle: DuckDB's approx sketches are different
+     * implementations, so cross-engine hashes cannot match — this is the
+     * one query family where a rows-only driver check is the honest gate
+     * (AnalyticSpec carries the quantitative assertions instead).
+     */
+    QueryDef(
+      "q70_sketch_profile",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_exact"),
+            approx_count_distinct(col("l_partkey")).as("nd_approx"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+              .as("p50_exact"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("p50_approx"),
+            count(lit(1)).as("n"))
+          .withColumn("nd_rel_err",
+            abs(col("nd_approx") - col("nd_exact")).cast("double") /
+              col("nd_exact").cast("double"))
+          .withColumn("p50_rel_err",
+            abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")),
+      None)
   )
 }

@@ -72,6 +72,39 @@ object EventsStream {
       .toDF("user_id", "n_events", "sum_value_cents")
   }
 
+  /** Stream-stream INTERVAL join — the built-in two-stream surface (the
+    * stateful custom shapes live in [[AsOfStream]]/[[DedupStream]]): each
+    * click pairs with every purchase by the same user in the click's
+    * trailing hour. Both sides carry a watermark and the join condition
+    * bounds event-time distance, which is exactly what lets the engine
+    * evict buffered rows: a purchase older than
+    * `watermark - interval` can never join a future click, so per-side
+    * state is bounded by rate x (lateness + interval), independent of
+    * stream length. Inner-join rows emit as soon as both sides arrive
+    * (no watermark wait); it is the OUTER variants that defer to the
+    * watermark. Self-join of one input stream is the deployment shape
+    * here (one events topic, two filters) and is supported natively.
+    */
+  def recentPurchaseJoin(
+      events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", lateness)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", lateness)
+    clicks.join(purchases,
+        expr("""c_user = p_user
+               |AND p_ts >= c_ts - INTERVAL 1 HOUR
+               |AND p_ts <= c_ts""".stripMargin))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("purchase_id"), col("value"),
+        (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("age_us"))
+  }
+
   /** Per-user session aggregates via the built-in session_window (Spark
     * 3.2+) — keyed stateful aggregation without custom state. This is the
     * STREAMING twin of the oracle-gated batch q61 (`Events` q61_sessionize):

@@ -60,8 +60,15 @@ object ScaleBench {
   private val prtQueries = Seq("q24_bridge_match")
   // range join: probe rows (lineitem) scale ×N against the fixed 25-row
   // interval dimension — the 100-TB shape of a banded join; the exploded
-  // bucket index must stay a broadcast at every factor
-  private val linQueries = Seq("q63_range_join")
+  // bucket index must stay a broadcast at every factor.
+  // salted top-k: the orderkey-shifted replicas add N× rows to the SAME
+  // three returnflag groups — group count fixed, group SIZE scales, which
+  // is precisely the skew the salting exists for.
+  private val linQueries = Seq("q63_range_join", "q68_topk_salted")
+  // vocab induction rides the rotation replicas: the vocabulary is FIXED
+  // under word rotation, so the top-V cut and broadcast probe face N×
+  // tokens against a constant dictionary — the 100-TB shape
+  private val vocQueries = Seq("q69_vocab_coverage")
   // chain mode: q48 on a corpus whose near-dup graph is ONE long chain
   // with diameter ∝ N — the adversarial shape the star variant exists
   // for (propagation would need diameter rounds and fail loudly at
@@ -218,6 +225,7 @@ object ScaleBench {
         evtQueries.map(q => (q, q, rotDir)) ++
         prtQueries.map(q => (q, q, rotDir)) ++
         linQueries.map(q => (q, q, rotDir)) ++
+        vocQueries.map(q => (q, q, rotDir)) ++
         sufQueries.map(q => (q, q, sufDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)))
         .filter { case (key, _, _) => only.forall(_.contains(key)) }

@@ -96,4 +96,18 @@ class AnalyticSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // rollup, not cube: no status-only subtotal level
     assert(!rows.exists(_._3 == 2L))
   }
+
+  test("q70 sketches sit within their error contracts against exact twins") {
+    val r = run("q70_sketch_profile").collect()
+    assert(r.length == 1)
+    val row = r.head
+    // HLL++ default rsd is 5%; allow 3 sigma
+    assert(row.getAs[Double]("nd_rel_err") <= 0.15,
+      s"HLL off by ${row.getAs[Double]("nd_rel_err")}")
+    // approx_percentile with accuracy 10000 over ~6k rows is near-exact;
+    // allow 1% drift on the median
+    assert(row.getAs[Double]("p50_rel_err") <= 0.01,
+      s"p50 off by ${row.getAs[Double]("p50_rel_err")}")
+    assert(row.getAs[Long]("nd_exact") > 0 && row.getAs[Long]("n") > 0)
+  }
 }

@@ -9,6 +9,9 @@ import graft.SparkSpec
 
 final case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
 
+final case class Ev2(ts: Timestamp, user_id: Long, event_id: Long,
+    event_type: String, value: Double)
+
 /** Streaming plans run against MemoryStream and must agree with the batch
   * form of the same aggregation (stream/batch parity).
   */
@@ -107,6 +110,47 @@ class EventsStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaSessionWindow == viaQ61)
     assert(viaQ61.nonEmpty)
+  }
+
+  test("stream-stream interval join pairs clicks with trailing-hour purchases") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev2]
+    val q = EventsStream.recentPurchaseJoin(stream.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Ev2(ts("2024-01-01 08:30:00"), 1L, 10L, "purchase", 2.0), // > 1h before
+        Ev2(ts("2024-01-01 09:30:00"), 1L, 11L, "purchase", 3.0), // in window
+        Ev2(ts("2024-01-01 10:00:00"), 1L, 100L, "click", 0.0),
+        Ev2(ts("2024-01-01 10:10:00"), 1L, 12L, "purchase", 4.0), // after click
+        Ev2(ts("2024-01-01 11:00:00"), 2L, 200L, "click", 0.0))
+      q.processAllAvailable()
+      // the matching purchase for click 200 arrives in a LATER batch,
+      // slightly out of order but inside the lateness bound
+      stream.addData(Ev2(ts("2024-01-01 10:55:00"), 2L, 13L, "purchase", 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssjoin")
+      .select("click_id", "purchase_id", "value", "age_us")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == Set(
+      Seq(100L, 11L, 3.0, 30L * 60L * 1000000L),
+      Seq(200L, 13L, 6.0, 5L * 60L * 1000000L)))
+    // stream/batch parity: the same plan-builder over the same rows as a
+    // batch frame produces the identical pair set
+    val allRows = Seq(
+      Ev2(ts("2024-01-01 08:30:00"), 1L, 10L, "purchase", 2.0),
+      Ev2(ts("2024-01-01 09:30:00"), 1L, 11L, "purchase", 3.0),
+      Ev2(ts("2024-01-01 10:00:00"), 1L, 100L, "click", 0.0),
+      Ev2(ts("2024-01-01 10:10:00"), 1L, 12L, "purchase", 4.0),
+      Ev2(ts("2024-01-01 11:00:00"), 2L, 200L, "click", 0.0),
+      Ev2(ts("2024-01-01 10:55:00"), 2L, 13L, "purchase", 6.0))
+    val batch = EventsStream.recentPurchaseJoin(allRows.toDF())
+      .select("click_id", "purchase_id", "value", "age_us")
+      .collect().map(_.toSeq).toSet
+    assert(batch == streamed)
   }
 
   test("streaming dedup drops duplicate event ids within the watermark") {
