@@ -56,6 +56,8 @@ import graft.operators.{Analytic, Bridge, Dedup, Events, Labs, Multimodal, Range
   *   q70      approximate sketches beside exact twins (HLL distinct,
   *            approx_percentile) — rows-only by design, error bounds
   *            spec-pinned
+  *   q71–q72  SCD-1 upsert/merge (one full-outer pass) and sliding-window
+  *            aggregation (window generator, 4 buckets/event)
   */
 object SparkEntry {
 

@@ -147,6 +147,100 @@ object Analytic {
      * one query family where a rows-only driver check is the honest gate
      * (AnalyticSpec carries the quantitative assertions instead).
      */
+    /* SCD-1 upsert (merge): apply a change-set to a dimension snapshot in
+     * one full-outer pass — update where both sides match, insert
+     * change-only rows, delete tombstones. Generalizes the reference's
+     * add-if-absent anti-join (U2) to the full merge algebra. The
+     * change-set is derived deterministically from the snapshot itself
+     * (every 7th customer re-priced, every 13th tombstoned, 100 synthetic
+     * inserts) so the oracle can state the same merge independently. At
+     * scale this is ONE shuffle on the merge key for both sides — never a
+     * per-row driver loop — and the change-set side would be the small
+     * one in production (broadcastable); the full-outer stays
+     * shuffle-based here because a real merge cannot assume the snapshot
+     * fits anywhere.
+     */
+    QueryDef(
+      "q71_upsert",
+      (s, dir) => {
+        val snap = Tables(s, dir, "customer").select(
+          col("c_custkey").as("key"),
+          col("c_name").as("name"),
+          round(col("c_acctbal") * 100).cast("long").as("balance_cents"))
+        val changes = snap
+          .filter(col("key") % 7 === 0 || col("key") % 13 === 0)
+          .select(col("key"),
+            concat(lit("UPD:"), col("name")).as("name"),
+            (col("balance_cents") + 500L).as("balance_cents"),
+            (col("key") % 13 === 0).as("deleted"))
+          .unionByName(
+            Tables(s, dir, "customer").select(
+              (col("c_custkey") + 10000000L).as("key"),
+              concat(lit("NEW:"), col("c_name")).as("name"),
+              lit(0L).as("balance_cents"), lit(false).as("deleted"))
+              .filter(col("key") % 97 === 0))
+        snap.as("s").join(changes.as("c"), Seq("key"), "full_outer")
+          .filter(col("c.deleted").isNull || !col("c.deleted"))
+          .select(col("key"),
+            coalesce(col("c.name"), col("s.name")).as("name"),
+            coalesce(col("c.balance_cents"), col("s.balance_cents"))
+              .as("balance_cents"))
+          .orderBy("key")
+      },
+      Some("""WITH snap AS (
+             |  SELECT c_custkey AS key, c_name AS name,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS balance_cents
+             |  FROM customer),
+             |changes AS (
+             |  SELECT key, 'UPD:' || name AS name,
+             |    balance_cents + 500 AS balance_cents,
+             |    key % 13 = 0 AS deleted
+             |  FROM snap WHERE key % 7 = 0 OR key % 13 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 10000000 AS key, 'NEW:' || c_name AS name,
+             |    0 AS balance_cents, false AS deleted
+             |  FROM customer WHERE (c_custkey + 10000000) % 97 = 0)
+             |SELECT coalesce(s.key, c.key) AS key,
+             |  coalesce(c.name, s.name) AS name,
+             |  CAST(coalesce(c.balance_cents, s.balance_cents) AS BIGINT)
+             |    AS balance_cents
+             |FROM snap s FULL OUTER JOIN changes c ON s.key = c.key
+             |WHERE c.deleted IS NULL OR NOT c.deleted
+             |ORDER BY key""".stripMargin)),
+
+    /* Sliding-window aggregation: 1h windows every 15min — each event
+     * lands in 4 overlapping buckets. Spark's `window(ts, len, slide)` is
+     * a GENERATOR (the 4 bucket rows materialize map-side, epoch-aligned)
+     * feeding one hash aggregate; the oracle rebuilds the same buckets
+     * with a 0..3 series cross join. Tumbling is q60; this covers the
+     * overlapping form whose streaming twin is the same expression.
+     */
+    QueryDef(
+      "q72_sliding_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("n"), col("sum_value_cents"))
+          .orderBy("win_start", "event_type"),
+      // integer microsecond arithmetic, NOT epoch(ts): epoch returns a
+      // DOUBLE where // does not floor, silently yielding per-event
+      // "buckets" (caught by the row-count gate: 39947 vs 13528 groups)
+      Some("""SELECT strftime(make_timestamp(
+             |    900000000 * (epoch_us(ts) // 900000000) - i.i * 900000000),
+             |    '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_value_cents
+             |FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) i
+             |WHERE epoch_us(ts)
+             |      - (900000000 * (epoch_us(ts) // 900000000)
+             |         - i.i * 900000000) < 3600000000
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef(
       "q70_sketch_profile",
       (s, dir) =>

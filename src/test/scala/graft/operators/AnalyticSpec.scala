@@ -97,6 +97,39 @@ class AnalyticSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!rows.exists(_._3 == 2L))
   }
 
+  test("q71 upsert applies updates, drops tombstones, lands inserts") {
+    val snap = Tables(spark, sf0001, "customer")
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0)).toSet
+    val rows = run("q71_upsert").collect()
+    val byKey = rows.map(r => r.getAs[Long]("key") -> r).toMap
+    snap.foreach { k =>
+      if (k % 13 == 0) assert(!byKey.contains(k), s"tombstone $k survived")
+      else if (k % 7 == 0)
+        assert(byKey(k).getAs[String]("name").startsWith("UPD:"), k)
+      else assert(!byKey(k).getAs[String]("name").startsWith("UPD:") &&
+        !byKey(k).getAs[String]("name").startsWith("NEW:"), k)
+    }
+    val inserts = rows.filter(_.getAs[String]("name").startsWith("NEW:"))
+    assert(inserts.nonEmpty)
+    inserts.foreach { r =>
+      assert(r.getAs[Long]("key") > 10000000L)
+      assert(r.getAs[Long]("balance_cents") == 0L)
+    }
+    val tombstones = snap.count(_ % 13 == 0)
+    assert(rows.length == snap.size - tombstones + inserts.length)
+  }
+
+  test("q72 sliding windows hold each event exactly 4 times") {
+    val total = Tables(spark, sf0001, "events").count()
+    val rows = run("q72_sliding_window").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 4L * total)
+    // window starts are slide-aligned (multiples of 15 min)
+    rows.foreach { r =>
+      val mins = r.getAs[String]("win_start").takeRight(5)
+      assert(Seq("00:00", "15:00", "30:00", "45:00").contains(mins), mins)
+    }
+  }
+
   test("q70 sketches sit within their error contracts against exact twins") {
     val r = run("q70_sketch_profile").collect()
     assert(r.length == 1)
