@@ -56,7 +56,8 @@ object ScaleBench {
     // rows arrive as N× users at the SAME per-user density — the curve
     // measures whether the single user_id exchange really is the only
     // scaling cost (per-user window work is constant by construction)
-    "q61_sessionize", "q62_asof_join", "q64_trailing_window")
+    "q61_sessionize", "q62_asof_join", "q64_trailing_window",
+    "q72_sliding_window")
   private val prtQueries = Seq("q24_bridge_match")
   // range join: probe rows (lineitem) scale ×N against the fixed 25-row
   // interval dimension — the 100-TB shape of a banded join; the exploded
@@ -69,6 +70,10 @@ object ScaleBench {
   // under word rotation, so the top-V cut and broadcast probe face N×
   // tokens against a constant dictionary — the 100-TB shape
   private val vocQueries = Seq("q69_vocab_coverage")
+  // upsert: snapshot AND change-set both scale ×N (key-shifted customer
+  // replicas keep the mod-7/13/97 class mix) — the merge stays one
+  // full-outer shuffle however large the dimension grows
+  private val cusQueries = Seq("q71_upsert")
   // chain mode: q48 on a corpus whose near-dup graph is ONE long chain
   // with diameter ∝ N — the adversarial shape the star variant exists
   // for (propagation would need diameter rounds and fail loudly at
@@ -146,6 +151,18 @@ object ScaleBench {
       else part.filter(col("p_partkey") % 3 === 1)
         .withColumn("p_partkey", col("p_partkey") + lit(k * partSpan3))
 
+    val customer = spark.read.parquet(s"$baseDir/customer.parquet")
+    // shift by a multiple of 7*13*97 so q71's update/tombstone/insert
+    // classes (mod 7, 13, 97) survive replication untouched
+    val custSpan = {
+      val m = 7L * 13L * 97L
+      val mx = customer.agg(max(col("c_custkey").cast("long"))).head().getLong(0)
+      (mx / m + 1L) * m
+    }
+    def cusReplica(k: Int): DataFrame =
+      if (k == 0) customer
+      else customer.withColumn("c_custkey", col("c_custkey") + lit(k * custSpan))
+
     val lineitem = spark.read.parquet(s"$baseDir/lineitem.parquet")
     val orderSpan = lineitem.agg(max("l_orderkey")).head().getLong(0) + 1L
     // replica k of the range-join probe side: orderkeys shift (distinct
@@ -190,6 +207,8 @@ object ScaleBench {
       // fixed dimension for the range join (25 interval seeds)
       writeIfAbsent(spark.read.parquet(s"$baseDir/nation.parquet"),
         s"$rotDir/nation.parquet")
+      writeIfAbsent((0 until n).map(cusReplica).reduce(_ unionByName _),
+        s"$rotDir/customer.parquet")
       writeIfAbsent((0 until n).map(sufReplica).reduce(_ unionByName _),
         s"$sufDir/documents.parquet")
       writeIfAbsent(chnDocs(n), s"$chnDir/documents.parquet")
@@ -226,6 +245,7 @@ object ScaleBench {
         prtQueries.map(q => (q, q, rotDir)) ++
         linQueries.map(q => (q, q, rotDir)) ++
         vocQueries.map(q => (q, q, rotDir)) ++
+        cusQueries.map(q => (q, q, rotDir)) ++
         sufQueries.map(q => (q, q, sufDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)))
         .filter { case (key, _, _) => only.forall(_.contains(key)) }
