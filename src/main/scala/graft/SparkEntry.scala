@@ -58,6 +58,11 @@ import graft.operators.{Analytic, Bridge, Dedup, Events, Labs, Multimodal, Range
   *            spec-pinned
   *   q71–q72  SCD-1 upsert/merge (one full-outer pass) and sliding-window
   *            aggregation (window generator, 4 buckets/event)
+  *   q73–q74  corpus-statistical text scoring: add-1-smoothed bigram
+  *            LM quality scoring (CCNet-style; integer micro-nat
+  *            rounding makes the log-space sum order-independent and
+  *            cross-engine exact) and TF-IDF top-3 salient terms
+  *            (integer score = tf × micro-nat idf, total-order rank)
   */
 object SparkEntry {
 

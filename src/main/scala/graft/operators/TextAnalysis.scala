@@ -565,6 +565,168 @@ object TextAnalysis {
              |SELECT w.doc_id, count(*) AS n_tokens,
              |  count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov
              |FROM words w LEFT JOIN vocab v ON w.word = v.word
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    /* Bigram language-model quality scoring — the CCNet-style "score
+     * each document under a corpus-trained LM" filter (the reference's
+     * scoring cascade generalized to probabilistic text quality;
+     * cf. Wenzek et al., CCNet). Train: add-1-smoothed bigram model over
+     * the whole corpus (C(w1,w2), context counts C(w1), vocabulary V).
+     * Score: per-doc mean log-probability.
+     *
+     * Cross-engine float determinism: a sum of doubles is shuffle-order-
+     * dependent, so the per-bigram log-prob is ROUNDED TO INTEGER
+     * MICRO-NATS first (round(ln(P)*1e6) AS BIGINT — Spark HALF_UP and
+     * DuckDB round() are both half-away-from-zero) and the per-doc
+     * aggregation sums exact integers, which is order-independent. Each
+     * P = (c12+1)/(c1+V) is a division of exact integers — bit-identical
+     * on both engines; ln() is the only implementation-defined step and
+     * its ulp-level variance is absorbed by the 1e-9-relative rounding
+     * margin. The float avg_logprob is derived from the integer sum by
+     * two deterministic divisions.
+     *
+     * Scale shape: the bigram explode is map-side (arrays_zip of two
+     * slices — no self-join on position); C(w1,w2) and the join back to
+     * the bigram stream hash-partition on the same key so the exchange
+     * is reused; C(w1) adds the one extra shuffle an LM train genuinely
+     * needs; V rides a 1-row broadcast. At 100 TB the count tables are
+     * vocabulary-sized (corpus-sublinear) and the token stream is never
+     * collected — the same plan a bucketed-by-w1 production train would
+     * use.
+     */
+    QueryDef(
+      "q73_bigram_lm",
+      (s, dir) => {
+        val wordRe = "[a-z0-9]+"
+        val words = docs(s, dir)
+          .select(col("doc_id"),
+            expr(s"regexp_extract_all(lower(text), '$wordRe', 0)").as("ws"))
+        val vocab = words
+          .select(explode(col("ws")).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        val big = words
+          .filter(size(col("ws")) >= 2)
+          .withColumn("h", slice(col("ws"), lit(1), size(col("ws")) - 1))
+          .withColumn("t", slice(col("ws"), lit(2), size(col("ws")) - 1))
+          .select(col("doc_id"), explode(arrays_zip(col("h"), col("t"))).as("bg"))
+          .select(col("doc_id"), col("bg.h").as("w1"), col("bg.t").as("w2"))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val perDoc = big
+          .join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            round(log((col("c12") + 1).cast("double") /
+              (col("c1") + col("v")).cast("double")) * 1e6)
+              .cast("long").as("mn"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("mn")).as("lm_micro_nats"))
+        docs(s, dir).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("lm_micro_nats"), lit(0L)).as("lm_micro_nats"),
+            when(col("n_bigrams") > 0,
+              col("lm_micro_nats").cast("double") / 1000000.0 /
+                col("n_bigrams").cast("double")).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT count(DISTINCT w) AS v
+             |  FROM (SELECT unnest(ws) AS w FROM words)),
+             |big AS (
+             |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+             |  FROM (SELECT doc_id,
+             |          unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+             |        FROM words WHERE len(ws) >= 2)),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+             |per_doc AS (
+             |  SELECT b.doc_id, count(*) AS n_bigrams,
+             |    CAST(sum(CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)
+             |      / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000) AS BIGINT))
+             |      AS BIGINT) AS lm_micro_nats
+             |  FROM big b
+             |  JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab v
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  CAST(coalesce(p.lm_micro_nats, 0) AS BIGINT) AS lm_micro_nats,
+             |  CASE WHEN p.n_bigrams > 0
+             |       THEN CAST(p.lm_micro_nats AS DOUBLE) / 1000000.0
+             |            / CAST(p.n_bigrams AS DOUBLE)
+             |       ELSE NULL END AS avg_logprob
+             |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    /* TF-IDF salient-term extraction — top-3 terms per document by
+     * tf × smooth-idf (sklearn convention: idf = ln((N+1)/(df+1)) + 1),
+     * the classic corpus-relative keyword signal a curation pipeline
+     * uses for topic tagging and near-duplicate triage.
+     *
+     * Determinism: idf is rounded to integer micro-nats ONCE per term
+     * (the only transcendental), so score = tf * idf_micro is exact
+     * integer arithmetic and the per-doc ranking is a TOTAL order
+     * (score DESC, term ASC) — no float comparison anywhere in the
+     * ranking path on either engine.
+     *
+     * Scale shape: tf is one shuffle on (doc_id, term); df reuses the tf
+     * frame (one count per (doc,term) row) so it is vocabulary-sized and
+     * corpus-sublinear; the df table joins back on term (hash join —
+     * broadcastable when the vocab is bounded, left as a shuffle join
+     * because a 100-TB vocabulary is not); N rides a 1-row broadcast;
+     * the final top-3 window partitions by doc_id (per-doc cardinality
+     * is bounded by distinct-words-per-doc, no skew hazard).
+     */
+    QueryDef(
+      "q74_tfidf",
+      (s, dir) => {
+        val wordRe = "[a-z0-9]+"
+        val tf = docs(s, dir)
+          .select(col("doc_id"),
+            explode(expr(s"regexp_extract_all(lower(text), '$wordRe', 0)"))
+              .as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(dfreq, Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf") *
+              round((log((col("n_docs") + 1).cast("double") /
+                (col("df") + 1).cast("double")) + 1.0) * 1e6)
+                .cast("long")).as("score_micro"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_micro").desc, col("term"))
+        scored
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score_micro"), col("rk"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             |  FROM documents),
+             |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+             |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT t.doc_id, t.term, t.tf, d.df,
+             |    t.tf * CAST(round((ln(CAST(n.n_docs + 1 AS DOUBLE)
+             |      / CAST(d.df + 1 AS DOUBLE)) + 1.0) * 1000000) AS BIGINT)
+             |      AS score_micro
+             |  FROM tfc t JOIN dfc d USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df, score_micro, rk
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rk
+             |      FROM scored) r
+             |WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin))
   )
 }
