@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Analytic, Bridge, Dedup, Events, Labs, Multimodal, RangeJoin, Relational, Runner, Similarity, TextAnalysis, Waterfall}
+import graft.operators.{Analytic, Bridge, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Runner, Similarity, TextAnalysis, Waterfall}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,13 +63,20 @@ import graft.operators.{Analytic, Bridge, Dedup, Events, Labs, Multimodal, Range
   *            rounding makes the log-space sum order-independent and
   *            cross-engine exact) and TF-IDF top-3 salient terms
   *            (integer score = tf × micro-nat idf, total-order rank)
+  *   q75–q76  interchange + cross-source hygiene: JSONL round-trip
+  *            (schema-pinned FAILFAST read of the engine's own JSONL
+  *            write, oracle-compared against the original parquet) and
+  *            the source-pair shingle-overlap matrix (distinct
+  *            (source, shingle) self-join — fanout bounded by the
+  *            source catalog, not document frequency)
   */
 object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
     Relational.defs ++ Waterfall.defs ++ Runner.defs ++ Bridge.defs ++
       Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
-      Multimodal.defs ++ Events.defs ++ RangeJoin.defs ++ Analytic.defs
+      Multimodal.defs ++ Events.defs ++ RangeJoin.defs ++ Analytic.defs ++
+      Interchange.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -576,6 +576,65 @@ object Dedup {
              |      GROUP BY 1,2)
              |SELECT doc_id,
              |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    /* Cross-source overlap matrix — per ordered source pair, the shared
+     * word-trigram shingle count and shingle-set Jaccard. The curation
+     * diagnostic behind "which crawls/dumps duplicate each other":
+     * unlike per-doc near-dup (q35/q36), the unit here is the SOURCE, so
+     * the join side is the DISTINCT (source, shingle) set — corpus-
+     * sublinear — and the self-join's per-shingle fanout is bounded by
+     * (#sources choose 2), never by document frequency: no hot-key cap
+     * needed because the blow-up dimension is the source catalog, a
+     * bounded dimension by contract. Two shuffles (distinct, then the
+     * shingle equi-join) + two tiny grouped aggregates; output is
+     * #source-pairs rows. Pairs with zero overlap are absent by
+     * construction on both engines.
+     */
+    QueryDef(
+      "q76_source_overlap",
+      (s, dir) => {
+        val srcSh = graft.core.CpuSpread.byKey(
+          docs(s, dir)
+            .select(col("source"), col("doc_id"),
+              split(trim(col("text")), Ws.Plus).as("t")),
+          col("doc_id"))
+          .select(col("source"), explode(shinglesOf(col("t"))).as("sh"))
+          .distinct()
+        val tot = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+        srcSh.as("a")
+          .join(srcSh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(tot.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+          .join(tot.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            (col("n_shared").cast("double") /
+              (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH tt AS (SELECT source, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t
+             |           FROM documents),
+             |sh0 AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+             |          generate_series(1, len(t)-2),
+             |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+             |        FROM tt WHERE len(t) >= 3),
+             |tot AS (SELECT source, count(*) AS n FROM sh0 GROUP BY 1),
+             |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+             |             count(*) AS n_shared
+             |           FROM sh0 a JOIN sh0 b
+             |             ON a.sh = b.sh AND a.source < b.source
+             |           GROUP BY 1, 2)
+             |SELECT s.source_a, s.source_b, s.n_shared,
+             |  ta.n AS n_a, tb.n AS n_b,
+             |  CAST(s.n_shared AS DOUBLE)
+             |    / CAST(ta.n + tb.n - s.n_shared AS DOUBLE) AS jaccard
+             |FROM shared s
+             |JOIN tot ta ON ta.source = s.source_a
+             |JOIN tot tb ON tb.source = s.source_b
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.sources.Sources
+
+/** Format-interchange operators: the paths data takes INTO and OUT OF the
+  * engine beyond the columnar tables (SURVEY §2.1's S-series covers
+  * CSV/TSV/parquet; this adds the JSONL corpus interchange every LLM
+  * training pipeline speaks).
+  */
+object Interchange {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /* JSONL round-trip, oracle-gated: documents → JSONL (Spark writer,
+     * escaped strings, one record per line) → FAILFAST schema-pinned read
+     * → compared by the driver against DuckDB reading the ORIGINAL
+     * parquet. Green means the JSONL path preserves every value exactly
+     * (including empty strings and nulls — the writer drops null fields,
+     * the schema-pinned reader restores them), so corpora can enter and
+     * leave the engine through JSONL without a parity risk. The write
+     * lands in a fresh temp dir per invocation; both steps are
+     * distributed (no driver funnel, no coalesce).
+     */
+    QueryDef(
+      "q75_jsonl_roundtrip",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val tmp = Files.createTempDirectory("graft-jsonl").toString
+        Sources.writeJsonl(d, tmp)
+        Sources.readJsonl(s, tmp, d.schema)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

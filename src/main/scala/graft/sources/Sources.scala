@@ -207,4 +207,22 @@ object Sources {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** JSONL (one JSON object per line) source — the interchange format
+    * LLM training corpora actually ship in. The schema is REQUIRED, per
+    * this layer's contract (inference costs an extra full pass at scale
+    * and silently widens types between runs), and the reader is FAILFAST:
+    * PERMISSIVE (Spark's default) turns a corrupt line into a silent
+    * all-null row, which in a 100-TB ingest means quietly training on
+    * holes instead of failing the partition loudly.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** JSONL sink — one file per task (no driver funnel); strings are
+    * JSON-escaped so embedded newlines keep the line-per-record framing.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

@@ -50,7 +50,11 @@ object ScaleBench {
     "q37_simhash", "q39_dedup_clusters", "q48_dedup_clusters_star",
     // packing: the block-id prefix sum must stay flat-per-row as blocks
     // fill; leakage: N disjoint replicas → N× pairs, N× split probes
-    "q58_sequence_pack", "q59_split_leakage")
+    "q58_sequence_pack", "q59_split_leakage",
+    // bigram LM: suffixed replicas share no tokens, so vocabulary AND
+    // the bigram count table scale ×N with the corpus — the open-vocab
+    // worst case for the train-side aggregations and count-table joins
+    "q73_bigram_lm")
   private val evtQueries = Seq("q60_event_hourly",
     // sessionize/as-of: replication shifts user_id per replica, so N×
     // rows arrive as N× users at the SAME per-user density — the curve
@@ -69,7 +73,10 @@ object ScaleBench {
   // vocab induction rides the rotation replicas: the vocabulary is FIXED
   // under word rotation, so the top-V cut and broadcast probe face N×
   // tokens against a constant dictionary — the 100-TB shape
-  private val vocQueries = Seq("q69_vocab_coverage")
+  // tf-idf rides the same rotation replicas: the df table stays
+  // vocabulary-sized (corpus-sublinear) while tf rows scale ×N — the
+  // 100-TB shape where the term-statistics join side is bounded
+  private val vocQueries = Seq("q69_vocab_coverage", "q74_tfidf")
   // upsert: snapshot AND change-set both scale ×N (key-shifted customer
   // replicas keep the mod-7/13/97 class mix) — the merge stays one
   // full-outer shuffle however large the dimension grows
