@@ -69,6 +69,12 @@ import graft.operators.{Analytic, Bridge, Dedup, Events, Interchange, Labs, Mult
   *            the source-pair shingle-overlap matrix (distinct
   *            (source, shingle) self-join — fanout bounded by the
   *            source catalog, not document frequency)
+  *   q77–q78  incremental/sub-document dedup: segment-level
+  *            repeated-span removal (16-token granularity, global
+  *            keep-first via grouped min(struct) — never a window over
+  *            the segment hash) and the incremental near-dup probe of
+  *            a new ingest batch against the historical LSH band index
+  *            (per-batch cost O(batch), not O(corpus))
   */
 object SparkEntry {
 

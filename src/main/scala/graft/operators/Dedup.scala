@@ -88,22 +88,31 @@ object Dedup {
       .select(col("doc_id"), shinglesOf(col("t")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
-  /** q36's LSH candidate pairs (8 minhashes, 4 bands x 2 rows), shared by
-    * the pair query and the clustering query.
+  /** Capped LSH band keys (8 minhashes, 4 bands x 2 rows) for a
+    * (doc_id, sh) exploded-shingle frame — the signature/banding core
+    * shared by q36/q39/q48/q59 (via [[minhashPairs]]) and q78's
+    * incremental probe (which joins NEW-batch bands against this index
+    * instead of self-joining it).
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(s, dir).select("doc_id", "sh")
+  private def bandsOf(sh: DataFrame): DataFrame = {
     val minCols = (0 until 8).map(i =>
       min(md5(concat_ws(":", lit(i), col("sh")))).as(s"mh$i"))
     val sig = sh.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"))
-    val bands = capHotKeys(
+    capHotKeys(
       sig.select(col("doc_id"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> md5(concat(sig[b*2], sig[b*2+1])))")))
         .toDF("doc_id", "band_idx", "band_key"),
       HotKeyCap, "band_idx", "band_key")
+  }
+
+  /** q36's LSH candidate pairs (8 minhashes, 4 bands x 2 rows), shared by
+    * the pair query and the clustering query.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandsOf(shingleIndex(s, dir).select("doc_id", "sh"))
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col("a.band_key") === col("b.band_key")
@@ -635,6 +644,159 @@ object Dedup {
              |FROM shared s
              |JOIN tot ta ON ta.source = s.source_a
              |JOIN tot tb ON tb.source = s.source_b
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    /* Repeated-span removal: exact segment-level dedup at fixed 16-token
+     * granularity (the practical distributed form of suffix-array
+     * substring dedup, Lee et al. "Deduplicating Training Data Makes
+     * Language Models Better", ACL'22 — exact repeated SPANS removed
+     * corpus-wide while the containing docs survive; doc-level dedup
+     * (q34/q56) can't touch boilerplate embedded in otherwise-unique
+     * docs). Each doc splits into non-overlapping 16-token segments
+     * (q55's posexplode(sequence)+slice shape); a segment occurrence
+     * survives iff it is the globally FIRST occurrence of its md5 in
+     * (doc_id, seg_idx) order; each doc is rebuilt from its surviving
+     * segments.
+     *
+     * Scale design: keep-first is a grouped min(struct(doc_id,seg_idx))
+     * per segment hash + a 1:1 join-back — NOT a window over the hash. A
+     * boilerplate segment repeated in millions of docs would make a
+     * window partition with millions of rows (the hot-key problem the
+     * near-dup family caps away), while the grouped min combines
+     * map-side, so the hottest possible segment contributes one row per
+     * map partition to the shuffle; the join-back fans out 1:1 because
+     * the min frame is keyed by distinct hash. Reconstruction is the
+     * q37 pattern: array_sort(collect_list(struct)) per doc — segments
+     * per doc are bounded (tokens/16), so the per-group array is small.
+     */
+    QueryDef(
+      "q77_segment_dedup",
+      (s, dir) => {
+        val segTok = 16
+        val seg = graft.core.CpuSpread.byKey(
+          docs(s, dir).filter(trim(col("text")) =!= "")
+            .select(col("doc_id"), split(trim(col("text")), Ws.Plus).as("t")),
+          col("doc_id"))
+          .select(col("doc_id"), col("t"),
+            posexplode(sequence(lit(1), size(col("t")), lit(segTok)))
+              .as(Seq("seg_idx", "start")))
+          .select(col("doc_id"), col("seg_idx"),
+            array_join(slice(col("t"), col("start"), lit(segTok)), " ").as("seg"))
+          .withColumn("h", md5(col("seg")))
+        val first = seg.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+          .select(col("h"), col("f.doc_id").as("f_doc"),
+            col("f.seg_idx").as("f_idx"))
+        val marked = seg.join(first, "h")
+          .withColumn("kept",
+            col("doc_id") === col("f_doc") && col("seg_idx") === col("f_idx"))
+        marked.groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_seg"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            array_join(
+              expr("transform(array_sort(collect_list(CASE WHEN kept THEN struct(seg_idx, seg) END)), x -> x.seg)"),
+              " ").as("dedup_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |         string_split_regex(trim(text), '[ \t\n\f\r]+') AS t
+             |       FROM documents WHERE trim(text) <> ''),
+             |e AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 16)) AS s
+             |      FROM d),
+             |seg AS (SELECT doc_id, CAST((s-1)/16 AS INT) AS seg_idx,
+             |          array_to_string(t[s:least(s+15, len(t))], ' ') AS seg
+             |        FROM e),
+             |m AS (SELECT doc_id, seg_idx, seg,
+             |        row_number() OVER (PARTITION BY md5(seg)
+             |                           ORDER BY doc_id, seg_idx) = 1 AS kept
+             |      FROM seg)
+             |SELECT doc_id, count(*) AS n_seg,
+             |  count(*) FILTER (WHERE kept) AS n_kept,
+             |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+             |             FILTER (WHERE kept), '') AS dedup_text
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    /* Incremental dedup: probe a NEW ingest batch against the historical
+     * LSH band index instead of re-deduplicating the whole corpus — the
+     * shape that makes near-dup detection affordable on a CONTINUOUSLY
+     * ingesting 100-TB corpus (per-batch cost is O(batch bands) + one
+     * equi-join against an index that in production is a bucketed table
+     * on (band_idx, band_key), so the probe shuffles only the batch
+     * side). The batch here is a deterministic ~10% md5-bucket slice
+     * (bucket >= 230, q44's engine-identical bucketing) standing in for
+     * an ingest delta. Each new doc reports its distinct near-dup
+     * partners in history AND among EARLIER batch docs (smaller doc_id —
+     * the within-batch keep-first), and is admitted iff it has neither:
+     * exactly the q36→q56 detect→apply loop, restated incrementally.
+     * Bands are capped on the full corpus (hot boilerplate bands span
+     * both sides by definition); the cap never fires at test SF so the
+     * oracle needs no cap arm (same contract as q36).
+     */
+    QueryDef(
+      "q78_incremental_dedup",
+      (s, dir) => {
+        val bucket = conv(
+          substring(md5(concat_ws(":",
+            coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2),
+          16, 10).cast("int")
+        val base = docs(s, dir).select(col("doc_id"), bucket.as("bucket"))
+        val bands = bandsOf(shingleIndex(s, dir).select("doc_id", "sh"))
+          .join(base, "doc_id")
+        val hist = bands.filter(col("bucket") < 230)
+          .select(col("doc_id").as("hist_id"), col("band_idx"), col("band_key"))
+        val newb = bands.filter(col("bucket") >= 230)
+          .select(col("doc_id"), col("band_idx"), col("band_key"))
+        val histDups = newb.join(hist, Seq("band_idx", "band_key"))
+          .select(col("doc_id"), col("hist_id")).distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hist_dups"))
+        val batchDups = newb.as("a").join(newb.as("b"),
+            col("a.band_idx") === col("b.band_idx")
+              && col("a.band_key") === col("b.band_key")
+              && col("b.doc_id") < col("a.doc_id"))
+          .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_batch_dups"))
+        base.filter(col("bucket") >= 230).select("doc_id")
+          .join(histDups, Seq("doc_id"), "left")
+          .join(batchDups, Seq("doc_id"), "left")
+          .withColumn("n_hist_dups", coalesce(col("n_hist_dups"), lit(0L)))
+          .withColumn("n_batch_dups", coalesce(col("n_batch_dups"), lit(0L)))
+          .withColumn("admit",
+            col("n_hist_dups") === 0 && col("n_batch_dups") === 0)
+          .orderBy("doc_id")
+      },
+      Some("WITH " + pairsCte +
+        """,
+          |bk AS (SELECT doc_id,
+          |         CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+          |       FROM documents),
+          |hist AS (SELECT b.doc_id AS hist_id, b.band_idx, b.band_key
+          |         FROM bands b JOIN bk ON bk.doc_id = b.doc_id
+          |         WHERE bk.bucket < 230),
+          |newb AS (SELECT b.doc_id, b.band_idx, b.band_key
+          |         FROM bands b JOIN bk ON bk.doc_id = b.doc_id
+          |         WHERE bk.bucket >= 230),
+          |hd AS (SELECT doc_id, count(*) AS n_hist_dups FROM (
+          |         SELECT DISTINCT n.doc_id, h.hist_id
+          |         FROM newb n JOIN hist h
+          |           ON n.band_idx = h.band_idx AND n.band_key = h.band_key) t
+          |       GROUP BY 1),
+          |bd AS (SELECT doc_id, count(*) AS n_batch_dups FROM (
+          |         SELECT DISTINCT a.doc_id, b.doc_id AS oid
+          |         FROM newb a JOIN newb b
+          |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          |              AND b.doc_id < a.doc_id) t
+          |       GROUP BY 1)
+          |SELECT k.doc_id,
+          |  COALESCE(hd.n_hist_dups, 0) AS n_hist_dups,
+          |  COALESCE(bd.n_batch_dups, 0) AS n_batch_dups,
+          |  COALESCE(hd.n_hist_dups, 0) = 0
+          |    AND COALESCE(bd.n_batch_dups, 0) = 0 AS admit
+          |FROM bk k
+          |LEFT JOIN hd ON hd.doc_id = k.doc_id
+          |LEFT JOIN bd ON bd.doc_id = k.doc_id
+          |WHERE k.bucket >= 230
+          |ORDER BY k.doc_id""".stripMargin))
   )
 }
