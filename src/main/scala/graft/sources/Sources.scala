@@ -225,4 +225,64 @@ object Sources {
     */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Outcome of [[compactSmallFiles]]. `filesAfter == filesBefore` with
+    * `rewritten == false` means the layout was already at-or-below the
+    * target and nothing was touched.
+    */
+  final case class CompactResult(filesBefore: Int, filesAfter: Int,
+    bytes: Long, rewritten: Boolean)
+
+  /** Small-file compaction — the table-maintenance pass every
+    * incrementally-written dataset needs. Streaming micro-batches,
+    * dynamic partition overwrites, and per-task sinks all accrete files
+    * far below the parquet sweet spot; at 100 TB the cost is real: task
+    * scheduling overhead per file, footer reads per file, and row groups
+    * too small for effective column compression or min/max skipping.
+    *
+    * Sizing comes from file metadata only (no scan): output file count =
+    * ceil(totalBytes / targetBytes). The rewrite is `coalesce`, NOT
+    * `repartition` — merging many small files down is a narrow,
+    * shuffle-free many-to-one mapping; a shuffle would re-cluster (and
+    * destroy any within-file sort order faster than coalesce already
+    * does) while paying a full network pass. An already-compact layout
+    * (current file count ≤ target count) returns without touching
+    * anything, so the pass is idempotent and cheap to schedule blindly.
+    *
+    * The swap is rename-based (write to a sibling tmp dir, move the old
+    * dir aside, move tmp into place, delete the old): atomic per rename
+    * on a real filesystem, but a reader racing the swap can see the
+    * window between the two renames — the same seam as [[graft.streaming
+    * .UpsertSink]]'s versioned-snapshot pointer, which is the protocol
+    * to swap in on object stores or under concurrent readers (compact
+    * into a NEW version dir and CAS the pointer; transactional table
+    * formats are this exact idea productized).
+    */
+  def compactSmallFiles(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactResult = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val dir = new File(path)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.length).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (parts.length <= nOut)
+      return CompactResult(parts.length, parts.length, totalBytes,
+        rewritten = false)
+    val tmp = new File(dir.getParentFile, dir.getName + ".compact-tmp")
+    val old = new File(dir.getParentFile, dir.getName + ".compact-old")
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    java.nio.file.Files.move(dir.toPath, old.toPath)
+    java.nio.file.Files.move(tmp.toPath, dir.toPath)
+    def rmTree(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(old)
+    val after = Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    CompactResult(parts.length, after, totalBytes, rewritten = true)
+  }
 }
