@@ -797,6 +797,93 @@ object Dedup {
           |LEFT JOIN hd ON hd.doc_id = k.doc_id
           |LEFT JOIN bd ON bd.doc_id = k.doc_id
           |WHERE k.bucket >= 230
-          |ORDER BY k.doc_id""".stripMargin))
+          |ORDER BY k.doc_id""".stripMargin)),
+
+    /* SimHash near-dup PAIRS by Hamming distance, via the pigeonhole
+     * multi-index of Manku, Jain & Sarma ("Detecting Near-Duplicates for
+     * Web Crawling", WWW'07): a 64-bit signature split into 4 chunks of
+     * 16 bits — any two signatures within Hamming distance 3 agree on at
+     * least one whole chunk (3 differing bits corrupt at most 3 chunks),
+     * so candidate generation is 4 equi-joins on (chunk_idx, chunk_key)
+     * unioned by the generator explode, never an all-pairs comparison.
+     * This closes the loop q37 opens: q37 emits signatures, this emits
+     * the actual near-dup pairs at the canonical 64-bit/k=3 operating
+     * point.
+     *
+     * Scale design: the signature is ONE hash aggregate with 64
+     * conditional-sum columns over the token rows — zero row fanout,
+     * unlike q37's 16-way bit-generator (the right demo shape there, the
+     * wrong cost at 64 bits) — and chunk keys draw from 2^16 values, so
+     * buckets stay fine-grained as the corpus grows ([[capHotKeys]]
+     * guards the degenerate boilerplate-signature case like every other
+     * inverted index here). The exact Hamming verify runs only on
+     * chunk-collision survivors.
+     */
+    QueryDef(
+      "q80_simhash_pairs",
+      (s, dir) => {
+        val tok = graft.core.CpuSpread.byKey(
+          docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"))
+          .select(col("doc_id"),
+            explode(array_distinct(split(trim(lower(col("text"))), Ws.Plus))).as("tok"))
+          .withColumn("h", md5(col("tok")))
+        val votes = (0 until 64).map { b =>
+          val digit = s"substring(h, ${b / 4 + 1}, 1)"
+          val weight = Seq(8, 4, 2, 1)(b % 4)
+          sum(expr(
+            s"2 * (cast(floor((instr('0123456789abcdef', $digit) - 1) / $weight) as int) % 2) - 1"))
+            .as(s"v$b")
+        }
+        val sig = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"),
+            concat((0 until 64).map(b =>
+              when(col(s"v$b") > 0, "1").otherwise("0")): _*).as("s"))
+        val chunks = capHotKeys(
+          sig.select(col("doc_id"), col("s"),
+            explode(sequence(lit(0), lit(3))).as("c"))
+            .withColumn("chunk", expr("substring(s, c * 16 + 1, 16)")),
+          HotKeyCap, "c", "chunk")
+        val ham = aggregate(
+          zip_with(split(col("s1"), ""), split(col("s2"), ""),
+            (x, y) => when(x =!= y, 1).otherwise(0)),
+          lit(0), (a, x) => a + x)
+        chunks.as("a").join(chunks.as("b"),
+            col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.s").as("s1"), col("b.s").as("s2"))
+          .distinct()
+          .withColumn("hamming", ham)
+          .filter(col("hamming") <= 3)
+          .select("d1", "d2", "hamming")
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |         unnest(list_distinct(string_split_regex(trim(lower(text)), '[ \t\n\f\r]+'))) AS tok
+             |       FROM documents),
+             |v AS (SELECT doc_id, b, sum(2*bit - 1) AS vote FROM (
+             |        SELECT doc_id, bb.b AS b,
+             |          CAST(floor((strpos('0123456789abcdef',
+             |                             substr(md5(tok), (bb.b//4)+1, 1)) - 1)
+             |                     / ([8,4,2,1][(bb.b%4)+1])) AS INT) % 2 AS bit
+             |        FROM tok CROSS JOIN (SELECT unnest(generate_series(0,63)) AS b) bb) t
+             |      GROUP BY 1,2),
+             |sig AS (SELECT doc_id,
+             |          string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END,
+             |                     '' ORDER BY b) AS s
+             |        FROM v GROUP BY doc_id),
+             |ch AS (SELECT doc_id, s, c, substr(s, c*16+1, 16) AS chunk
+             |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS c) cc),
+             |pr AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             |         a.s AS s1, b.s AS s2
+             |       FROM ch a JOIN ch b
+             |         ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+             |h AS (SELECT d1, d2,
+             |        CAST(list_sum(list_transform(generate_series(1,64),
+             |          i -> CASE WHEN substr(s1,i,1) <> substr(s2,i,1)
+             |               THEN 1 ELSE 0 END)) AS INT) AS hamming
+             |      FROM pr)
+             |SELECT d1, d2, hamming FROM h WHERE hamming <= 3
+             |ORDER BY d1, d2""".stripMargin))
   )
 }

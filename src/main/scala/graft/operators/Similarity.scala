@@ -256,6 +256,96 @@ object Similarity {
              |      FROM n a JOIN n b
              |        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
              |SELECT d1, d2, cos FROM p WHERE cos >= 0.4
-             |ORDER BY d1, d2""".stripMargin))
+             |ORDER BY d1, d2""".stripMargin)),
+
+    /* Quantized ANN: int8 symmetric per-vector quantization (q_i =
+     * round(v_i * 127 / max|v|)) for candidate PRE-RANKING, exact
+     * double-precision re-rank of the top-m survivors. The scale story
+     * is memory bandwidth: the scanned/shuffled corpus representation is
+     * 4x smaller than float32 (16x smaller than the double working
+     * form), which at 100 TB is the difference between an in-memory ANN
+     * sweep and a spill — and the full-precision vectors are touched
+     * only for q×m candidate rows via a join back to the corpus by id.
+     *
+     * Determinism: the approx score is a ratio of exact int64 quantities
+     * (integer dot product; norms are integer sums under one sqrt), and
+     * every (vector, scale) pair derives from one double multiply +
+     * round — Spark HALF_UP ≡ DuckDB half-away-from-zero (the q73
+     * equivalence) — so the candidate ORDER is cross-engine exact, and
+     * the final ranking re-ranks with the same left-fold cosine as q40.
+     * m = 32 >> k = 5 absorbs quantization rank noise; the recall-vs-q40
+     * property is spec-asserted, the machinery is oracle-exact.
+     */
+    QueryDef(
+      "q79_ann_quantized",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val qz = e
+          .withColumn("mx",
+            aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+          .withColumn("q8",
+            transform(col("v"), x => round(x * lit(127.0) / col("mx")).cast("long")))
+          .withColumn("qn8",
+            sqrt(aggregate(transform(col("q8"), x => (x * x).cast("double")),
+              lit(0.0), (a, x) => a + x)))
+        val idot = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        val q = qz.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("q8").as("qq8"), col("qn8").as("qqn"))
+        val n = qz.select(col("vec_id").as("n_id"), col("q8").as("nq8"),
+          col("qn8").as("nqn"))
+        val wPre = Window.partitionBy("q_id")
+          .orderBy(col("approx").desc, col("n_id"))
+        val cands = broadcast(q).crossJoin(n)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("approx",
+            idot(col("qq8"), col("nq8")).cast("double") / (col("qqn") * col("nqn")))
+          .withColumn("prerank", row_number().over(wPre))
+          .filter(col("prerank") <= 32)
+          .select("q_id", "n_id")
+        // exact re-rank touches only q×m full-precision rows
+        val full = e.select(col("vec_id"), col("v"), col("nrm"))
+        val wK = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+        cands
+          .join(full.select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn")), "q_id")
+          .join(full.select(col("vec_id").as("n_id"), col("v").as("nv"),
+            col("nrm").as("nn")), "n_id")
+          .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .withColumn("rank", row_number().over(wK))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+             |qz AS (SELECT vec_id, v, nrm,
+             |         list_transform(v, x -> CAST(round(x * 127.0 /
+             |           list_reduce(list_transform(v, y -> abs(y)),
+             |                       (a, b) -> greatest(a, b))) AS BIGINT)) AS q8
+             |       FROM n),
+             |qn AS (SELECT vec_id, v, nrm, q8,
+             |         sqrt(list_sum(list_transform(q8,
+             |           x -> CAST(x*x AS DOUBLE)))) AS qn8 FROM qz),
+             |pre AS (SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+             |          CAST(list_sum(list_transform(generate_series(1, 64),
+             |            i -> q.q8[i] * t.q8[i])) AS DOUBLE)
+             |            / (q.qn8 * t.qn8) AS approx
+             |        FROM qn q JOIN qn t ON q.vec_id < 8 AND q.vec_id <> t.vec_id),
+             |cand AS (SELECT q_id, n_id FROM (
+             |           SELECT *, row_number() OVER (PARTITION BY q_id
+             |             ORDER BY approx DESC, n_id) AS prerank FROM pre) t
+             |         WHERE prerank <= 32),
+             |rr AS (SELECT c.q_id, c.n_id,
+             |         list_sum(list_transform(generate_series(1, 64),
+             |           i -> q.v[i] * t.v[i])) / (q.nrm * t.nrm) AS cos
+             |       FROM cand c
+             |       JOIN n q ON q.vec_id = c.q_id
+             |       JOIN n t ON t.vec_id = c.n_id)
+             |SELECT q_id, rank, n_id, cos FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+             |  FROM rr) t
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -54,7 +54,12 @@ object ScaleBench {
     // bigram LM: suffixed replicas share no tokens, so vocabulary AND
     // the bigram count table scale ×N with the corpus — the open-vocab
     // worst case for the train-side aggregations and count-table joins
-    "q73_bigram_lm")
+    "q73_bigram_lm",
+    // segment dedup: suffixed replicas share no segments, so the
+    // distinct-hash keep-first aggregation scales ×N (the grouped-min
+    // shuffle is the cost being curved); incremental dedup: history
+    // index AND batch probes both scale ×N against each other
+    "q77_segment_dedup", "q78_incremental_dedup")
   private val evtQueries = Seq("q60_event_hourly",
     // sessionize/as-of: replication shifts user_id per replica, so N×
     // rows arrive as N× users at the SAME per-user density — the curve
