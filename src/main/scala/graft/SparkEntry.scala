@@ -75,6 +75,11 @@ import graft.operators.{Analytic, Bridge, Dedup, Events, Interchange, Labs, Mult
   *            the segment hash) and the incremental near-dup probe of
   *            a new ingest batch against the historical LSH band index
   *            (per-batch cost O(batch), not O(corpus))
+  *   q79–q80  quantized/bitwise scale paths: int8 ANN pre-rank with
+  *            exact int64 dot products + full-precision re-rank of the
+  *            survivors, and SimHash Hamming pairs via the Manku
+  *            4×16-bit pigeonhole index (hamming ≤ 3 ⟹ shared chunk;
+  *            signature = one 64-column hash aggregate, no row fanout)
   */
 object SparkEntry {
 

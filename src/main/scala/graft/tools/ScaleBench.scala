@@ -58,8 +58,10 @@ object ScaleBench {
     // segment dedup: suffixed replicas share no segments, so the
     // distinct-hash keep-first aggregation scales ×N (the grouped-min
     // shuffle is the cost being curved); incremental dedup: history
-    // index AND batch probes both scale ×N against each other
-    "q77_segment_dedup", "q78_incremental_dedup")
+    // index AND batch probes both scale ×N against each other;
+    // simhash pairs: replicas are signature-distinct, so the chunk
+    // index scales ×N docs into the same 2^16 bucket space per chunk
+    "q77_segment_dedup", "q78_incremental_dedup", "q80_simhash_pairs")
   private val evtQueries = Seq("q60_event_hourly",
     // sessionize/as-of: replication shifts user_id per replica, so N×
     // rows arrive as N× users at the SAME per-user density — the curve
