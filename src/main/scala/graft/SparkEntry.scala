@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Analytic, Bridge, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Runner, Similarity, TextAnalysis, Waterfall}
+import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Runner, Similarity, TextAnalysis, Waterfall}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,6 +80,12 @@ import graft.operators.{Analytic, Bridge, Dedup, Events, Interchange, Labs, Mult
   *            survivors, and SimHash Hamming pairs via the Manku
   *            4×16-bit pigeonhole index (hamming ≤ 3 ⟹ shared chunk;
   *            signature = one 64-column hash aggregate, no row fanout)
+  *   q81–q83  curation/governance: snapshot diff (CDC via one full-outer
+  *            key join, row-local column attribution — downstream cost
+  *            O(churn) not O(table)), retention curve (exact decile
+  *            thresholds broadcast, 9× fanout collapsed by partial agg),
+  *            and the per-source dataset card (cross-source exact-dup
+  *            share via grouped fingerprint multiplicity + 1:1 re-join)
   */
 object SparkEntry {
 
@@ -87,7 +93,7 @@ object SparkEntry {
     Relational.defs ++ Waterfall.defs ++ Runner.defs ++ Bridge.defs ++
       Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Events.defs ++ RangeJoin.defs ++ Analytic.defs ++
-      Interchange.defs
+      Interchange.defs ++ Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

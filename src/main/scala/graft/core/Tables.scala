@@ -16,12 +16,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS), which Spark 4 refuses by default;
-      // read it as a ns-long and convert (sub-microsecond bits are zero in
-      // the driver-generated data, so this is lossless).
+      // events.ts has shipped as TIMESTAMP(NANOS) in some driver testdata
+      // generations (Spark 4 refuses nanos by default: read as a ns-long
+      // and convert — sub-microsecond bits are zero, so lossless) and as
+      // TIMESTAMP(MICROS) in others (arrives as NTZ under Spark 4's
+      // inferTimestampNTZ default). Normalize either to a session-zone
+      // TIMESTAMP (session is pinned UTC in every entry point) so every
+      // downstream operator and spec sees one stable type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (for spark.sql-composed queries). */

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables, Ws}
+
+/** Dataset-curation operators: the table-maintenance and corpus-governance
+  * queries a production training-data platform runs BETWEEN pipeline
+  * stages — snapshot reconciliation (what changed since the last build),
+  * filter-threshold calibration (what a quality cut would actually keep),
+  * and the per-source dataset card (the governance summary shipped with
+  * every corpus release).
+  *
+  * All three are beyond the reference's own surface (its pipeline rebuilds
+  * outputs whole each run — `run_drugs_all.py` has no notion of an
+  * incremental diff) but are first-class needs at 100 TB where "rebuild
+  * everything and eyeball it" stops being an option.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Whitespace token count — q30's tokenizer verbatim (explicit ASCII
+    * class, not `\s`; see [[graft.core.Ws]] for the U+000B rationale).
+    */
+  private val nTokens: Column = size(split(trim(col("text")), Ws.Plus))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /* ---- q81: snapshot diff (CDC between two table versions).
+     *
+     * Two deterministic snapshots are derived from `orders` (old drops
+     * keys ≡3 mod 10; new drops ≡7 mod 10, bumps o_totalprice on ≡0 mod
+     * 13 and rewrites o_orderpriority on ≡0 mod 17), then reconciled:
+     * added / removed / changed rows with per-column change attribution.
+     *
+     * Scale shape: ONE full-outer equi-join on the key — at 100 TB both
+     * snapshots shuffle once on o_orderkey (or not at all if the tables
+     * are bucketed by key, the layout `Sources.writeRangePartitioned`
+     * exists for). Column attribution is row-local codegen (null-safe
+     * compares + concat_ws), NOT per-column joins; the unchanged majority
+     * is dropped before any further processing, so downstream cost is
+     * O(churn), not O(table). This is the merge/CDC primitive behind
+     * incremental rebuilds: feed `changed ∪ added` to the pipeline,
+     * `removed` to retention handling, and skip the untouched 99%.
+     */
+    QueryDef(
+      "q81_snapshot_diff",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val old = o.filter(col("o_orderkey") % 10 =!= 3).select(
+          col("o_orderkey").as("old_k"),
+          col("o_orderstatus").as("old_status"),
+          col("o_totalprice").as("old_price"),
+          col("o_orderpriority").as("old_prio"))
+        val nw = o.filter(col("o_orderkey") % 10 =!= 7).select(
+          col("o_orderkey").as("new_k"),
+          col("o_orderstatus").as("new_status"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("new_price"),
+          when(col("o_orderkey") % 17 === 0, lit("9-SYNTH"))
+            .otherwise(col("o_orderpriority")).as("new_prio"))
+        // IS DISTINCT FROM = not(<=>): null-safe, so a column going
+        // null→value or value→null counts as a change, never as a match
+        def differs(a: String, b: String): Column = !(col(a) <=> col(b))
+        val anyChange = differs("old_status", "new_status") ||
+          differs("old_price", "new_price") || differs("old_prio", "new_prio")
+        old.join(nw, col("old_k") === col("new_k"), "full_outer")
+          .filter(col("old_k").isNull || col("new_k").isNull || anyChange)
+          .select(
+            coalesce(col("old_k"), col("new_k")).as("o_orderkey"),
+            when(col("old_k").isNull, "added")
+              .when(col("new_k").isNull, "removed")
+              .otherwise("changed").as("status"),
+            concat_ws(",",
+              when(col("old_k").isNotNull && col("new_k").isNotNull &&
+                differs("old_status", "new_status"), "o_orderstatus"),
+              when(col("old_k").isNotNull && col("new_k").isNotNull &&
+                differs("old_price", "new_price"), "o_totalprice"),
+              when(col("old_k").isNotNull && col("new_k").isNotNull &&
+                differs("old_prio", "new_prio"), "o_orderpriority"))
+              .as("changed_cols"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH old AS (
+             |  SELECT o_orderkey k, o_orderstatus st, o_totalprice pr,
+             |         o_orderpriority pz
+             |  FROM orders WHERE o_orderkey % 10 <> 3),
+             |nw AS (
+             |  SELECT o_orderkey k, o_orderstatus st,
+             |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+             |         ELSE o_totalprice END pr,
+             |    CASE WHEN o_orderkey % 17 = 0 THEN '9-SYNTH'
+             |         ELSE o_orderpriority END pz
+             |  FROM orders WHERE o_orderkey % 10 <> 7)
+             |SELECT coalesce(old.k, nw.k) AS o_orderkey,
+             |  CASE WHEN old.k IS NULL THEN 'added'
+             |       WHEN nw.k IS NULL THEN 'removed'
+             |       ELSE 'changed' END AS status,
+             |  concat_ws(',',
+             |    CASE WHEN old.k IS NOT NULL AND nw.k IS NOT NULL
+             |         AND old.st IS DISTINCT FROM nw.st
+             |         THEN 'o_orderstatus' END,
+             |    CASE WHEN old.k IS NOT NULL AND nw.k IS NOT NULL
+             |         AND old.pr IS DISTINCT FROM nw.pr
+             |         THEN 'o_totalprice' END,
+             |    CASE WHEN old.k IS NOT NULL AND nw.k IS NOT NULL
+             |         AND old.pz IS DISTINCT FROM nw.pz
+             |         THEN 'o_orderpriority' END) AS changed_cols
+             |FROM old FULL OUTER JOIN nw ON old.k = nw.k
+             |WHERE old.k IS NULL OR nw.k IS NULL
+             |   OR old.st IS DISTINCT FROM nw.st
+             |   OR old.pr IS DISTINCT FROM nw.pr
+             |   OR old.pz IS DISTINCT FROM nw.pz
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    /* ---- q82: retention curve (filter-threshold calibration).
+     *
+     * Before committing to a length cut, a curator wants the whole curve:
+     * for each decile threshold of the per-doc token count, how many docs
+     * and how many TOKENS survive "keep docs with ≥ threshold tokens"?
+     * (Docs and tokens diverge — short docs are many but cheap; the token
+     * column is what the training budget actually buys.)
+     *
+     * Scale shape: thresholds are exact percentile_disc deciles (one
+     * aggregation), unpivoted to 9 rows via stack and broadcast; the
+     * corpus then cross-joins the 9-row dim and aggregates by decile.
+     * The 9× map-side fanout collapses immediately in partial
+     * aggregation (each task emits ≤9 rows), so the shuffle carries
+     * O(partitions × 9) rows regardless of corpus size. No window over
+     * the corpus, no second scan per threshold.
+     *
+     * percentile_disc (not approx): the threshold is an ACTUAL token
+     * count from the data, identical in both engines — q65 pins the
+     * discrete-quantile parity this reuses. Both sides cast it to long
+     * (Spark's percentile_disc widens to double; the value is integral
+     * by construction).
+     */
+    QueryDef(
+      "q82_retention_curve",
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("doc_id"), nTokens.as("n_tokens"))
+        val deciles = (1 to 9).map(i =>
+          expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY n_tokens)")
+            .cast("long").as(s"t$i"))
+        val q = tok.agg(deciles.head, deciles.tail: _*)
+        val stackArgs = (1 to 9).map(i => s"$i, t$i").mkString(", ")
+        val th = q.selectExpr(s"stack(9, $stackArgs) AS (decile, threshold)")
+        tok.crossJoin(broadcast(th))
+          .groupBy("decile", "threshold")
+          .agg(
+            count(when(col("n_tokens") >= col("threshold"), 1))
+              .as("docs_retained"),
+            coalesce(sum(when(col("n_tokens") >= col("threshold"),
+              col("n_tokens"))), lit(0L)).cast("long").as("tokens_retained"))
+          .orderBy("decile")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS n_tokens
+             |  FROM documents),
+             |q AS (SELECT
+             |  CAST(quantile_disc(n_tokens, 0.1) AS BIGINT) t1,
+             |  CAST(quantile_disc(n_tokens, 0.2) AS BIGINT) t2,
+             |  CAST(quantile_disc(n_tokens, 0.3) AS BIGINT) t3,
+             |  CAST(quantile_disc(n_tokens, 0.4) AS BIGINT) t4,
+             |  CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) t5,
+             |  CAST(quantile_disc(n_tokens, 0.6) AS BIGINT) t6,
+             |  CAST(quantile_disc(n_tokens, 0.7) AS BIGINT) t7,
+             |  CAST(quantile_disc(n_tokens, 0.8) AS BIGINT) t8,
+             |  CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) t9
+             |  FROM tok),
+             |th AS (SELECT decile,
+             |  CASE decile WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+             |    WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6
+             |    WHEN 7 THEN t7 WHEN 8 THEN t8 ELSE t9 END AS threshold
+             |  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) v(decile)
+             |  CROSS JOIN q)
+             |SELECT th.decile, th.threshold,
+             |  count(CASE WHEN tok.n_tokens >= th.threshold THEN 1 END)
+             |    AS docs_retained,
+             |  CAST(coalesce(sum(CASE WHEN tok.n_tokens >= th.threshold
+             |    THEN tok.n_tokens END), 0) AS BIGINT) AS tokens_retained
+             |FROM tok CROSS JOIN th
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    /* ---- q83: per-source dataset card.
+     *
+     * The governance summary every corpus release ships with: per source,
+     * document and token volume, language spread, and how much of the
+     * source is exact-duplicate material (fingerprint seen more than once
+     * ANYWHERE in the corpus — cross-source, which is exactly what a
+     * per-source groupBy alone cannot see).
+     *
+     * Scale shape: fingerprint = q33's md5-of-normalized-text; duplicate
+     * multiplicity is a grouped count on the fingerprint (map-side
+     * combine — a boilerplate fingerprint repeated across millions of
+     * docs arrives at the reducer as one row per map partition, the same
+     * reason q77 uses grouped min over a window) joined back 1:1 by
+     * fingerprint, then ONE aggregation by source. Ratios are emitted as
+     * exact integer numerator/denominator pairs plus the double ratio —
+     * the integers are the auditable values, the double is convenience.
+     */
+    QueryDef(
+      "q83_dataset_card",
+      (s, dir) => {
+        val d = docs(s, dir).select(
+          col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          nTokens.as("n_tokens"),
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+            .as("fp"))
+        val mult = d.groupBy("fp").agg(count(lit(1)).as("fp_count"))
+        d.join(mult, "fp")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_tokens")).cast("long").as("tokens_total"),
+            sum(col("n_chars")).cast("long").as("chars_total"),
+            count(when(col("fp_count") > 1, 1)).as("dup_docs"),
+            (count(when(col("fp_count") > 1, 1)).cast("double") /
+              count(lit(1)).cast("double")).as("dup_ratio"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, lang, n_chars,
+             |    len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS n_tokens,
+             |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             |      AS fp
+             |  FROM documents),
+             |mult AS (SELECT fp, count(*) AS fp_count FROM d GROUP BY 1)
+             |SELECT d.source,
+             |  count(*) AS n_docs,
+             |  count(DISTINCT d.lang) AS n_langs,
+             |  CAST(sum(d.n_tokens) AS BIGINT) AS tokens_total,
+             |  CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+             |  count(CASE WHEN mult.fp_count > 1 THEN 1 END) AS dup_docs,
+             |  CAST(count(CASE WHEN mult.fp_count > 1 THEN 1 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS dup_ratio
+             |FROM d JOIN mult USING (fp)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -112,11 +112,15 @@ class RangeSortedWriteSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // cannot prune anything (every row group spans nearly the whole key
     // space, so the scan surfaces the ENTIRE table), while the sorted
     // layout's narrow probe is contained in ~one of the 8 disjoint
-    // ranges (allow two for a boundary straddle)
+    // ranges. Allow THREE files' worth: repartitionByRange draws its
+    // boundaries from a sample, so files are uneven (±10% is normal) and
+    // a probe can straddle a boundary — 2 uneven files + straddle slack
+    // still separates "skipped most of the table" from the unsorted
+    // layout's full scan by >2×.
     val total = li.count()
     assert(shuffledScan == total,
       s"unsorted layout should scan all $total rows, scanned $shuffledScan")
-    assert(sortedScan <= total / 4,
-      s"sorted layout should scan <=2 of 8 files' rows: $sortedScan of $total")
+    assert(sortedScan <= total * 3 / 8,
+      s"sorted layout should scan <=3 of 8 files' rows: $sortedScan of $total")
   }
 }
