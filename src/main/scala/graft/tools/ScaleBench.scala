@@ -88,6 +88,18 @@ object ScaleBench {
   // replicas keep the mod-7/13/97 class mix) — the merge stays one
   // full-outer shuffle however large the dimension grows
   private val cusQueries = Seq("q71_upsert")
+  // snapshot diff: both snapshots scale ×N (orders keys shift by a
+  // multiple of lcm(10,13,17) so the added/removed/changed classes
+  // survive replication) — the diff stays ONE full-outer shuffle and
+  // the output stays O(churn) = a fixed fraction of N
+  private val ordQueries = Seq("q81_snapshot_diff")
+  // curation curves ride the rotation replicas: the retention curve's
+  // decile aggregation and 9-row broadcast fanout face N× docs (token
+  // counts are invariant under word rotation, so the thresholds stay
+  // put while the scan scales); the dataset card's fingerprint
+  // multiplicity table scales ×N distinct hashes — the grouped-count
+  // shuffle is the cost being curved
+  private val crtQueries = Seq("q82_retention_curve", "q83_dataset_card")
   // chain mode: q48 on a corpus whose near-dup graph is ONE long chain
   // with diameter ∝ N — the adversarial shape the star variant exists
   // for (propagation would need diameter rounds and fail loudly at
@@ -165,6 +177,18 @@ object ScaleBench {
       else part.filter(col("p_partkey") % 3 === 1)
         .withColumn("p_partkey", col("p_partkey") + lit(k * partSpan3))
 
+    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    // shift by a multiple of lcm(10,13,17)=2210 so q81's snapshot-
+    // membership (mod 10) and mutation (mod 13/17) classes survive
+    val ordSpan = {
+      val m = 2210L
+      val mx = orders.agg(max(col("o_orderkey").cast("long"))).head().getLong(0)
+      (mx / m + 1L) * m
+    }
+    def ordReplica(k: Int): DataFrame =
+      if (k == 0) orders
+      else orders.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordSpan))
+
     val customer = spark.read.parquet(s"$baseDir/customer.parquet")
     // shift by a multiple of 7*13*97 so q71's update/tombstone/insert
     // classes (mod 7, 13, 97) survive replication untouched
@@ -223,6 +247,8 @@ object ScaleBench {
         s"$rotDir/nation.parquet")
       writeIfAbsent((0 until n).map(cusReplica).reduce(_ unionByName _),
         s"$rotDir/customer.parquet")
+      writeIfAbsent((0 until n).map(ordReplica).reduce(_ unionByName _),
+        s"$rotDir/orders.parquet")
       writeIfAbsent((0 until n).map(sufReplica).reduce(_ unionByName _),
         s"$sufDir/documents.parquet")
       writeIfAbsent(chnDocs(n), s"$chnDir/documents.parquet")
@@ -260,6 +286,8 @@ object ScaleBench {
         linQueries.map(q => (q, q, rotDir)) ++
         vocQueries.map(q => (q, q, rotDir)) ++
         cusQueries.map(q => (q, q, rotDir)) ++
+        ordQueries.map(q => (q, q, rotDir)) ++
+        crtQueries.map(q => (q, q, rotDir)) ++
         sufQueries.map(q => (q, q, sufDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)))
         .filter { case (key, _, _) => only.forall(_.contains(key)) }
