@@ -86,6 +86,11 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            thresholds broadcast, 9× fanout collapsed by partial agg),
   *            and the per-source dataset card (cross-source exact-dup
   *            share via grouped fingerprint multiplicity + 1:1 re-join)
+  *   q84–q85  data selection: DSIR importance weights (target-vs-corpus
+  *            bigram LM log-ratio in exact integer micro-nats; target
+  *            count tables are the small join side) and the deflate
+  *            compression-ratio quality signal (rows-only — no DuckDB
+  *            deflate — spec-pinned by driver replay, the q70 pattern)
   */
 object SparkEntry {
 

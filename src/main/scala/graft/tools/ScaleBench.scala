@@ -61,7 +61,11 @@ object ScaleBench {
     // index AND batch probes both scale ×N against each other;
     // simhash pairs: replicas are signature-distinct, so the chunk
     // index scales ×N docs into the same 2^16 bucket space per chunk
-    "q77_segment_dedup", "q78_incremental_dedup", "q80_simhash_pairs")
+    "q77_segment_dedup", "q78_incremental_dedup", "q80_simhash_pairs",
+    // DSIR: suffixed replicas scale the corpus LM's bigram table AND the
+    // target slice (sources survive suffixing) ×N together — the
+    // open-vocab worst case for the four count-table joins, same as q73
+    "q84_dsir_weight")
   private val evtQueries = Seq("q60_event_hourly",
     // sessionize/as-of: replication shifts user_id per replica, so N×
     // rows arrive as N× users at the SAME per-user density — the curve

@@ -5,6 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.functions.{col, length, lit}
 
 import graft.SparkSpec
 import graft.core.Tables
@@ -130,4 +131,73 @@ class CurationSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(got.map(_._6).sum ==
         docs.count(d => mult(fp(d._5)) > 1).toLong)
   }
+
+  test("q84 DSIR weights: target docs score higher on average; zeros only for bigram-less docs") {
+    val rows = run("q84_dsir_weight").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("in_target"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Long]("dsir_micro_nats")))
+    assert(rows.nonEmpty)
+    // every doc appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // zero bigrams <=> zero weight (the left-join floor)
+    rows.foreach { case (id, _, nb, w) =>
+      if (nb == 0L) assert(w == 0L, s"doc $id: no bigrams but weight $w")
+    }
+    // the defining DSIR property: the target slice's own documents are,
+    // on average, far more target-like than the rest of the corpus —
+    // compare mean per-bigram log-ratio between the two groups
+    def meanPerBigram(g: Seq[(Long, Boolean, Long, Long)]): Double = {
+      val withB = g.filter(_._3 > 0)
+      withB.map(r => r._4.toDouble / r._3.toDouble).sum / withB.size
+    }
+    val (tgt, rest) = rows.toSeq.partition(_._2)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(meanPerBigram(tgt) > meanPerBigram(rest),
+      "target docs must score higher under the target LM than the corpus at large")
+  }
+
+  test("q85 compression ratio: driver replay parity and monotone envelopes") {
+    val rows = run("q85_compress_ratio").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_chars_text"),
+        r.getAs[Double]("deflate_ratio")))
+    assert(rows.nonEmpty)
+    // replay a sample on the driver with the same pinned codec — the UDF
+    // must agree byte-for-byte with java.util.zip at level 6
+    val texts = Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { case (id, _, ratio) =>
+      val raw = texts(id).getBytes(StandardCharsets.UTF_8)
+      val expect = Curation.deflatedSize(raw).toDouble /
+        math.max(raw.length, 1).toDouble
+      assert(ratio == expect, s"doc $id: $ratio != $expect")
+    }
+    // envelopes: pure repetition compresses an order of magnitude below
+    // prose; all ratios are positive and bounded — deflate's fixed
+    // overhead (2B header + 5B/block + 4B adler) pushes TINY docs above
+    // 1.0, so the upper bound must be length-aware
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "a " * 2000),
+      (2L, (1 to 400).map(i => s"w${i * 7919 % 1000}").mkString(" "))
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-compress").toString
+    synth.withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sr = run2("q85_compress_ratio", dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("deflate_ratio")))
+      .toMap
+    assert(sr(1L) < 0.05, s"pure repetition should crush: ${sr(1L)}")
+    assert(sr(2L) > sr(1L) * 5, "varied words must compress far worse")
+    rows.foreach { case (id, len, ratio) =>
+      val bound = 1.0 + 20.0 / math.max(len, 1)
+      assert(ratio > 0.0 && ratio < bound,
+        s"doc $id len $len ratio $ratio out of range (bound $bound)")
+    }
+  }
+
+  private def run2(name: String, dir: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
 }
