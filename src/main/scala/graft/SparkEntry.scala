@@ -91,6 +91,10 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            count tables are the small join side) and the deflate
   *            compression-ratio quality signal (rows-only — no DuckDB
   *            deflate — spec-pinned by driver replay, the q70 pattern)
+  *   q86      incremental rollup maintenance: old rollup ⊕ churn-only
+  *            signed deltas vs an oracle that recomputes directly over
+  *            the new snapshot — the hash gate proves the delta algebra
+  *            exact; update cost O(churn)+O(groups), no table rescan
   */
 object SparkEntry {
 

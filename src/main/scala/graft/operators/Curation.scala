@@ -352,6 +352,85 @@ object Curation {
              |FROM documents d CROSS JOIN tgt LEFT JOIN per_doc p USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    /* ---- q86: incremental rollup maintenance (delta algebra).
+     *
+     * The nightly-metrics question at 100 TB: when a snapshot changes,
+     * update the per-group rollup from the CHURN ONLY — never rescan the
+     * table. This query computes the new rollup the incremental way
+     * (old rollup ⊕ signed deltas from q81's added/removed/changed
+     * classes) while the ORACLE computes it the direct way (GROUP BY
+     * over the new snapshot) — so the driver's hash gate proves the
+     * delta algebra exact, including the group that exists ONLY via
+     * mutation ('9-SYNTH' priority) and groups whose last row was
+     * removed (count drops to zero → row dropped, matching the direct
+     * rollup's absence).
+     *
+     * Money sums as integer cents (round(price*100)): the ⊕ algebra
+     * needs exact cancellation — a double sum would leave ±ulp residue
+     * exactly where a group's rows all churned away.
+     *
+     * Scale shape: old rollup is O(groups); deltas aggregate the diff
+     * stream (O(churn)) with map-side combine; the merge is a full-outer
+     * join of two group-sized tables. Nothing rescans the unchanged
+     * majority.
+     */
+    QueryDef(
+      "q86_incremental_rollup",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val old = o.filter(col("o_orderkey") % 10 =!= 3)
+          .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+            cents.as("cents"))
+        val nw = o.filter(col("o_orderkey") % 10 =!= 7)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 17 === 0, lit("9-SYNTH"))
+              .otherwise(col("o_orderpriority")).as("prio"),
+            when(col("o_orderkey") % 13 === 0,
+              round((col("o_totalprice") + 1) * 100).cast("long")
+            ).otherwise(cents).as("cents"))
+        // the stored rollup (computed once from the old snapshot;
+        // in production this is the table being maintained)
+        val oldAgg = old.groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("c"))
+        // signed deltas from the churn stream only: removed/changed-old
+        // contribute (-1, -cents); added/changed-new contribute
+        // (+1, +cents). Unchanged rows join on (key, prio, cents) and
+        // produce no delta rows at all.
+        val oldK = old.select(col("o_orderkey").as("k"),
+          col("prio").as("op"), col("cents").as("oc"))
+        val nwK = nw.select(col("o_orderkey").as("k2"),
+          col("prio").as("np"), col("cents").as("nc"))
+        val joined = oldK.join(nwK, col("k") === col("k2"), "full_outer")
+          .filter(col("k").isNull || col("k2").isNull ||
+            !(col("op") <=> col("np")) || !(col("oc") <=> col("nc")))
+        val minus = joined.filter(col("k").isNotNull)
+          .select(col("op").as("prio"), lit(-1L).as("dn"),
+            (-col("oc")).as("dc"))
+        val plus = joined.filter(col("k2").isNotNull)
+          .select(col("np").as("prio"), lit(1L).as("dn"), col("nc").as("dc"))
+        val delta = minus.unionByName(plus).groupBy("prio")
+          .agg(sum(col("dn")).as("dn"), sum(col("dc")).cast("long").as("dc"))
+        oldAgg.join(delta, Seq("prio"), "full_outer")
+          .select(col("prio").as("o_orderpriority"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_orders"),
+            (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("cents_total"))
+          .filter(col("n_orders") > 0)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT
+             |  CASE WHEN o_orderkey % 17 = 0 THEN '9-SYNTH'
+             |       ELSE o_orderpriority END AS o_orderpriority,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CASE WHEN o_orderkey % 13 = 0
+             |    THEN CAST(round((o_totalprice + 1) * 100) AS BIGINT)
+             |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+             |    AS BIGINT) AS cents_total
+             |FROM orders WHERE o_orderkey % 10 <> 7
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     /* ---- q85: compression-ratio quality signal (rows-only by design).
      *
      * deflate(text)/len(text) is a classic cheap quality heuristic

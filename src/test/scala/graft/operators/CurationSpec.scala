@@ -200,4 +200,32 @@ class CurationSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   private def run2(name: String, dir: String) =
     graft.SparkEntry.queries(name)(spark, dir)
+
+  test("q86 incremental rollup equals a direct recompute; migration class fires") {
+    // independent direct recompute of the new snapshot's rollup (the
+    // oracle's shape, but replayed on the driver so this spec does not
+    // depend on the incremental plumbing it is checking)
+    val orders = Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def centsOf(d: Double): Long =
+      BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val direct = orders.filter(_._1 % 10 != 7).map { o =>
+      val prio = if (o._1 % 17 == 0) "9-SYNTH" else o._2
+      val c = if (o._1 % 13 == 0) centsOf((o._3 + 1) * 100)
+              else centsOf(o._3 * 100)
+      (prio, c)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, rs) => (p, rs.length.toLong, rs.map(_._2).sum) }
+    val got = run("q86_incremental_rollup").collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("cents_total"))).toSeq
+    assert(got == direct)
+    // the classes that make the delta algebra non-trivial must fire:
+    // a mutation-only group, and group migration away from the donors
+    assert(got.exists(_._1 == "9-SYNTH"),
+      "the mutated priority group must exist in the maintained rollup")
+    val donors = orders.filter(o => o._1 % 17 == 0 && o._1 % 10 != 7)
+    assert(donors.nonEmpty, "migration class must be populated at this SF")
+  }
 }
