@@ -57,7 +57,10 @@ if repeat_path:
                 sessions.append(json.loads(line))
     if sessions:
         mins = [s["min"] for s in sessions]
-        merged["q26_repeat"] = {
+        # key the envelope by the query's short prefix (q26_repeat,
+        # q80_repeat, ...) so each expensive query keeps its own block
+        key = sessions[0]["query"].split("_")[0] + "_repeat"
+        merged[key] = {
             "query": sessions[0]["query"],
             "k": sessions[0]["k"],
             "sessions": sessions,
