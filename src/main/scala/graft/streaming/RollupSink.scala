@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exactly-once streaming rollup maintenance — the streaming twin of
+  * q86's incremental-rollup algebra (`operators/Curation.scala`), closing
+  * the lambda loop: the SAME change stream that maintains the keyed
+  * snapshot ([[UpsertSink]]) also maintains the per-group aggregate
+  * (here: per `name`, count + balance cents), by signed deltas only.
+  *
+  * Per micro-batch the sink computes
+  *   minus = contributions of the batch's keys in the PRE-batch snapshot
+  *   plus  = contributions of those keys after the merge
+  * and applies `old rollup ⊕ (plus − minus)` — cost O(batch keys) +
+  * O(groups), never a rescan of the snapshot. Group migration (a key's
+  * `name` changing) is handled by construction: its minus lands in the
+  * old group, its plus in the new one; a tombstoned key contributes only
+  * a minus. Cents are exact integers, so a group whose keys all churn
+  * away cancels to exactly zero and is dropped — matching a direct
+  * recompute bit-for-bit (RollupSinkSpec asserts equality after every
+  * batch).
+  *
+  * Exactly-once uses [[UpsertSink]]'s versioned-snapshot + `_LATEST`
+  * pointer protocol on the rollup's own directory. One subtlety is
+  * load-bearing: the pre-batch snapshot is resolved as the newest
+  * version STRICTLY BELOW this batchId — NOT the snapshot pointer —
+  * because after a crash between the two sinks the snapshot pointer
+  * already names this batch, and reading it would double-subtract.
+  * Consequence: vacuum the snapshot dir with `keep >= 2` so the
+  * previous version survives until the rollup commits.
+  */
+object RollupSink {
+
+  val rollupSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("n_keys", LongType),
+    StructField("cents_total", LongType)))
+
+  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
+
+  def latestVersion(dir: String): Option[Long] = {
+    val p = pointerPath(dir)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Newest snapshot version strictly below `batchId` in an UpsertSink
+    * directory (None before the first batch).
+    */
+  def versionBefore(dir: String, batchId: Long): Option[Long] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ < batchId)
+      .sorted.lastOption
+  }
+
+  private def emptyRollup(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rollupSchema)
+
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    latestVersion(dir) match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v")
+      case None => emptyRollup(spark)
+    }
+
+  private def snapshotAt(spark: SparkSession, snapDir: String,
+      batchId: Long): DataFrame =
+    versionBefore(snapDir, batchId) match {
+      case Some(v) => spark.read.parquet(s"$snapDir/v=$v")
+      case None => UpsertSink.snapshot(spark, snapDir) match {
+        // no version below batchId: before the first batch the snapshot
+        // is empty; reuse UpsertSink's empty-schema frame via an
+        // impossible filter so the schema stays canonical
+        case s => s.filter(lit(false))
+      }
+    }
+
+  /** Apply one micro-batch's rollup delta; false iff already applied.
+    * Call with the SAME batch [[UpsertSink.applyBatch]] receives —
+    * ordering between the two sinks does not matter (this sink never
+    * reads the post-batch snapshot).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, snapDir: String,
+      rollDir: String): Boolean = {
+    val already = latestVersion(rollDir).exists(_ >= batchId)
+    if (already) false
+    else {
+      val spark = batch.sparkSession
+      Files.createDirectories(Paths.get(rollDir))
+      val collapsed = UpsertSink.collapse(
+        batch.select(UpsertSink.changeSchema.fieldNames.map(col): _*))
+      val oldSnap = snapshotAt(spark, snapDir, batchId)
+      val keys = collapsed.select("key")
+      // minus: what the batch's keys contributed before the batch
+      val minus = oldSnap.join(keys, Seq("key"), "left_semi")
+        .groupBy("name").agg(
+          (-count(lit(1))).as("dn"),
+          (-sum(col("balance_cents"))).cast("long").as("dc"))
+      // plus: what they contribute after the merge (tombstoned keys are
+      // dropped by merge and contribute nothing)
+      val plus = UpsertSink.merge(oldSnap, collapsed)
+        .join(keys, Seq("key"), "left_semi")
+        .groupBy("name").agg(
+          count(lit(1)).as("dn"),
+          sum(col("balance_cents")).cast("long").as("dc"))
+      val delta = minus.unionByName(plus)
+        .groupBy("name")
+        .agg(sum(col("dn")).as("dn"), sum(col("dc")).cast("long").as("dc"))
+      val merged = rollup(spark, rollDir).join(delta, Seq("name"), "full_outer")
+        .select(col("name"),
+          (coalesce(col("n_keys"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_keys"),
+          (coalesce(col("cents_total"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("cents_total"))
+        .filter(col("n_keys") > 0)
+      merged.write.mode("overwrite").parquet(s"$rollDir/v=$batchId")
+      val tmp = Paths.get(rollDir, s"_LATEST.tmp.$batchId")
+      Files.writeString(tmp, batchId.toString)
+      Files.move(tmp, pointerPath(rollDir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+  }
+}
