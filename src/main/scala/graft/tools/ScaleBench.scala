@@ -95,8 +95,10 @@ object ScaleBench {
   // snapshot diff: both snapshots scale ×N (orders keys shift by a
   // multiple of lcm(10,13,17) so the added/removed/changed classes
   // survive replication) — the diff stays ONE full-outer shuffle and
-  // the output stays O(churn) = a fixed fraction of N
-  private val ordQueries = Seq("q81_snapshot_diff")
+  // the output stays O(churn) = a fixed fraction of N. The incremental
+  // rollup rides the same replicas: churn AND the stored rollup's
+  // group count both scale with the classes preserved.
+  private val ordQueries = Seq("q81_snapshot_diff", "q86_incremental_rollup")
   // curation curves ride the rotation replicas: the retention curve's
   // decile aggregation and 9-row broadcast fanout face N× docs (token
   // counts are invariant under word rotation, so the thresholds stay
