@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 /** Exactly-once streaming rollup maintenance — the streaming twin of
@@ -127,4 +128,23 @@ object RollupSink {
       true
     }
   }
+
+  /** Attach BOTH sinks to one change stream: the rollup applies first
+    * (it must see the pre-batch snapshot versions; applying it after a
+    * snapshot commit also works — versionBefore ignores the pointer —
+    * but first keeps the failure window's replay path identical to the
+    * happy path), then the snapshot. Each side is individually
+    * idempotent, so any crash point replays cleanly.
+    */
+  def attach(changes: DataFrame, snapshotDir: String, rollupDir: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, snapshotDir, rollupDir)
+        UpsertSink.applyBatch(batch, batchId, snapshotDir)
+        ()
+      }
+      .start()
 }

@@ -95,4 +95,33 @@ class RollupSinkSpec extends SparkSpec {
     assert(rollupMap(rollDir) == directOfSnapshot(snapDir))
     assert(rollupMap(rollDir) == Map("alpha" -> (1L, 125L)))
   }
+
+  test("attach: engine restart from checkpoint keeps rollup == direct recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val snapDir = tmp("graft-roll3-snap")
+    val rollDir = tmp("graft-roll3-roll")
+    val ckpt = tmp("graft-roll3-ckpt")
+    val stream = MemoryStream[(Long, String, Long, Boolean, Timestamp)]
+    def start() = RollupSink.attach(
+      stream.toDF().toDF("key", "name", "delta_cents", "deleted", "ts"),
+      snapDir, rollDir, ckpt)
+
+    val q1 = start()
+    try {
+      stream.addData((1L, "alpha", 100L, false, at("10:00")),
+        (2L, "beta", 30L, false, at("10:00")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(rollupMap(rollDir) == directOfSnapshot(snapDir))
+
+    // queued while down, delivered once after restart; the migration and
+    // the tombstone ride the same post-restart batch
+    stream.addData((1L, "beta", 5L, false, at("11:00")),
+      (2L, "beta", 0L, true, at("11:00")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rollupMap(rollDir) == directOfSnapshot(snapDir))
+    assert(rollupMap(rollDir) == Map("beta" -> (1L, 105L)))
+  }
 }
