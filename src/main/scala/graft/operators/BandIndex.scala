@@ -1,0 +1,237 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Persisted, BUCKETED LSH band index — the structure that makes
+  * incremental near-dup detection O(batch) instead of O(corpus).
+  *
+  * Round 9's q78 had the right probe shape (batch bands equi-joined
+  * against a history band index) but recomputed the history side —
+  * shingles → minhash signatures → band keys for 90% of the corpus — on
+  * EVERY run, so the measured per-batch cost was O(corpus) and its scale
+  * curve went superlinear at ×16. This object is the fix: the history
+  * index is materialized ONCE as a parquet table bucketed by
+  * `(band_idx, band_key)` (the probe join's exact keys), so a batch
+  * probe
+  *
+  *  - shingles/minhashes only the BATCH docs (O(batch) compute), and
+  *  - joins them against the index with a shuffle on the BATCH SIDE
+  *    ONLY — the bucketed scan already satisfies the join's clustered
+  *    distribution, so Spark inserts no exchange above it
+  *    ([[BandIndexSpec]] pins that plan: the sort-merge join reaches the
+  *    index scan with zero intervening `ShuffleExchange`).
+  *
+  * After a batch is admitted, [[append]] inserts the batch's bands into
+  * the same table (bucket layout preserved by the bucketed-append
+  * writer), which is the whole incremental-maintenance loop: ingest →
+  * probe → admit → append. [[BandIndexSpec]] proves two chained batches
+  * through that loop match a from-scratch recompute exactly.
+  *
+  * Freshness: the index directory carries a `_GRAFT_FP` fingerprint of
+  * the source `documents.parquet` file metadata (name/length/mtime per
+  * file — an O(#files) listing, no data scan); [[ensure]] rebuilds when
+  * the fingerprint drifts (the driver regenerates testdata between
+  * rounds) and re-registers an existing valid index into the session
+  * catalog after a JVM restart (Spark's default in-memory catalog does
+  * not persist table metadata). At 100 TB the fingerprint's role is
+  * played by a table-format snapshot id; the local-FS listing is the
+  * same contract at this harness's scale.
+  *
+  * Hot-key cap semantics: bands are capped per SIDE ([[Dedup.HotKeyCap]]
+  * at index build/append and again on each batch), not on the combined
+  * corpus — an incremental index cannot know future batches, so the
+  * per-side cap IS the incremental contract. The two formulations only
+  * diverge when a band's combined frequency crosses the cap across the
+  * split, far above anything the test corpora produce (max observed
+  * band frequency at sf0.1 is 25 vs cap 256), so the DuckDB oracle
+  * needs no cap arm — same contract as q36.
+  *
+  * Single-writer contract: concurrent [[ensure]] calls from separate
+  * JVMs may race the build; the build is idempotent (same input → same
+  * index) and the fingerprint is written last, so a half-built loser is
+  * rebuilt on next touch rather than read.
+  */
+object BandIndex {
+
+  /** Buckets = the engine's shuffle-partition count at bench scale, so
+    * the batch side shuffles into exactly the index's layout.
+    */
+  val NumBuckets = 32
+
+  def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** One index (table name + directory) per corpus directory. */
+  def tableNameFor(dir: String): String =
+    "graft_band_index_" + md5hex(Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+
+  private def indexPath(dir: String): Path =
+    Paths.get(indexRoot, tableNameFor(dir))
+
+  /** File-metadata fingerprint of `documents.parquet` under `dir` (file
+    * or directory of part files): no data scan, invalidates on any
+    * rewrite because mtimes move.
+    */
+  def fingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/documents.parquet")
+    def entries(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).flatMap(entries).toSeq
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    md5hex(entries(root).mkString("\n"))
+  }
+
+  /** q44/q78's engine-identical deterministic ingest bucketing: first md5
+    * byte of `lang:doc_id` as an int in [0, 256). Bucket ≥ 230 is the
+    * ~10% slice standing in for an ingest delta; < 230 is history.
+    */
+  def ingestBucket: Column =
+    conv(substring(md5(concat_ws(":",
+      coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2), 16, 10)
+      .cast("int")
+
+  val BatchThreshold = 230
+
+  private def docsWithBucket(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("bucket", ingestBucket)
+
+  /** Capped band keys for an arbitrary (doc_id, text) frame. */
+  private def bandsOfDocs(d: DataFrame): DataFrame =
+    Dedup.bandsOf(Dedup.shingleIndexOf(d).select("doc_id", "sh"))
+
+  /** Build the bucketed index over `histDocs` (doc_id, text) at `path`,
+    * registered as `name`. The pre-write `repartition` on the bucket
+    * columns uses the same hash the bucketed writer assigns files by, so
+    * each task lands ~one bucket file instead of up to [[NumBuckets]]
+    * files per task.
+    */
+  def buildIndex(spark: SparkSession, histDocs: DataFrame, name: String,
+      path: Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    deleteTree(path)
+    bandsOfDocs(histDocs)
+      .select(col("doc_id").as("hist_id"), col("band_idx"), col("band_key"))
+      .repartition(NumBuckets, col("band_idx"), col("band_key"))
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "band_idx", "band_key")
+      .sortBy("band_idx", "band_key")
+      .option("path", path.toString)
+      .saveAsTable(name)
+  }
+
+  /** Register an existing on-disk index (written by [[buildIndex]], so
+    * the files carry the bucketed writer's bucket-id naming) into this
+    * session's catalog — the post-JVM-restart path.
+    */
+  private def register(spark: SparkSession, name: String, path: Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"""CREATE TABLE `$name` (hist_id BIGINT, band_idx INT, band_key STRING)
+         |USING PARQUET
+         |CLUSTERED BY (band_idx, band_key) INTO $NumBuckets BUCKETS
+         |LOCATION '${path.toString}'""".stripMargin)
+  }
+
+  /** Append an admitted batch's bands to the index. `mode("append")
+    * .bucketBy` on the existing table validates the spec matches and
+    * writes bucket-id-named files, so subsequent probes still read the
+    * table bucketed.
+    */
+  def append(spark: SparkSession, name: String, admittedDocs: DataFrame): Unit =
+    bandsOfDocs(admittedDocs)
+      .select(col("doc_id").as("hist_id"), col("band_idx"), col("band_key"))
+      .repartition(NumBuckets, col("band_idx"), col("band_key"))
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "band_idx", "band_key")
+      .sortBy("band_idx", "band_key")
+      .mode("append")
+      .saveAsTable(name)
+
+  /** Ensure the history index for `dir` exists, is fresh, and is in this
+    * session's catalog; returns the table name. Cost: a catalog lookup +
+    * an O(#files) fingerprint when warm; one O(history) build when cold
+    * or stale — paid once per corpus generation, NOT per batch.
+    */
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    val name = tableNameFor(dir)
+    val path = indexPath(dir)
+    val fp = fingerprint(dir)
+    val fpFile = path.resolve("_GRAFT_FP")
+    val validOnDisk = Files.exists(fpFile) &&
+      Files.readString(fpFile).trim == fp
+    if (spark.catalog.tableExists(name) && validOnDisk) name
+    else if (validOnDisk) { register(spark, name, path); name }
+    else {
+      val hist = docsWithBucket(spark, dir)
+        .filter(col("bucket") < BatchThreshold)
+        .select("doc_id", "text")
+      buildIndex(spark, hist, name, path)
+      Files.writeString(fpFile, fp)
+      name
+    }
+  }
+
+  /** Probe `batchDocs` (doc_id, text — doc_id covering ALL batch docs,
+    * shingle-less empty texts included) against the index: per new doc,
+    * distinct near-dup partners in history (`n_hist_dups`) and among
+    * EARLIER batch docs (`n_batch_dups`, smaller doc_id = the
+    * within-batch keep-first), admitted iff it has neither.
+    */
+  def probeIndex(spark: SparkSession, name: String,
+      batchDocs: DataFrame): DataFrame = {
+    val newb = bandsOfDocs(batchDocs)
+    val hist = spark.table(name)
+    val histDups = newb.join(hist, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("hist_id")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hist_dups"))
+    val batchDups = newb.as("a").join(newb.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_key") === col("b.band_key")
+          && col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_batch_dups"))
+    batchDocs.select("doc_id")
+      .join(histDups, Seq("doc_id"), "left")
+      .join(batchDups, Seq("doc_id"), "left")
+      .withColumn("n_hist_dups", coalesce(col("n_hist_dups"), lit(0L)))
+      .withColumn("n_batch_dups", coalesce(col("n_batch_dups"), lit(0L)))
+      .withColumn("admit",
+        col("n_hist_dups") === 0 && col("n_batch_dups") === 0)
+      .orderBy("doc_id")
+  }
+
+  /** q78's entry: ensure the persisted index for `dir`, then probe the
+    * deterministic ~10% ingest slice (bucket ≥ [[BatchThreshold]])
+    * against it. Per-run cost once the index exists: O(batch) shingling
+    * + one batch-side-only shuffle into the index's buckets.
+    */
+  def probe(spark: SparkSession, dir: String): DataFrame = {
+    val name = ensure(spark, dir)
+    val batch = docsWithBucket(spark, dir)
+      .filter(col("bucket") >= BatchThreshold)
+      .select("doc_id", "text")
+    probeIndex(spark, name, batch)
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(p.toFile)
+    }
+}

@@ -47,7 +47,7 @@ object Dedup {
       .drop("_kfreq")
   }
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+  private[operators] def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
   /** distinct word-3-gram shingles, built WITHOUT outer-capturing lambdas.
     *
@@ -81,9 +81,15 @@ object Dedup {
     * few partitions (see [[graft.core.CpuSpread]]).
     */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    shingleIndexOf(docs(s, dir))
+
+  /** [[shingleIndex]] over an arbitrary (doc_id, text) frame — the entry
+    * point [[BandIndex]] uses to shingle ONLY an ingest batch (or only
+    * the history side at index-build time) instead of the whole corpus.
+    */
+  private[operators] def shingleIndexOf(d: DataFrame): DataFrame =
     graft.core.CpuSpread.byKey(
-      docs(s, dir)
-        .select(col("doc_id"), split(trim(col("text")), Ws.Plus).as("t")),
+      d.select(col("doc_id"), split(trim(col("text")), Ws.Plus).as("t")),
       col("doc_id"))
       .select(col("doc_id"), shinglesOf(col("t")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
@@ -94,7 +100,7 @@ object Dedup {
     * incremental probe (which joins NEW-batch bands against this index
     * instead of self-joining it).
     */
-  private def bandsOf(sh: DataFrame): DataFrame = {
+  private[operators] def bandsOf(sh: DataFrame): DataFrame = {
     val minCols = (0 until 8).map(i =>
       min(md5(concat_ws(":", lit(i), col("sh")))).as(s"mh$i"))
     val sig = sh.groupBy("doc_id")
@@ -720,52 +726,29 @@ object Dedup {
     /* Incremental dedup: probe a NEW ingest batch against the historical
      * LSH band index instead of re-deduplicating the whole corpus — the
      * shape that makes near-dup detection affordable on a CONTINUOUSLY
-     * ingesting 100-TB corpus (per-batch cost is O(batch bands) + one
-     * equi-join against an index that in production is a bucketed table
-     * on (band_idx, band_key), so the probe shuffles only the batch
-     * side). The batch here is a deterministic ~10% md5-bucket slice
-     * (bucket >= 230, q44's engine-identical bucketing) standing in for
-     * an ingest delta. Each new doc reports its distinct near-dup
-     * partners in history AND among EARLIER batch docs (smaller doc_id —
-     * the within-batch keep-first), and is admitted iff it has neither:
-     * exactly the q36→q56 detect→apply loop, restated incrementally.
-     * Bands are capped on the full corpus (hot boilerplate bands span
-     * both sides by definition); the cap never fires at test SF so the
-     * oracle needs no cap arm (same contract as q36).
+     * ingesting 100-TB corpus. The history index is a PERSISTED parquet
+     * table bucketed by (band_idx, band_key) ([[BandIndex]]): built once
+     * per corpus generation (fingerprint-guarded), so the per-run cost
+     * is O(batch) shingling + an equi-join whose only exchange is on the
+     * batch side (the bucketed scan satisfies the join's clustered
+     * distribution — round 9 recomputed the history bands every run,
+     * which made the benched per-batch cost O(corpus) and the curve
+     * superlinear at ×16; this is the fix). The batch is a deterministic
+     * ~10% md5-bucket slice (bucket >= 230, q44's engine-identical
+     * bucketing) standing in for an ingest delta. Each new doc reports
+     * its distinct near-dup partners in history AND among EARLIER batch
+     * docs (smaller doc_id — the within-batch keep-first), and is
+     * admitted iff it has neither: exactly the q36→q56 detect→apply
+     * loop, restated incrementally. Bands are capped per SIDE (the cap
+     * never fires at test SF so the oracle needs no cap arm — see
+     * [[BandIndex]]'s scaladoc for why per-side is the incremental
+     * contract). [[BandIndex.append]] closes the maintenance loop
+     * (ingest → probe → admit → append), chained-batch-vs-recompute
+     * proven in BandIndexSpec.
      */
     QueryDef(
       "q78_incremental_dedup",
-      (s, dir) => {
-        val bucket = conv(
-          substring(md5(concat_ws(":",
-            coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2),
-          16, 10).cast("int")
-        val base = docs(s, dir).select(col("doc_id"), bucket.as("bucket"))
-        val bands = bandsOf(shingleIndex(s, dir).select("doc_id", "sh"))
-          .join(base, "doc_id")
-        val hist = bands.filter(col("bucket") < 230)
-          .select(col("doc_id").as("hist_id"), col("band_idx"), col("band_key"))
-        val newb = bands.filter(col("bucket") >= 230)
-          .select(col("doc_id"), col("band_idx"), col("band_key"))
-        val histDups = newb.join(hist, Seq("band_idx", "band_key"))
-          .select(col("doc_id"), col("hist_id")).distinct()
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hist_dups"))
-        val batchDups = newb.as("a").join(newb.as("b"),
-            col("a.band_idx") === col("b.band_idx")
-              && col("a.band_key") === col("b.band_key")
-              && col("b.doc_id") < col("a.doc_id"))
-          .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
-          .distinct()
-          .groupBy("doc_id").agg(count(lit(1)).as("n_batch_dups"))
-        base.filter(col("bucket") >= 230).select("doc_id")
-          .join(histDups, Seq("doc_id"), "left")
-          .join(batchDups, Seq("doc_id"), "left")
-          .withColumn("n_hist_dups", coalesce(col("n_hist_dups"), lit(0L)))
-          .withColumn("n_batch_dups", coalesce(col("n_batch_dups"), lit(0L)))
-          .withColumn("admit",
-            col("n_hist_dups") === 0 && col("n_batch_dups") === 0)
-          .orderBy("doc_id")
-      },
+      (s, dir) => BandIndex.probe(s, dir),
       Some("WITH " + pairsCte +
         """,
           |bk AS (SELECT doc_id,
