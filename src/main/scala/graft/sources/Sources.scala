@@ -261,18 +261,35 @@ object Sources {
     *
     * One range exchange on the morton key at write time; the morton
     * column is dropped before landing. Caller contract: keys are
-    * non-negative longs (the normalization makes any magnitude safe;
-    * ZOrderWriteSpec pins the interleave bit-for-bit against a driver
-    * replay over the key domain actually written).
+    * non-negative longs. The rank picks its arithmetic by domain width:
+    * narrow domains (< 2^40) multiply first (`(c-lo)*65535/(hi-lo)` —
+    * exact, and the scale-UP is what balances a 13-bit key against an
+    * 8-bit one), wide domains divide first (`(c-lo)/((hi-lo)/65535)` —
+    * a multiply-first formulation would overflow long past ~1.4e14, and
+    * a domain that wide needs no scale-up). ZOrderWriteSpec pins the
+    * interleave bit-for-bit against a driver replay over the key domain
+    * actually written, and both the wide-domain and the empty-input
+    * case: empty input writes an empty (schema-only) parquet dir rather
+    * than NPE-ing on the null min/max aggregate.
     */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
       k1: String, k2: String): Unit = {
     import org.apache.spark.sql.functions.{col, greatest, lit, max, min}
     val r = df.agg(min(col(k1)), max(col(k1)), min(col(k2)), max(col(k2)))
       .head()
-    def rank(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-      ((c.cast("long") - lit(lo)) * lit(65535L) /
-        greatest(lit(hi - lo), lit(1L))).cast("long")
+    if (r.isNullAt(0)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    def rank(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      val span = math.max(hi - lo, 1L)
+      val d = c.cast("long") - lit(lo)
+      // d ≤ span, so multiply-first stays below 2^40 * 65535 < 2^63;
+      // both branches are monotone (Spark `/` on longs is double
+      // division, cast-truncated — a rank is only a tile coordinate)
+      if (span < (1L << 40)) (d * lit(65535L) / lit(span)).cast("long")
+      else (d / lit(math.max(span / 65535L, 1L))).cast("long")
+    }
     val z = "__graft_morton"
     df.withColumn(z, mortonInterleave(
         rank(col(k1), r.getLong(0), r.getLong(1)),

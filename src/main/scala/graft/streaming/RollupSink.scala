@@ -74,12 +74,32 @@ object RollupSink {
       batchId: Long): DataFrame =
     versionBefore(snapDir, batchId) match {
       case Some(v) => spark.read.parquet(s"$snapDir/v=$v")
-      case None => UpsertSink.snapshot(spark, snapDir) match {
-        // no version below batchId: before the first batch the snapshot
-        // is empty; reuse UpsertSink's empty-schema frame via an
-        // impossible filter so the schema stays canonical
-        case s => s.filter(lit(false))
-      }
+      case None =>
+        // No version below batchId is only legitimate at batch 0 (an
+        // existing v=0/_LATEST there is just UpsertSink having committed
+        // first in the crash window — the pre-batch snapshot is still
+        // genuinely empty). At batchId > 0 the previous batch MUST have
+        // left a version below us (batches commit in order), so reaching
+        // here means it was vacuumed with keep=1 during the
+        // snapshot-committed/rollup-pending window; an empty fallback
+        // would silently zero the minus side and corrupt the rollup —
+        // fail loudly instead (the keep >= 2 contract, enforced).
+        if (batchId > 0) {
+          val d = new java.io.File(snapDir)
+          val hasState = Files.exists(pointerPath(snapDir)) ||
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .exists(f => f.isDirectory && f.getName.startsWith("v="))
+          if (hasState)
+            throw new IllegalStateException(
+              s"RollupSink: no snapshot version below batch $batchId in " +
+                s"$snapDir but the directory has snapshot state — the " +
+                "pre-batch version was vacuumed (snapshot vacuum must " +
+                "keep >= 2 versions); refusing to double-count")
+        }
+        // before the first batch the snapshot is empty; reuse
+        // UpsertSink's empty-schema frame via an impossible filter so
+        // the schema stays canonical
+        UpsertSink.snapshot(spark, snapDir).filter(lit(false))
     }
 
   /** Apply one micro-batch's rollup delta; false iff already applied.

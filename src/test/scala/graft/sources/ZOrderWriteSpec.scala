@@ -47,6 +47,35 @@ class ZOrderWriteSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("empty input writes a schema-only layout instead of NPE-ing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-empty")
+    val empty = Seq.empty[(Long, Long, String)].toDF("a", "b", "p")
+    Sources.writeZOrdered(empty, s"$dir/t", 4, "a", "b")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("a", "b", "p"))
+  }
+
+  test("key domains wider than ~1.4e14 z-order without long overflow") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-wide")
+    // a multiply-first rank ((c-lo)*65535) overflows long once hi-lo
+    // exceeds Long.MaxValue/65535 ≈ 1.4e14; this domain is 1000× wider
+    val n = 1000L
+    val wide = spark.range(n).select(
+      (col("id") * lit(140737488355L)).as("a"), // spans ~1.4e17
+      (col("id") % 97).as("b"))
+    Sources.writeZOrdered(wide, s"$dir/t", 4, "a", "b")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == n)
+    // ranks must still be spread, not collapsed by overflow wraparound:
+    // the range exchange should put distinct a-ranges in distinct files
+    val perFile = back.groupBy(input_file_name()).agg(
+      min(col("a")).as("lo"), max(col("a")).as("hi")).collect()
+    assert(perFile.length > 1)
+  }
+
   test("z-order skips on BOTH keys; single-key sort degrades on the other key") {
     val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val sDir = java.nio.file.Files.createTempDirectory("graft-zsorted").toString

@@ -96,6 +96,35 @@ class RollupSinkSpec extends SparkSpec {
     assert(rollupMap(rollDir) == Map("alpha" -> (1L, 125L)))
   }
 
+  test("a vacuumed pre-batch snapshot version fails loudly, not silently") {
+    val snapDir = tmp("graft-roll3-snap")
+    val rollDir = tmp("graft-roll3-roll")
+
+    // batch-0 crash window (UpsertSink committed v=0, rollup has not run)
+    // must still work: the pre-batch snapshot is GENUINELY empty there
+    val b0 = changes((1L, "alpha", 100L, false, at("10:00")))
+    assert(UpsertSink.applyBatch(b0, 0L, snapDir))
+    assert(RollupSink.applyBatch(b0, 0L, snapDir, rollDir))
+    assert(rollupMap(rollDir) == Map("alpha" -> (1L, 100L)))
+
+    // violate the keep >= 2 vacuum contract: remove v=0 while the
+    // rollup has not applied batch 1 yet. The empty-snapshot fallback
+    // would zero the minus side (alpha would read 225 instead of 125);
+    // the sink must refuse instead.
+    assert(UpsertSink.applyBatch(
+      changes((1L, "alpha", 25L, false, at("11:00"))), 1L, snapDir))
+    val v0 = java.nio.file.Paths.get(snapDir, "v=0")
+    Option(v0.toFile.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    java.nio.file.Files.delete(v0)
+    val e = intercept[IllegalStateException] {
+      RollupSink.applyBatch(
+        changes((1L, "alpha", 25L, false, at("11:00"))), 1L, snapDir, rollDir)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    // and the rollup state is untouched by the refused batch
+    assert(rollupMap(rollDir) == Map("alpha" -> (1L, 100L)))
+  }
+
   test("attach: engine restart from checkpoint keeps rollup == direct recompute") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext

@@ -55,15 +55,21 @@ if repeat_path:
             line = line.strip()
             if line:
                 sessions.append(json.loads(line))
-    if sessions:
-        mins = [s["min"] for s in sessions]
+    # group by the session's query field — a jsonl that accumulates
+    # repeats for several queries must yield one envelope block per
+    # query, not silently merge every session under the first query's key
+    by_query = {}
+    for s in sessions:
+        by_query.setdefault(s["query"], []).append(s)
+    for qname, qsessions in by_query.items():
+        mins = [s["min"] for s in qsessions]
         # key the envelope by the query's short prefix (q26_repeat,
         # q80_repeat, ...) so each expensive query keeps its own block
-        key = sessions[0]["query"].split("_")[0] + "_repeat"
+        key = qname.split("_")[0] + "_repeat"
         merged[key] = {
-            "query": sessions[0]["query"],
-            "k": sessions[0]["k"],
-            "sessions": sessions,
+            "query": qname,
+            "k": qsessions[0]["k"],
+            "sessions": qsessions,
             "cross_session_min_ratio": round(max(mins) / min(mins), 3),
             "note": ("min-of-10 per session; runs above ~1.5x min sit in "
                      "documented noisy-neighbor windows (all tasks "
