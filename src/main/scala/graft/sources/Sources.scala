@@ -318,6 +318,41 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Bloom-filtered parquet layout — the THIRD data-skipping surface,
+    * completing range-sort ([[writeRangeSorted]]: one leading key) and
+    * Z-order ([[writeZOrdered]]: two keys): per-row-group parquet bloom
+    * filters on high-cardinality POINT-LOOKUP columns (doc_id,
+    * fingerprint, content hash). Min/max footer stats are useless for
+    * these — on an unclustered layout every row group's [min, max] spans
+    * nearly the whole key domain, so a point probe prunes nothing — but
+    * a bloom filter answers "definitely absent" per row group, and the
+    * parquet reader consults it for pushed-down equality predicates,
+    * skipping the row group entirely. At 100 TB this is the difference
+    * between a point lookup touching a handful of row groups and
+    * scanning the corpus; it composes with the other layouts (a
+    * range-sorted table can still carry blooms on its NON-sort columns,
+    * which its sort order cannot skip on).
+    *
+    * `ndv` sizes the filter (bits scale with expected distinct values;
+    * an undersized bloom's false-positive rate climbs and skipping
+    * decays — size it to the per-file distinct count, not the table's).
+    * BloomFilterWriteSpec proves the chain at the storage level: blooms
+    * present in every row group, probe values in the data test positive,
+    * absent probes test negative (= the reader skips), on row groups
+    * whose min/max ranges all CONTAIN those probes (= stats alone could
+    * not have skipped), with the equality predicate shown pushed to the
+    * scan.
+    */
+  def writeBloomFiltered(df: DataFrame, path: String, numFiles: Int,
+      ndv: Long, bloomCols: String*): Unit = {
+    require(bloomCols.nonEmpty, "writeBloomFiltered needs at least one column")
+    val w = df.repartition(numFiles).write.mode("overwrite")
+    bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
+
   /** Outcome of [[compactSmallFiles]]. `filesAfter == filesBefore` with
     * `rewritten == false` means the layout was already at-or-below the
     * target and nothing was touched.
