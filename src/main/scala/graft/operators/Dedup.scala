@@ -877,6 +877,81 @@ object Dedup {
              |               THEN 1 ELSE 0 END)) AS INT) AS hamming
              |      FROM pr)
              |SELECT d1, d2, hamming FROM h WHERE hamming <= 3
-             |ORDER BY d1, d2""".stripMargin))
+             |ORDER BY d1, d2""".stripMargin)),
+
+    /* Index MAINTENANCE loop, oracle-gated: the full incremental-dedup
+     * lifecycle — build the band index on history (bucket < 200), probe
+     * ingest batch 1 ([200,230)), ADMIT it ([[BandIndex.append]]), then
+     * probe batch 2 ([230,256)) against the grown index — emitted as one
+     * frame (batch_no 1|2). The DuckDB oracle recomputes each phase
+     * monolithically (phase 2's history = bucket < 230 exactly because
+     * batch 1 was appended), so the hash gate proves the APPEND path —
+     * bucket layout, per-side capping, join-back — not just the probe
+     * that q78 gates. Batch 1's probe is eagerly checkpointed before the
+     * append mutates the table (a lazy plan would read the post-append
+     * files and see batch 1 as its own history). The scratch index is
+     * rebuilt per run (deterministic name, overwrite) so the query stays
+     * idempotent; the PERSISTED production index q78 reads is untouched.
+     */
+    QueryDef(
+      "q87_index_maintenance",
+      (s, dir) => {
+        val name = BandIndex.tableNameFor(dir) + "_maint"
+        val path = java.nio.file.Paths.get(BandIndex.indexRoot, name)
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .withColumn("bucket", BandIndex.ingestBucket)
+        def slice(lo: Int, hi: Int) =
+          base.filter(col("bucket") >= lo && col("bucket") < hi)
+            .select("doc_id", "text")
+        BandIndex.buildIndex(s, slice(0, 200), name, path)
+        val p1 = BandIndex.probeIndex(s, name, slice(200, 230))
+          .withColumn("batch_no", lit(1))
+          .localCheckpoint(true)
+        BandIndex.append(s, name, slice(200, 230))
+        val p2 = BandIndex.probeIndex(s, name, slice(230, 256))
+          .withColumn("batch_no", lit(2))
+        p1.unionByName(p2).orderBy("batch_no", "doc_id")
+      },
+      {
+        def phase(n: Int, histMax: Int, lo: Int, hi: Int): String =
+          s"""hist$n AS (SELECT b.doc_id AS hist_id, b.band_idx, b.band_key
+             |           FROM bands b JOIN bk ON bk.doc_id = b.doc_id
+             |           WHERE bk.bucket < $histMax),
+             |newb$n AS (SELECT b.doc_id, b.band_idx, b.band_key
+             |           FROM bands b JOIN bk ON bk.doc_id = b.doc_id
+             |           WHERE bk.bucket >= $lo AND bk.bucket < $hi),
+             |hd$n AS (SELECT doc_id, count(*) AS n_hist_dups FROM (
+             |           SELECT DISTINCT n.doc_id, h.hist_id
+             |           FROM newb$n n JOIN hist$n h
+             |             ON n.band_idx = h.band_idx AND n.band_key = h.band_key) t
+             |         GROUP BY 1),
+             |bd$n AS (SELECT doc_id, count(*) AS n_batch_dups FROM (
+             |           SELECT DISTINCT a.doc_id, b.doc_id AS oid
+             |           FROM newb$n a JOIN newb$n b
+             |             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             |                AND b.doc_id < a.doc_id) t
+             |         GROUP BY 1),
+             |p$n AS (SELECT k.doc_id,
+             |          COALESCE(hd.n_hist_dups, 0) AS n_hist_dups,
+             |          COALESCE(bd.n_batch_dups, 0) AS n_batch_dups,
+             |          COALESCE(hd.n_hist_dups, 0) = 0
+             |            AND COALESCE(bd.n_batch_dups, 0) = 0 AS admit,
+             |          $n AS batch_no
+             |        FROM bk k
+             |        LEFT JOIN hd$n hd ON hd.doc_id = k.doc_id
+             |        LEFT JOIN bd$n bd ON bd.doc_id = k.doc_id
+             |        WHERE k.bucket >= $lo AND k.bucket < $hi)""".stripMargin
+        Some("WITH " + pairsCte +
+          """,
+            |bk AS (SELECT doc_id,
+            |         CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+            |       FROM documents),
+            |""".stripMargin +
+          phase(1, 200, 200, 230) + ",\n" + phase(2, 230, 230, 256) +
+          """
+            |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+            |ORDER BY batch_no, doc_id""".stripMargin)
+      })
   )
 }
