@@ -64,6 +64,11 @@ object StageProfile {
     val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val runMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val cpuMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // (inputBytes, shuffleReadBytes, shuffleWriteBytes) — the signature
+    // that maps an anonymous codegen stage back to its plan phase: the
+    // scan stage has input>0, a join/agg map side writes shuffle, a
+    // reduce side reads it
+    val ioBytes = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(
           e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
@@ -101,6 +106,10 @@ object StageProfile {
         if (m != null) {
           runMs.merge(te.stageId, m.executorRunTime, Long.box(_) + _)
           cpuMs.merge(te.stageId, m.executorCpuTime / 1000000L, Long.box(_) + _)
+          ioBytes.merge(te.stageId,
+            (m.inputMetrics.bytesRead, m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleWriteMetrics.bytesWritten),
+            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
         }
       }
     })
@@ -125,7 +134,8 @@ object StageProfile {
     }
     if (sys.env.contains("SPARK_GRAFT_PROFILE_DEBUG")) {
       rows.sortBy(_._1).foreach { case (sid, site, wall, run, cpu) =>
-        println(f"[profile-debug] stage=$sid%-4d run=${run}%7d ms  site=$site  name=${stages.get(sid)._1}")
+        val (in, sr, sw) = ioBytes.getOrDefault(sid, (0L, 0L, 0L))
+        println(f"[profile-debug] stage=$sid%-4d run=${run}%7d ms  in=${in / 1048576}%5d MB  sRead=${sr / 1048576}%5d MB  sWrite=${sw / 1048576}%5d MB  site=$site  name=${stages.get(sid)._1}")
       }
       execDesc.asScala.toSeq.sortBy(_._1).foreach { case (id, d) =>
         println(s"[profile-debug] exec=$id desc=$d")
