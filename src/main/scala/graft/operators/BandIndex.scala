@@ -188,20 +188,44 @@ object BandIndex {
     * distinct near-dup partners in history (`n_hist_dups`) and among
     * EARLIER batch docs (`n_batch_dups`, smaller doc_id = the
     * within-batch keep-first), admitted iff it has neither.
+    *
+    * `excludeBatchFromHistory` is the streaming REPLAY seam
+    * ([[graft.streaming.IngestDedupSink]]): if a prior attempt at this
+    * batch appended its bands to the index and crashed before committing
+    * the decision log, the replayed probe would find the batch's own
+    * docs as "history" partners and reject everything. Excluding the
+    * batch's own ids from the hist leg (left_anti on the small batch-id
+    * set — a broadcast at any realistic batch size) makes the probe
+    * idempotent under replay-after-append; within-batch partners are
+    * still counted, by the batchDups leg, exactly once. Duplicate band
+    * rows from a double append are harmless by construction — both legs
+    * count DISTINCT partner ids.
     */
-  def probeIndex(spark: SparkSession, name: String,
-      batchDocs: DataFrame): DataFrame = {
+  def probeIndex(spark: SparkSession, name: String, batchDocs: DataFrame,
+      excludeBatchFromHistory: Boolean = false): DataFrame = {
     val newb = bandsOfDocs(batchDocs)
     val hist = spark.table(name)
-    val histDups = newb.join(hist, Seq("band_idx", "band_key"))
+    val histHits = newb.join(hist, Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("hist_id")).distinct()
+    val histClean =
+      if (excludeBatchFromHistory)
+        histHits.join(batchDocs.select(col("doc_id").as("hist_id")),
+          Seq("hist_id"), "left_anti")
+      else histHits
+    val histDups = histClean
       .groupBy("doc_id").agg(count(lit(1)).as("n_hist_dups"))
-    val batchDups = newb.as("a").join(newb.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_key") === col("b.band_key")
-          && col("b.doc_id") < col("a.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
-      .distinct()
+    // within-batch keep-first: the b-side is a RENAMED projection, not an
+    // as("a")/as("b") alias pair — in a plan where the batch frame
+    // already appears in several subtrees (bands, exclusion, join-back),
+    // Spark's self-join disambiguation mis-bound the aliased condition
+    // (observed: the pair landed on the SMALLER id), while renamed
+    // top-level attributes cannot mis-resolve
+    val bSide = newb.select(col("doc_id").as("other"),
+      col("band_idx").as("b_idx"), col("band_key").as("b_key"))
+    val batchDups = newb.join(bSide,
+        col("band_idx") === col("b_idx") && col("band_key") === col("b_key")
+          && col("other") < col("doc_id"))
+      .select("doc_id", "other").distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_batch_dups"))
     batchDocs.select("doc_id")
       .join(histDups, Seq("doc_id"), "left")
@@ -212,6 +236,23 @@ object BandIndex {
         col("n_hist_dups") === 0 && col("n_batch_dups") === 0)
       .orderBy("doc_id")
   }
+
+  /** An empty (doc_id, text) frame — [[initIndex]]'s history when an
+    * ingest stream starts from nothing.
+    */
+  def emptyDocs(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  /** Create an EMPTY bucketed index (schema + bucket spec, no rows) —
+    * the cold-start entry for a continuous ingest stream.
+    */
+  def initIndex(spark: SparkSession, name: String, path: Path): Unit =
+    buildIndex(spark, emptyDocs(spark), name, path)
 
   /** q78's entry: ensure the persisted index for `dir`, then probe the
     * deterministic ~10% ingest slice (bucket ≥ [[BatchThreshold]])
