@@ -119,11 +119,16 @@ object Dedup {
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = bandsOf(shingleIndex(s, dir).select("doc_id", "sh"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx")
-          && col("a.band_key") === col("b.band_key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // renamed-projection self-join, not as("a")/as("b") aliases: aliased
+    // conditions can silently mis-bind when the frame is reused across
+    // subtrees of a larger plan (observed in BandIndex.probeIndex's
+    // batch leg); renamed top-level attributes cannot
+    val bSide = bands.select(col("doc_id").as("d2"),
+      col("band_idx").as("b_idx"), col("band_key").as("b_key"))
+    bands.join(bSide,
+        col("band_idx") === col("b_idx") && col("band_key") === col("b_key")
+          && col("doc_id") < col("d2"))
+      .select(col("doc_id").as("d1"), col("d2"))
       .distinct()
   }
 
@@ -617,10 +622,13 @@ object Dedup {
           .select(col("source"), explode(shinglesOf(col("t"))).as("sh"))
           .distinct()
         val tot = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
-        srcSh.as("a")
-          .join(srcSh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        // renamed-projection self-join (see minhashPairs' comment)
+        val bSide = srcSh.select(col("source").as("source_b"),
+          col("sh").as("sh_b"))
+        srcSh
+          .join(bSide,
+            col("sh") === col("sh_b") && col("source") < col("source_b"))
+          .groupBy(col("source").as("source_a"), col("source_b"))
           .agg(count(lit(1)).as("n_shared"))
           .join(tot.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
           .join(tot.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
@@ -840,11 +848,14 @@ object Dedup {
           zip_with(split(col("s1"), ""), split(col("s2"), ""),
             (x, y) => when(x =!= y, 1).otherwise(0)),
           lit(0), (a, x) => a + x)
-        chunks.as("a").join(chunks.as("b"),
-            col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            col("a.s").as("s1"), col("b.s").as("s2"))
+        // renamed-projection self-join (see minhashPairs' comment)
+        val bSide = chunks.select(col("doc_id").as("d2"),
+          col("c").as("c_b"), col("chunk").as("chunk_b"), col("s").as("s2"))
+        chunks.join(bSide,
+            col("c") === col("c_b") && col("chunk") === col("chunk_b")
+              && col("doc_id") < col("d2"))
+          .select(col("doc_id").as("d1"), col("d2"),
+            col("s").as("s1"), col("s2"))
           .distinct()
           .withColumn("hamming", ham)
           .filter(col("hamming") <= 3)
