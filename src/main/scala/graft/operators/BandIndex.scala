@@ -118,17 +118,43 @@ object BandIndex {
     * files per task.
     */
   def buildIndex(spark: SparkSession, histDocs: DataFrame, name: String,
-      path: Path): Unit = {
+      path: Path): Unit =
+    writeIndexRows(spark,
+      bandsOfDocs(histDocs)
+        .select(col("doc_id").as("hist_id"), col("band_idx"), col("band_key")),
+      name, path)
+
+  private def writeIndexRows(spark: SparkSession, rows: DataFrame,
+      name: String, path: Path): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     deleteTree(path)
-    bandsOfDocs(histDocs)
-      .select(col("doc_id").as("hist_id"), col("band_idx"), col("band_key"))
+    rows
       .repartition(NumBuckets, col("band_idx"), col("band_key"))
       .write.format("parquet")
       .bucketBy(NumBuckets, "band_idx", "band_key")
       .sortBy("band_idx", "band_key")
       .option("path", path.toString)
       .saveAsTable(name)
+  }
+
+  /** Fold away duplicate band rows (legitimately accrued by
+    * crash-replayed appends — the index is at-least-once storage with
+    * distinct-count read semantics, so duplicates never change answers;
+    * they only cost scan bytes). The distinct rows are EAGERLY pinned
+    * off the table's files before the in-place rewrite, and the
+    * fingerprint sidecar is preserved — compaction changes the layout,
+    * not which corpus the index covers. Returns (rows before, after).
+    */
+  def compact(spark: SparkSession, name: String, path: Path): (Long, Long) = {
+    val fp = {
+      val f = path.resolve("_GRAFT_FP")
+      if (Files.exists(f)) Some(Files.readString(f)) else None
+    }
+    val before = spark.table(name).count()
+    val rows = spark.table(name).distinct().localCheckpoint(true)
+    writeIndexRows(spark, rows, name, path)
+    fp.foreach(Files.writeString(path.resolve("_GRAFT_FP"), _))
+    (before, spark.table(name).count())
   }
 
   /** Register an existing on-disk index (written by [[buildIndex]], so

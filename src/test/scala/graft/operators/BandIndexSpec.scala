@@ -133,6 +133,41 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction folds duplicate appends away without changing any answer") {
+    val name = "graft_bandidx_compact_test"
+    val path = java.nio.file.Files.createTempDirectory("graft-bandidx-compact")
+      .resolve("idx")
+    try {
+      BandIndex.buildIndex(spark, docsSlice(0, 200), name, path)
+      // a crash-replayed append: the same batch lands twice
+      BandIndex.append(spark, name, docsSlice(200, 230))
+      BandIndex.append(spark, name, docsSlice(200, 230))
+      val probe = rows(BandIndex.probeIndex(spark, name, docsSlice(230, 256)))
+      val (before, after) = BandIndex.compact(spark, name, path)
+      assert(after < before, s"duplicates should fold: $before -> $after")
+      assert(after == spark.table(name).distinct().count())
+      // identical decisions, and the rewritten table still reads bucketed
+      assert(rows(BandIndex.probeIndex(spark, name, docsSlice(230, 256))) == probe)
+      val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = BandIndex.probeIndex(spark, name, docsSlice(230, 256))
+          .queryExecution.executedPlan
+        val scans = plan.collect {
+          case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == name) => f
+        }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          "compacted index lost its bucketed layout")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
   test("a rewritten corpus (fingerprint drift) rebuilds the index") {
     val corpus = java.nio.file.Files.createTempDirectory("graft-bandidx-fp")
     import spark.implicits._
