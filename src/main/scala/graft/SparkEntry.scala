@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Runner, Similarity, TextAnalysis, Waterfall}
+import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Retrieval, Runner, Similarity, TextAnalysis, Waterfall}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,6 +95,10 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            signed deltas vs an oracle that recomputes directly over
   *            the new snapshot — the hash gate proves the delta algebra
   *            exact; update cost O(churn)+O(groups), no table rescan
+  *   q88–q90  retrieval family: BM25 lexical top-k (inverted-index
+  *            probe, integer micro-unit scores), SemDeDup semantic
+  *            dedup (within-cell pruning over q42's centroid cells),
+  *            and hybrid lexical+semantic reciprocal rank fusion
   */
 object SparkEntry {
 
@@ -102,7 +106,7 @@ object SparkEntry {
     Relational.defs ++ Waterfall.defs ++ Runner.defs ++ Bridge.defs ++
       Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Events.defs ++ RangeJoin.defs ++ Analytic.defs ++
-      Interchange.defs ++ Curation.defs
+      Interchange.defs ++ Curation.defs ++ Retrieval.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

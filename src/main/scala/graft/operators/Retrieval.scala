@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Retrieval operators over the `documents` + `embeddings` tables: BM25
+  * lexical top-k (q88) and hybrid lexical+semantic fusion via reciprocal
+  * rank fusion (q90). These are the index-side primitives a RAG /
+  * curation pipeline runs at corpus scale — the reference's dictionary
+  * lookup waterfall (`tokenizer.py:897-1392`) is the same
+  * "probe a term index, rank candidates" shape with a domain-specific
+  * scorer; BM25 is the corpus-statistical generalization.
+  *
+  * Scale shape (100 TB): tf is ONE shuffle on (doc_id, term) — the
+  * inverted-index build; df reuses the tf frame so it is
+  * vocabulary-sized; the query-term set rides a broadcast, so the probe
+  * touches only postings of query terms (never the full index); corpus
+  * constants (N, avgdl) ride a 1-row broadcast. Per-query ranking
+  * windows partition by q_id — cardinality bounded by matched postings.
+  *
+  * Determinism: the only transcendental (idf) and the tf saturation
+  * ratio are combined in ONE row-local double expression, rounded once
+  * to integer micro-units; per-doc totals are then LONG sums, so the
+  * aggregation is order-independent and cross-engine exact, and the
+  * ranking is a total order (score DESC, doc_id) — the q73/q74 integer
+  * micro-nat design. Spark round (HALF_UP) ≡ DuckDB round
+  * (half-away-from-zero) on the all-positive scores.
+  */
+object Retrieval {
+
+  private val WordRe = "[a-z0-9]+"
+
+  /** Fixed benchmark query set: (q_id, term), terms normalized by the
+    * same tokenizer as the corpus. Terms absent from the corpus simply
+    * produce no postings (contribute 0), the standard BM25 convention.
+    */
+  private val QueryTerms: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "window", 2L -> "agg", 2L -> "stream",
+    3L -> "vector", 3L -> "scan", 3L -> "filter")
+
+  private def queryTerms(s: SparkSession): DataFrame = {
+    import s.implicits._
+    QueryTerms.toDF("q_id", "term")
+  }
+
+  /** BM25 scores for every (query, document) pair with at least one
+    * matched term: (q_id, doc_id, n_hit, bm25_micro). No ranking — the
+    * callers window to their own k so lexical scoring is reusable by
+    * the fusion query.
+    */
+  def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$WordRe', 0)").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"), col("ws"))
+    // dl is functionally dependent on doc_id: carrying it in the grouping
+    // key costs nothing and saves a join back for document length.
+    val tf = words
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = words.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    // numeric literals are written as the SAME decimal text the oracle
+    // SQL uses (2.2, 1.2, 0.25, 0.75): both engines parse them to the
+    // identical nearest double. Computing k1+1.0 in Scala instead would
+    // hit a round-to-even tie and diverge from the parsed 2.2.
+    val tfSat = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(queryTerms(s)), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * tfSat * lit(1e6)).cast("long").as("term_micro"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("term_micro")).as("bm25_micro"))
+  }
+
+  /** Oracle-side BM25 scoring CTEs, shared verbatim by q88/q90. */
+  private val Bm25Cte: String =
+    """words AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM documents),
+      |dls AS (SELECT doc_id, len(ws) AS dl, ws FROM words),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dls)
+      |  GROUP BY 1, 2, 3),
+      |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls),
+      |qt AS (SELECT * FROM (VALUES
+      |    (1, 'hash'), (1, 'join'),
+      |    (2, 'window'), (2, 'agg'), (2, 'stream'),
+      |    (3, 'vector'), (3, 'scan'), (3, 'filter')) AS v(q_id, term)),
+      |scored AS (
+      |  SELECT q.q_id, t.doc_id,
+      |    CAST(round(ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+      |                        / (CAST(d.df AS DOUBLE) + 0.5))
+      |      * ((CAST(t.tf AS DOUBLE) * 2.2)
+      |         / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25
+      |            + 0.75 * CAST(t.dl AS DOUBLE)
+      |              / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+      |      * 1000000.0) AS BIGINT) AS term_micro
+      |  FROM tf t JOIN qt q USING (term) JOIN dfc d USING (term)
+      |  CROSS JOIN stats s),
+      |perdoc AS (
+      |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+      |    CAST(sum(term_micro) AS BIGINT) AS bm25_micro
+      |  FROM scored GROUP BY 1, 2)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /* BM25 lexical top-k retrieval: Robertson idf
+     * ln(1 + (N - df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75. The
+     * score's aggregation path is integer end-to-end (see object doc),
+     * so the oracle hash pins tokenizer, index build, probe, scorer,
+     * and ranking all at once.
+     */
+    QueryDef(
+      "q88_bm25_topk",
+      (s, dir) => {
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("bm25_micro").desc, col("doc_id"))
+        bm25Scores(s, dir)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "doc_id", "n_hit", "bm25_micro")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $Bm25Cte
+             |SELECT CAST(q_id AS BIGINT) AS q_id, rank, doc_id, n_hit, bm25_micro
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS rank
+             |      FROM perdoc) r
+             |WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    /* Hybrid retrieval via reciprocal rank fusion: the lexical leg is
+     * the BM25 scorer above (top-20); the semantic leg is exact cosine
+     * of each query's embedding (vec_id = q_id — the synthetic tables
+     * share the 0..N id space) against the corpus (top-20, self
+     * excluded, the q40 convention). RRF (Cormack et al., SIGIR'09):
+     * score = Σ 1/(60 + rank) over the lists that retrieved the doc —
+     * kept exact as round(1e9/(60+rank)) LONG units, so fusion is
+     * integer arithmetic and the final ranking a total order.
+     *
+     * Scale shape: each leg ranks independently (lexical: broadcast
+     * probe of the term index; semantic: broadcast query vectors over
+     * the partitioned corpus — at 100 TB the ANN legs q41/q42/q79
+     * substitute 1:1 here); fusion is a (q_id, doc_id) full-outer join
+     * of two k-row-per-query frames — driver-scale tiny, executor-side
+     * still.
+     */
+    QueryDef(
+      "q90_hybrid_rrf",
+      (s, dir) => {
+        val wL = Window.partitionBy("q_id")
+          .orderBy(col("bm25_micro").desc, col("doc_id"))
+        val lex = bm25Scores(s, dir)
+          .withColumn("lex_rank", row_number().over(wL))
+          .filter(col("lex_rank") <= 20)
+          .select("q_id", "doc_id", "lex_rank")
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("nrm", sqrt(aggregate(
+            transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val n = e.select(col("vec_id").as("doc_id"), col("v").as("nv"),
+          col("nrm").as("nn"))
+        val dot = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        val wS = Window.partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))
+        val sem = broadcast(q).crossJoin(n)
+          .filter(col("q_id") =!= col("doc_id"))
+          .withColumn("cos", dot / (col("qn") * col("nn")))
+          .withColumn("sem_rank", row_number().over(wS))
+          .filter(col("sem_rank") <= 20)
+          .select("q_id", "doc_id", "sem_rank")
+        val rrf = coalesce(round(lit(1e9) / (lit(60) + col("lex_rank")))
+            .cast("long"), lit(0L)) +
+          coalesce(round(lit(1e9) / (lit(60) + col("sem_rank")))
+            .cast("long"), lit(0L))
+        val wF = Window.partitionBy("q_id")
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+        lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+          .withColumn("rrf_micro", rrf)
+          .withColumn("rank", row_number().over(wF))
+          .filter(col("rank") <= 10)
+          .select("q_id", "rank", "doc_id", "lex_rank", "sem_rank", "rrf_micro")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $Bm25Cte,
+             |lex AS (
+             |  SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, lex_rank FROM (
+             |    SELECT q_id, doc_id, row_number() OVER (
+             |      PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS lex_rank
+             |    FROM perdoc) r
+             |  WHERE lex_rank <= 20),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nv AS (SELECT vec_id, v,
+             |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+             |sem AS (
+             |  SELECT q_id, doc_id, sem_rank FROM (
+             |    SELECT q.vec_id AS q_id, t.vec_id AS doc_id,
+             |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64),
+             |          i -> q.v[i] * t.v[i])) / (q.nrm * t.nrm) DESC,
+             |        t.vec_id) AS sem_rank
+             |    FROM nv q JOIN nv t
+             |      ON q.vec_id IN (1, 2, 3) AND q.vec_id <> t.vec_id) r
+             |  WHERE sem_rank <= 20),
+             |fused AS (
+             |  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+             |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+             |    l.lex_rank, s.sem_rank,
+             |    coalesce(CAST(round(1000000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+             |      + coalesce(CAST(round(1000000000.0 / (60 + s.sem_rank)) AS BIGINT), 0)
+             |      AS rrf_micro
+             |  FROM lex l FULL OUTER JOIN sem s
+             |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+             |SELECT q_id, rank, doc_id,
+             |  CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank,
+             |  rrf_micro
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
+             |      FROM fused) r
+             |WHERE rank <= 10
+             |ORDER BY q_id, rank""".stripMargin))
+  )
+}

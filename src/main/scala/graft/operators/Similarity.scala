@@ -346,6 +346,75 @@ object Similarity {
              |SELECT q_id, rank, n_id, cos FROM (
              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
              |  FROM rr) t
-             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    /* Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+     * corpus in embedding space, then prune near-duplicate pairs WITHIN
+     * each cluster only — the clustering bounds pair generation exactly
+     * like the shingle/band indexes bound q36, so the quadratic step is
+     * per-cell, never per-corpus. Cells reuse q42's fixed centroid rows
+     * and argmax-cosine assignment (one broadcast crossJoin folded by a
+     * map-side-combined max_by — no window over the corpus); the
+     * within-cell pair join is a renamed-projection self-join on cell id
+     * (one shuffle, and the aliased-self-join hazard class this round
+     * retired cannot arise). The keep rule is deterministic one-shot
+     * keep-first: a row is removed iff some SMALLER id in its cell sits
+     * at cosine >= tau — the non-iterative pruning SemDeDup itself uses
+     * (transitive chains stay, matching the paper's per-pair semantics).
+     *
+     * Scale: at 100 TB the fixed rows become trainCentroids' k-means
+     * cells and tau comes from a held-out sweep; machinery is identical.
+     */
+    QueryDef(
+      "q89_semantic_dedup",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("c_id"), col("v"), col("nrm")),
+            struct(col("csim"), (-col("c_id")).as("nc"))).as("b"))
+          .select(col("vec_id"), col("b.c_id").as("c_id"),
+            col("b.v").as("v"), col("b.nrm").as("nrm"))
+        val a = assigned.select(col("vec_id").as("d1"), col("v").as("v1"),
+          col("nrm").as("n1"), col("c_id").as("c1"))
+        val b = assigned.select(col("vec_id").as("d2"), col("v").as("v2"),
+          col("nrm").as("n2"), col("c_id").as("c2"))
+        val removed = a.join(b, col("c1") === col("c2") && col("d1") < col("d2"))
+          .withColumn("cos",
+            aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")))
+          .filter(col("cos") >= 0.3)
+          .groupBy(col("d2").as("vec_id"))
+          .agg(min(col("d1")).as("dup_of"))
+        assigned.select(col("vec_id"), col("c_id"))
+          .join(removed, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("c_id"), col("dup_of"),
+            col("dup_of").isNull.as("kept"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+             |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+             |      WHERE vec_id >= 100 AND vec_id < 116),
+             |asg AS (SELECT n.vec_id, n.v, n.nrm, c_id,
+             |          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |            list_sum(list_transform(generate_series(1,64),
+             |              i -> n.v[i]*c.cv[i]))/(n.nrm*c.cn) DESC, c_id) AS crank
+             |        FROM n CROSS JOIN c),
+             |cell AS (SELECT vec_id, v, nrm, c_id FROM asg WHERE crank = 1),
+             |removed AS (
+             |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+             |  FROM cell a JOIN cell b
+             |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+             |   AND list_sum(list_transform(generate_series(1,64),
+             |         i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm) >= 0.3
+             |  GROUP BY 1)
+             |SELECT g.vec_id, g.c_id, r.dup_of, r.dup_of IS NULL AS kept
+             |FROM cell g LEFT JOIN removed r USING (vec_id)
+             |ORDER BY g.vec_id""".stripMargin))
   )
 }
