@@ -95,10 +95,16 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            signed deltas vs an oracle that recomputes directly over
   *            the new snapshot — the hash gate proves the delta algebra
   *            exact; update cost O(churn)+O(groups), no table rescan
-  *   q88–q90  retrieval family: BM25 lexical top-k (inverted-index
+  *   q88–q92  retrieval family: BM25 lexical top-k (inverted-index
   *            probe, integer micro-unit scores), SemDeDup semantic
   *            dedup (within-cell pruning over q42's centroid cells),
-  *            and hybrid lexical+semantic reciprocal rank fusion
+  *            hybrid lexical+semantic reciprocal rank fusion, the
+  *            persisted term-bucketed postings index (q91 ≡ q88 under
+  *            one oracle; probe cost O(postings-of-query-terms) via
+  *            bucket pruning — the serving path), and the index
+  *            maintenance loop (q92: build → probe → append → probe,
+  *            df + corpus-stats advanced by signed deltas, each phase
+  *            oracle-recomputed monolithically)
   */
 object SparkEntry {
 

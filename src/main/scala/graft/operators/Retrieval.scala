@@ -85,37 +85,72 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hit"), sum(col("term_micro")).as("bm25_micro"))
   }
 
-  /** Oracle-side BM25 scoring CTEs, shared verbatim by q88/q90. */
-  private val Bm25Cte: String =
-    """words AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-      |  FROM documents),
-      |dls AS (SELECT doc_id, len(ws) AS dl, ws FROM words),
-      |tf AS (
-      |  SELECT doc_id, dl, term, count(*) AS tf
-      |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dls)
-      |  GROUP BY 1, 2, 3),
-      |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls),
-      |qt AS (SELECT * FROM (VALUES
+  /** Oracle-side query-term literal, defined once per oracle. */
+  private val QtCte: String =
+    """qt AS (SELECT * FROM (VALUES
       |    (1, 'hash'), (1, 'join'),
       |    (2, 'window'), (2, 'agg'), (2, 'stream'),
-      |    (3, 'vector'), (3, 'scan'), (3, 'filter')) AS v(q_id, term)),
-      |scored AS (
-      |  SELECT q.q_id, t.doc_id,
-      |    CAST(round(ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
-      |                        / (CAST(d.df AS DOUBLE) + 0.5))
-      |      * ((CAST(t.tf AS DOUBLE) * 2.2)
-      |         / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25
-      |            + 0.75 * CAST(t.dl AS DOUBLE)
-      |              / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
-      |      * 1000000.0) AS BIGINT) AS term_micro
-      |  FROM tf t JOIN qt q USING (term) JOIN dfc d USING (term)
-      |  CROSS JOIN stats s),
-      |perdoc AS (
-      |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
-      |    CAST(sum(term_micro) AS BIGINT) AS bm25_micro
-      |  FROM scored GROUP BY 1, 2)""".stripMargin
+      |    (3, 'vector'), (3, 'scan'), (3, 'filter')) AS v(q_id, term))""".stripMargin
+
+  /** Oracle-side BM25 scoring chain (words → … → perdoc) with every CTE
+    * name suffixed by `sfx`, over `corpusFrom` (a table name or aliased
+    * subquery exposing doc_id, text). Requires [[QtCte]] in scope.
+    */
+  private def bm25Core(sfx: String, corpusFrom: String): String =
+    s"""words$sfx AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM $corpusFrom),
+       |dls$sfx AS (SELECT doc_id, len(ws) AS dl, ws FROM words$sfx),
+       |tf$sfx AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dls$sfx)
+       |  GROUP BY 1, 2, 3),
+       |dfc$sfx AS (SELECT term, count(*) AS df FROM tf$sfx GROUP BY 1),
+       |stats$sfx AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls$sfx),
+       |scored$sfx AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    CAST(round(ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+       |                        / (CAST(d.df AS DOUBLE) + 0.5))
+       |      * ((CAST(t.tf AS DOUBLE) * 2.2)
+       |         / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25
+       |            + 0.75 * CAST(t.dl AS DOUBLE)
+       |              / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+       |      * 1000000.0) AS BIGINT) AS term_micro
+       |  FROM tf$sfx t JOIN qt q USING (term) JOIN dfc$sfx d USING (term)
+       |  CROSS JOIN stats$sfx s),
+       |perdoc$sfx AS (
+       |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(term_micro) AS BIGINT) AS bm25_micro
+       |  FROM scored$sfx GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTEs for q88/q90: the full-corpus scoring chain. */
+  private val Bm25Cte: String = QtCte + ",\n" + bm25Core("", "documents")
+
+  /** q88/q91's shared ranking tail over a (q_id, doc_id, n_hit,
+    * bm25_micro) scores frame.
+    */
+  private def top5(scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    scores
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "doc_id", "n_hit", "bm25_micro")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Shared by q88 (scores computed from raw text) and q91 (scores from
+    * the persisted postings index): the index is a materialization, not
+    * a semantics change, so both run under ONE oracle — the q78 gate.
+    */
+  private val Bm25TopkSql: String =
+    s"""WITH $Bm25Cte
+       |SELECT CAST(q_id AS BIGINT) AS q_id, rank, doc_id, n_hit, bm25_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS rank
+       |      FROM perdoc) r
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -127,22 +162,87 @@ object Retrieval {
      */
     QueryDef(
       "q88_bm25_topk",
+      (s, dir) => top5(bm25Scores(s, dir)),
+      Some(Bm25TopkSql)),
+
+    /* BM25 from the PERSISTED term-bucketed postings index
+     * ([[PostingsIndex]]): identical output to q88 under the same
+     * oracle, but the probe reads only the buckets the query terms hash
+     * into (bucket pruning on the literal IN predicate) plus
+     * vocabulary-sized side stats — O(postings-of-query-terms) per
+     * probe instead of q88's O(corpus) recompute. The serving path.
+     */
+    QueryDef(
+      "q91_bm25_indexed",
+      (s, dir) => top5(PostingsIndex.probeScores(s, dir, QueryTerms)),
+      Some(Bm25TopkSql)),
+
+    /* Postings-index MAINTENANCE loop, oracle-gated — the q87 proof
+     * structure applied to retrieval: build the index on history
+     * (ingest bucket < 230), probe, ADMIT batch 1 ([230,243)) via
+     * [[PostingsIndex.append]], probe again, admit batch 2 ([243,256)),
+     * probe a third time — one frame, phase 1|2|3. The DuckDB oracle
+     * recomputes each phase's BM25 monolithically over the corpus the
+     * index covers at that moment, so the hash gate proves the APPEND
+     * path end to end: bucketed postings layout preserved, df merged by
+     * term, and — the part q91 cannot exercise — the (n_docs, sum_dl)
+     * corpus meta advanced by signed deltas (idf and the length
+     * normalization SHIFT between phases; a stale stats sidecar is a
+     * wrong hash, not a slow query). Phase 3's corpus is the full table,
+     * so its rows also pin loop-end ≡ q88/q91. Probes are eagerly
+     * checkpointed before the next append mutates the table+sidecars;
+     * the scratch index rebuilds per run (idempotent), never touching
+     * q91's persisted production index.
+     */
+    QueryDef(
+      "q92_postings_maintenance",
       (s, dir) => {
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("bm25_micro").desc, col("doc_id"))
-        bm25Scores(s, dir)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select("q_id", "rank", "doc_id", "n_hit", "bm25_micro")
-          .orderBy("q_id", "rank")
+        val name = PostingsIndex.tableNameFor(dir) + "_maint"
+        val path = java.nio.file.Paths.get(PostingsIndex.indexRoot, name)
+        val base = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+          .withColumn("bucket", BandIndex.ingestBucket)
+        def slice(lo: Int, hi: Int) =
+          base.filter(col("bucket") >= lo && col("bucket") < hi)
+            .select("doc_id", "text")
+        PostingsIndex.buildIndexDocs(s, slice(0, 230), name, path)
+        def probe(phase: Int) =
+          top5(PostingsIndex.probeScoresFor(s, name, path, QueryTerms))
+            .withColumn("phase", lit(phase))
+            .localCheckpoint(true)
+        val p1 = probe(1)
+        PostingsIndex.append(s, name, path, slice(230, 243))
+        val p2 = probe(2)
+        PostingsIndex.append(s, name, path, slice(243, 256))
+        val p3 = probe(3)
+        p1.unionByName(p2).unionByName(p3)
+          .select("phase", "q_id", "rank", "doc_id", "n_hit", "bm25_micro")
+          .orderBy("phase", "q_id", "rank")
       },
-      Some(s"""WITH $Bm25Cte
-             |SELECT CAST(q_id AS BIGINT) AS q_id, rank, doc_id, n_hit, bm25_micro
-             |FROM (SELECT *, row_number() OVER (
-             |        PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS rank
-             |      FROM perdoc) r
-             |WHERE rank <= 5
-             |ORDER BY q_id, rank""".stripMargin)),
+      {
+        def phase(n: Int, bmax: Int): String =
+          bm25Core(s"_$n",
+            s"""(SELECT d.doc_id, d.text FROM documents d
+               |     JOIN bk ON bk.doc_id = d.doc_id
+               |     WHERE bk.bucket < $bmax) c$n""".stripMargin) +
+            s""",
+               |p$n AS (
+               |  SELECT $n AS phase, CAST(q_id AS BIGINT) AS q_id, rank,
+               |    doc_id, n_hit, bm25_micro
+               |  FROM (SELECT *, row_number() OVER (
+               |          PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS rank
+               |        FROM perdoc_$n) r
+               |  WHERE rank <= 5)""".stripMargin
+        Some(s"""WITH $QtCte,
+               |bk AS (SELECT doc_id,
+               |         CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+               |       FROM documents),
+               |${phase(1, 230)},
+               |${phase(2, 243)},
+               |${phase(3, 256)}
+               |SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+               |ORDER BY phase, q_id, rank""".stripMargin)
+      }),
 
     /* Hybrid retrieval via reciprocal rank fusion: the lexical leg is
      * the BM25 scorer above (top-20); the semantic leg is exact cosine

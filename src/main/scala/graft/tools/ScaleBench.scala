@@ -88,6 +88,25 @@ object ScaleBench {
   // vocabulary-sized (corpus-sublinear) while tf rows scale ×N — the
   // 100-TB shape where the term-statistics join side is bounded
   private val vocQueries = Seq("q69_vocab_coverage", "q74_tfidf")
+  // retrieval rides the rotation replicas: the query-term set and query
+  // vectors are FIXED dimensions (replica-0 ids), so BM25 faces N×
+  // postings behind a vocabulary-sized df table and the semantic leg
+  // streams an N× corpus past 3 broadcast query vectors — the 100-TB
+  // serving shape for both legs. Embedding replicas coordinate-ROTATE
+  // the vectors (orthogonal map: norms and within-replica structure
+  // keep, cross-replica cosines decorrelate), so ranking work scales
+  // with the corpus, not with artificial duplicate ties. q89 is NOT
+  // curved: SemDeDup's scale knob is cell COUNT ∝ corpus (tau'd cell
+  // size bounded), and its centroid set is a fixed in-query dimension
+  // by construction — a fixed-16-cell curve would measure the
+  // quadratic-in-cell-size regime the production knob exists to avoid.
+  // q91 rides the same replicas: its per-factor warm-up pays the one-off
+  // index build (ensure() is fingerprint-gated), so the timed runs
+  // measure the WARM probe — which should stay near-flat across factors
+  // because bucket pruning bounds the scan by the query terms' postings,
+  // the whole point of the persisted index
+  private val retQueries = Seq("q88_bm25_topk", "q90_hybrid_rrf",
+    "q91_bm25_indexed")
   // upsert: snapshot AND change-set both scale ×N (key-shifted customer
   // replicas keep the mod-7/13/97 class mix) — the merge stays one
   // full-outer shuffle however large the dimension grows
@@ -207,6 +226,23 @@ object ScaleBench {
       if (k == 0) customer
       else customer.withColumn("c_custkey", col("c_custkey") + lit(k * custSpan))
 
+    val embeddings = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val embSpan = embeddings.agg(max("vec_id")).head().getLong(0) + 1L
+    // replica k of the embedding corpus: ids shift; coordinates rotate by
+    // k mod 64 — an orthogonal transform, so each replica's internal
+    // geometry is exactly replica 0's while cross-replica cosines are
+    // decorrelated (no N² near-dup tie structure is injected)
+    def embReplica(k: Int): DataFrame =
+      if (k == 0) embeddings
+      else {
+        val kk = k % 64
+        embeddings.select(
+          (col("vec_id") + lit(k * embSpan)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${kk + 1}, ${64 - kk}), " +
+            s"slice(embedding, 1, $kk))").as("embedding"),
+          col("label"))
+      }
+
     val lineitem = spark.read.parquet(s"$baseDir/lineitem.parquet")
     val orderSpan = lineitem.agg(max("l_orderkey")).head().getLong(0) + 1L
     // replica k of the range-join probe side: orderkeys shift (distinct
@@ -255,6 +291,8 @@ object ScaleBench {
         s"$rotDir/customer.parquet")
       writeIfAbsent((0 until n).map(ordReplica).reduce(_ unionByName _),
         s"$rotDir/orders.parquet")
+      writeIfAbsent((0 until n).map(embReplica).reduce(_ unionByName _),
+        s"$rotDir/embeddings.parquet")
       writeIfAbsent((0 until n).map(sufReplica).reduce(_ unionByName _),
         s"$sufDir/documents.parquet")
       writeIfAbsent(chnDocs(n), s"$chnDir/documents.parquet")
@@ -291,6 +329,7 @@ object ScaleBench {
         prtQueries.map(q => (q, q, rotDir)) ++
         linQueries.map(q => (q, q, rotDir)) ++
         vocQueries.map(q => (q, q, rotDir)) ++
+        retQueries.map(q => (q, q, rotDir)) ++
         cusQueries.map(q => (q, q, rotDir)) ++
         ordQueries.map(q => (q, q, rotDir)) ++
         crtQueries.map(q => (q, q, rotDir)) ++
