@@ -79,7 +79,57 @@ object PostingsIndex {
     (docs.count(), s.getLong(0))
   }
 
-  /** Build postings + df + corpus meta over a (doc_id, text) frame at
+  // ---- versioned sidecars (df table + corpus meta) -------------------
+  //
+  // Sidecars live at path/_sidecar/v=<n>/{dfreq, META} (underscore-prefixed so the table's file listing ignores it), with an atomic
+  // _LATEST pointer. Version n+1 is a DETERMINISTIC function of
+  // (version n, the appended batch), which is what makes the streaming
+  // sink's replay exactly-once: a crashed append's re-run recomputes
+  // byte-identical sidecar files into the SAME version slot and moves
+  // the pointer to the same value — every crash window converges.
+  // Postings file storage stays at-least-once (a replayed append can
+  // leave whole-duplicate rows); [[probeScoresFor]] reads row-DISTINCT,
+  // which restores the exact set because replay duplicates are
+  // identical full rows. The BandIndex storage contract, but load-
+  // bearing here: duplicate postings or a double-applied df delta
+  // would change SCORES, not just cost.
+
+  private def sidecarPointer(path: Path): Path =
+    path.resolve("_sidecar").resolve("_LATEST")
+
+  /** Committed sidecar version; -1 before any build. */
+  def sidecarVersion(path: Path): Long = {
+    val p = sidecarPointer(path)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+  }
+
+  private def sidecarDir(path: Path, v: Long): Path =
+    path.resolve("_sidecar").resolve(s"v=$v")
+
+  private def readMeta(path: Path, v: Long): (Long, Long) = {
+    val m = Files.readString(sidecarDir(path, v).resolve("META")).trim
+      .split(" ").map(_.toLong)
+    (m(0), m(1))
+  }
+
+  private def writeSidecar(spark: SparkSession, path: Path, v: Long,
+      dfreq: DataFrame, n: Long, sumDl: Long): Unit = {
+    val dir = sidecarDir(path, v)
+    Files.createDirectories(dir)
+    dfreq.write.mode("overwrite").parquet(dir.resolve("dfreq").toString)
+    Files.writeString(dir.resolve("META"), s"$n $sumDl")
+    // advance the pointer only forward; a replay rewriting an old slot
+    // with identical content must not rewind it
+    if (v > sidecarVersion(path)) {
+      val tmp = path.resolve("_sidecar").resolve(s"_LATEST.tmp.$v")
+      Files.writeString(tmp, v.toString)
+      Files.move(tmp, sidecarPointer(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Build postings + sidecar v=0 over a (doc_id, text) frame at
     * `path`, registered as `name`.
     */
   def buildIndexDocs(spark: SparkSession, docs: DataFrame, name: String,
@@ -93,10 +143,9 @@ object PostingsIndex {
       .sortBy("term")
       .option("path", path.toString)
       .saveAsTable(name)
-    p.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(path.resolve("dfreq").toString)
     val (n, sumDl) = statsOfDocs(docs, p)
-    Files.writeString(path.resolve("_GRAFT_META"), s"$n $sumDl")
+    writeSidecar(spark, path, 0L,
+      p.groupBy("term").agg(count(lit(1)).as("df")), n, sumDl)
     p.unpersist()
   }
 
@@ -106,35 +155,48 @@ object PostingsIndex {
     buildIndexDocs(spark,
       Tables(spark, dir, "documents").select("doc_id", "text"), name, path)
 
-  /** Admit a batch into the index: postings appended through the
-    * bucketed writer (layout preserved), df merged by term, corpus
-    * meta advanced by the batch's (count, Σdl) — the same signed-delta
-    * maintenance algebra as q86, specialized to monotone inserts. The
-    * df rewrite is vocabulary-sized, NOT corpus-sized: the merge reads
-    * the old df table, adds the batch's per-term counts, and is pinned
-    * eagerly before overwriting the files it read.
-    */
-  def append(spark: SparkSession, name: String, path: Path,
-      newDocs: DataFrame): Unit = {
-    val p = postingsOfDocs(newDocs).localCheckpoint(true)
-    p.repartition(NumBuckets, col("term"))
+  private def writePostingsAppend(postings: DataFrame, name: String): Unit =
+    postings.repartition(NumBuckets, col("term"))
       .write.format("parquet")
       .bucketBy(NumBuckets, "term")
       .sortBy("term")
       .mode("append")
       .saveAsTable(name)
-    val dfPath = path.resolve("dfreq").toString
-    val merged = spark.read.parquet(dfPath)
+
+  /** The postings-file half of [[append]] for a (doc_id, text) batch —
+    * exposed so the streaming spec can simulate the crash window
+    * between the postings append and the sidecar commit.
+    */
+  private[graft] def appendPostingsOnly(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit =
+    writePostingsAppend(postingsOfDocs(newDocs), name)
+
+  /** Admit a batch into the index: postings appended through the
+    * bucketed writer (layout preserved), then sidecar version old+1
+    * written — df merged by term, corpus meta advanced by the batch's
+    * (count, Σdl): the q86 signed-delta algebra specialized to monotone
+    * inserts, vocabulary-sized work, never a corpus rescan.
+    *
+    * `toVersion` pins the target sidecar slot (streaming: batchId+1, so
+    * a replay recomputes the SAME slot from the same base and the
+    * result is byte-identical); None chains from the current pointer
+    * (the batch maintenance loop, q92).
+    */
+  def append(spark: SparkSession, name: String, path: Path,
+      newDocs: DataFrame, toVersion: Option[Long] = None): Unit = {
+    val v = toVersion.getOrElse(sidecarVersion(path) + 1)
+    val base = v - 1
+    val p = postingsOfDocs(newDocs).localCheckpoint(true)
+    writePostingsAppend(p, name)
+    val merged = spark.read
+      .parquet(sidecarDir(path, base).resolve("dfreq").toString)
       .unionByName(p.groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(dfPath)
-    merged.unpersist()
     val (bn, bDl) = statsOfDocs(newDocs, p)
-    val old = Files.readString(path.resolve("_GRAFT_META")).trim
-      .split(" ").map(_.toLong)
-    Files.writeString(path.resolve("_GRAFT_META"),
-      s"${old(0) + bn} ${old(1) + bDl}")
+    val (n0, dl0) = readMeta(path, base)
+    writeSidecar(spark, path, v, merged, n0 + bn, dl0 + bDl)
+    merged.unpersist()
     p.unpersist()
   }
 
@@ -156,7 +218,9 @@ object PostingsIndex {
     synchronized {
       val name = tableNameFor(dir)
       val path = indexPath(dir)
-      val fp = BandIndex.fingerprint(dir)
+      // the layout tag makes an on-disk index from an older sidecar
+      // layout read as stale (rebuild), not as a read error
+      val fp = BandIndex.fingerprint(dir) + ":sidecar-v3"
       val fpFile = path.resolve("_GRAFT_FP")
       val validOnDisk = Files.exists(fpFile) &&
         Files.readString(fpFile).trim == fp
@@ -166,9 +230,8 @@ object PostingsIndex {
       } else if (!spark.catalog.tableExists(name)) {
         register(spark, name, path)
       }
-      val meta = Files.readString(path.resolve("_GRAFT_META")).trim
-        .split(" ").map(_.toLong)
-      (name, meta(0), meta(1))
+      val (n, sumDl) = readMeta(path, sidecarVersion(path))
+      (name, n, sumDl)
     }
 
   /** BM25 scores from the PERSISTED index for a literal query-term set:
@@ -194,14 +257,14 @@ object PostingsIndex {
     */
   def probeScoresFor(spark: SparkSession, name: String, path: Path,
       queryTerms: Seq[(Long, String)]): DataFrame = {
-    val meta = Files.readString(path.resolve("_GRAFT_META")).trim
-      .split(" ").map(_.toLong)
-    val (nDocs, sumDl) = (meta(0), meta(1))
+    val v = sidecarVersion(path)
+    val (nDocs, sumDl) = readMeta(path, v)
     val terms = queryTerms.map(_._2).distinct
     val avgdl = sumDl.toDouble / nDocs.toDouble
     import spark.implicits._
     val qt = queryTerms.toDF("q_id", "term")
-    val dfreq = spark.read.parquet(path.resolve("dfreq").toString)
+    val dfreq = spark.read
+      .parquet(sidecarDir(path, v).resolve("dfreq").toString)
       .filter(col("term").isin(terms: _*))
     val idf = log(lit(1.0) +
       ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
@@ -211,6 +274,10 @@ object PostingsIndex {
         lit(0.75) * col("dl").cast("double") / lit(avgdl)))
     spark.table(name)
       .filter(col("term").isin(terms: _*))
+      // postings storage is at-least-once (a crash-replayed streaming
+      // append leaves whole-duplicate rows); distinct over the pruned
+      // query-term subset restores the exact set — tiny, post-pruning
+      .dropDuplicates("term", "doc_id")
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
       .select(col("q_id"), col("doc_id"),
