@@ -95,7 +95,7 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            signed deltas vs an oracle that recomputes directly over
   *            the new snapshot — the hash gate proves the delta algebra
   *            exact; update cost O(churn)+O(groups), no table rescan
-  *   q88–q92  retrieval family: BM25 lexical top-k (inverted-index
+  *   q88–q93  retrieval family: BM25 lexical top-k (inverted-index
   *            probe, integer micro-unit scores), SemDeDup semantic
   *            dedup (within-cell pruning over q42's centroid cells),
   *            hybrid lexical+semantic reciprocal rank fusion, the
@@ -104,7 +104,8 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            bucket pruning — the serving path), and the index
   *            maintenance loop (q92: build → probe → append → probe,
   *            df + corpus-stats advanced by signed deltas, each phase
-  *            oracle-recomputed monolithically)
+  *            oracle-recomputed monolithically), and MMR diversified
+  *            rerank (q93: greedy k-of-candidates, integer-weighted)
   */
 object SparkEntry {
 

@@ -336,6 +336,149 @@ object Retrieval {
              |        PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rank
              |      FROM fused) r
              |WHERE rank <= 10
-             |ORDER BY q_id, rank""".stripMargin))
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    /* MMR diversified rerank (Carbonell & Goldstein, SIGIR'98): greedy
+     * selection of k=5 from the top-12 cosine candidates per query,
+     * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 0.7 —
+     * the standard redundancy-suppression pass between retrieval and a
+     * context window.
+     *
+     * Determinism: rel and pairwise sim are each rounded ONCE to long
+     * micro-units, and λ = 0.7 enters as the INTEGER weights (7, 3) on
+     * deci-scaled scores — the greedy argmax chain is pure integer
+     * arithmetic with a doc_id tie-break, so all 5 picks are a total
+     * order on both engines (a float λ would make every pick a float
+     * comparison and the chain's divergence compounding).
+     *
+     * Scale shape: the candidate frame is k'-per-query (top-12 via one
+     * window over the broadcast-query × corpus cosine — at 100 TB the
+     * ANN legs q41/q42/q79 produce it instead); everything after is
+     * candidate-bounded: the sim matrix is 12×12 per query, and each
+     * of the 4 greedy iterations is one join + one grouped max + one
+     * rank-1 window over frames whose size is queries × candidates —
+     * independent of corpus size by construction. The iteration count
+     * is k, fixed, not data-dependent (contrast q39's fixpoint);
+     * per-iteration checkpoints keep the lineage flat, the CC-loop
+     * discipline.
+     */
+    QueryDef(
+      "q93_mmr_rerank",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("nrm", sqrt(aggregate(
+            transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        val q = e.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val n = e.select(col("vec_id").as("doc_id"), col("v").as("nv"),
+          col("nrm").as("nn"))
+        val dotQ = aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        val wC = Window.partitionBy("q_id").orderBy(col("rel_micro").desc, col("doc_id"))
+        val cand = broadcast(q).crossJoin(n)
+          .filter(col("q_id") =!= col("doc_id"))
+          .withColumn("rel_micro",
+            round((dotQ / (col("qn") * col("nn"))) * lit(1e6)).cast("long"))
+          .withColumn("rk", row_number().over(wC))
+          .filter(col("rk") <= 12)
+          .select("q_id", "doc_id", "nv", "nn", "rel_micro")
+          .localCheckpoint(true)
+        val aSide = cand.select(col("q_id"), col("doc_id").as("d1"),
+          col("nv").as("v1"), col("nn").as("n1"))
+        val bSide = cand.select(col("q_id").as("bq"), col("doc_id").as("d2"),
+          col("nv").as("v2"), col("nn").as("n2"))
+        val dotP = aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        val sim = aSide.join(bSide,
+            col("q_id") === col("bq") && col("d1") =!= col("d2"))
+          .withColumn("sim_micro",
+            round((dotP / (col("n1") * col("n2"))) * lit(1e6)).cast("long"))
+          .select("q_id", "d1", "d2", "sim_micro")
+          .localCheckpoint(true)
+        var selected = cand
+          .withColumn("rk", row_number().over(wC))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("doc_id"), col("rel_micro"),
+            (lit(7) * col("rel_micro")).as("mmr_micro"), lit(1).as("pick"))
+          .localCheckpoint(true)
+        for (i <- 2 to 5) {
+          val maxSim = sim
+            .join(selected.select(col("q_id"), col("doc_id").as("d2")),
+              Seq("q_id", "d2"))
+            .groupBy(col("q_id"), col("d1").as("doc_id"))
+            .agg(max(col("sim_micro")).as("maxsim"))
+          val wP = Window.partitionBy("q_id")
+            .orderBy(col("mmr_micro").desc, col("doc_id"))
+          val next = cand
+            .join(selected.select("q_id", "doc_id"), Seq("q_id", "doc_id"),
+              "left_anti")
+            .join(maxSim, Seq("q_id", "doc_id"))
+            .withColumn("mmr_micro",
+              lit(7) * col("rel_micro") - lit(3) * col("maxsim"))
+            .withColumn("rk", row_number().over(wP))
+            .filter(col("rk") === 1)
+            .select(col("q_id"), col("doc_id"), col("rel_micro"),
+              col("mmr_micro"), lit(i).as("pick"))
+          selected = selected.unionByName(next).localCheckpoint(true)
+        }
+        selected.orderBy("q_id", "pick")
+      },
+      {
+        def step(i: Int): String =
+          s"""sc$i AS (
+             |  SELECT c.q_id, c.doc_id, c.rel_micro,
+             |    7*c.rel_micro - 3*max(s.sim_micro) AS mmr_micro
+             |  FROM cand c
+             |  JOIN sim s ON s.q_id = c.q_id AND s.d1 = c.doc_id
+             |  JOIN all${i - 1} y ON y.q_id = s.q_id AND y.doc_id = s.d2
+             |  WHERE NOT EXISTS (SELECT 1 FROM all${i - 1} x
+             |                    WHERE x.q_id = c.q_id AND x.doc_id = c.doc_id)
+             |  GROUP BY 1, 2, 3),
+             |sel$i AS (
+             |  SELECT q_id, doc_id, rel_micro, mmr_micro, $i AS pick
+             |  FROM (SELECT *, row_number() OVER (
+             |          PARTITION BY q_id ORDER BY mmr_micro DESC, doc_id) AS rk
+             |        FROM sc$i) r WHERE rk = 1),
+             |all$i AS (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+        Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               |nv AS (SELECT vec_id, v,
+               |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+               |cand AS (
+               |  SELECT q_id, doc_id, rel_micro FROM (
+               |    SELECT q.vec_id AS q_id, t.vec_id AS doc_id,
+               |      CAST(round((list_sum(list_transform(generate_series(1, 64),
+               |        i -> q.v[i] * t.v[i])) / (q.nrm * t.nrm)) * 1000000.0)
+               |        AS BIGINT) AS rel_micro,
+               |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               |        CAST(round((list_sum(list_transform(generate_series(1, 64),
+               |          i -> q.v[i] * t.v[i])) / (q.nrm * t.nrm)) * 1000000.0)
+               |          AS BIGINT) DESC, t.vec_id) AS rk
+               |    FROM nv q JOIN nv t
+               |      ON q.vec_id IN (1, 2, 3) AND q.vec_id <> t.vec_id) c
+               |  WHERE rk <= 12),
+               |sim AS (
+               |  SELECT a.q_id, a.doc_id AS d1, b.doc_id AS d2,
+               |    CAST(round((list_sum(list_transform(generate_series(1, 64),
+               |      i -> va.v[i] * vb.v[i])) / (va.nrm * vb.nrm)) * 1000000.0)
+               |      AS BIGINT) AS sim_micro
+               |  FROM cand a
+               |  JOIN cand b ON a.q_id = b.q_id AND a.doc_id <> b.doc_id
+               |  JOIN nv va ON va.vec_id = a.doc_id
+               |  JOIN nv vb ON vb.vec_id = b.doc_id),
+               |sel1 AS (
+               |  SELECT q_id, doc_id, rel_micro, 7*rel_micro AS mmr_micro, 1 AS pick
+               |  FROM (SELECT *, row_number() OVER (
+               |          PARTITION BY q_id ORDER BY rel_micro DESC, doc_id) AS rk
+               |        FROM cand) r WHERE rk = 1),
+               |all1 AS (SELECT * FROM sel1),
+               |${step(2)},
+               |${step(3)},
+               |${step(4)},
+               |${step(5)}
+               |SELECT q_id, doc_id, rel_micro, mmr_micro, pick FROM all5
+               |ORDER BY q_id, pick""".stripMargin)
+      })
   )
 }

@@ -152,6 +152,52 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.exists { case (_, _, _, l, s, _) => l.nonEmpty && s.nonEmpty })
   }
 
+  test("q93 matches a sequential greedy-MMR replay, and actually diversifies") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    def dot(a: Vector[Double], b: Vector[Double]): Double =
+      a.lazyZip(b).map(_ * _).foldLeft(0.0)(_ + _)
+    def nrm(a: Vector[Double]): Double = math.sqrt(dot(a, a))
+    def cosMicro(a: Long, b: Long): Long =
+      microRound((dot(emb(a), emb(b)) / (nrm(emb(a)) * nrm(emb(b)))) * 1e6)
+    val expected: Seq[(Long, Long, Long, Long, Int)] =
+      Seq(1L, 2L, 3L).flatMap { qid =>
+        val cand = emb.keys.toSeq.filter(_ != qid)
+          .map(d => d -> cosMicro(qid, d))
+          .sortBy { case (d, rel) => (-rel, d) }.take(12)
+        val rel = cand.toMap
+        var sel = Vector.empty[(Long, Long, Long, Int)] // doc, rel, mmr, pick
+        for (pick <- 1 to 5) {
+          val scored = cand.collect {
+            case (d, r) if !sel.exists(_._1 == d) =>
+              val maxSim =
+                if (sel.isEmpty) 0L
+                else sel.map(s => cosMicro(d, s._1)).max
+              (d, r, 7 * r - (if (pick == 1) 0L else 3 * maxSim))
+          }
+          val (d, r, m) = scored.minBy { case (d, _, m) => (-m, d) }
+          sel :+= ((d, r, m, pick))
+        }
+        sel.map { case (d, r, m, p) => (qid, d, r, m, p) }
+      }
+    val got = graft.SparkEntry.queries("q93_mmr_rerank")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got.toSeq == expected)
+    // non-vacuity: diversification must change SOME pick relative to the
+    // pure-relevance top-5, else the test corpus proves nothing
+    val pureTop5 = Seq(1L, 2L, 3L).flatMap { qid =>
+      emb.keys.toSeq.filter(_ != qid).map(d => d -> cosMicro(qid, d))
+        .sortBy { case (d, rel) => (-rel, d) }.take(5).map(_._1)
+    }
+    assert(got.map(_._2).toSeq != pureTop5)
+  }
+
   test("q90's lexical leg agrees with the q88 scorer") {
     val exp = bm25Replay()
     val lexTop: Map[Long, Seq[Long]] =
