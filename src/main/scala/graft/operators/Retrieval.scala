@@ -52,7 +52,11 @@ object Retrieval {
     * callers window to their own k so lexical scoring is reusable by
     * the fusion query.
     */
-  def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  /** The from-text corpus index triple (tf, dfreq, stats) — shared by
+    * the scorer and q94's feedback expansion.
+    */
+  private def corpusIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val words = Tables(s, dir, "documents")
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$WordRe', 0)").as("ws"))
@@ -64,9 +68,15 @@ object Retrieval {
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = words.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val idf = log(lit(1.0) +
-      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
+    (tf, dfreq, stats)
+  }
+
+  private val idfExpr: Column = log(lit(1.0) +
+    ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+
+  def bm25ScoresFor(s: SparkSession, dir: String, qt: DataFrame): DataFrame = {
+    val (tf, dfreq, stats) = corpusIndex(s, dir)
     // numeric literals are written as the SAME decimal text the oracle
     // SQL uses (2.2, 1.2, 0.25, 0.75): both engines parse them to the
     // identical nearest double. Computing k1+1.0 in Scala instead would
@@ -74,16 +84,19 @@ object Retrieval {
     val tfSat = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
         lit(0.75) * col("dl").cast("double") / col("avgdl")))
-    tf.join(broadcast(queryTerms(s)), Seq("term"))
+    tf.join(broadcast(qt), Seq("term"))
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("sum_dl").cast("double") / col("n_docs").cast("double"))
       .select(col("q_id"), col("doc_id"),
-        round(idf * tfSat * lit(1e6)).cast("long").as("term_micro"))
+        round(idfExpr * tfSat * lit(1e6)).cast("long").as("term_micro"))
       .groupBy("q_id", "doc_id")
       .agg(count(lit(1)).as("n_hit"), sum(col("term_micro")).as("bm25_micro"))
   }
+
+  def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    bm25ScoresFor(s, dir, queryTerms(s))
 
   /** Oracle-side query-term literal, defined once per oracle. */
   private val QtCte: String =
@@ -96,7 +109,8 @@ object Retrieval {
     * name suffixed by `sfx`, over `corpusFrom` (a table name or aliased
     * subquery exposing doc_id, text). Requires [[QtCte]] in scope.
     */
-  private def bm25Core(sfx: String, corpusFrom: String): String =
+  private def bm25Core(sfx: String, corpusFrom: String,
+      qtName: String = "qt"): String =
     s"""words$sfx AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
        |  FROM $corpusFrom),
@@ -116,7 +130,7 @@ object Retrieval {
        |            + 0.75 * CAST(t.dl AS DOUBLE)
        |              / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
        |      * 1000000.0) AS BIGINT) AS term_micro
-       |  FROM tf$sfx t JOIN qt q USING (term) JOIN dfc$sfx d USING (term)
+       |  FROM tf$sfx t JOIN $qtName q USING (term) JOIN dfc$sfx d USING (term)
        |  CROSS JOIN stats$sfx s),
        |perdoc$sfx AS (
        |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
@@ -479,6 +493,92 @@ object Retrieval {
                |${step(5)}
                |SELECT q_id, doc_id, rel_micro, mmr_micro, pick FROM all5
                |ORDER BY q_id, pick""".stripMargin)
+      }),
+
+    /* Pseudo-relevance-feedback query expansion (RM3-family, Abdul-
+     * Jaleel et al., TREC'04 — deterministic tf·idf term selection
+     * instead of the RM smoothing mixture): BM25 pass 1 → top-5
+     * feedback docs per query → candidate expansion terms scored
+     * fbtf × idf_micro (both integers: summed feedback tf times the
+     * once-rounded idf), original query terms excluded, top-3 kept →
+     * BM25 pass 2 over the EXPANDED term set. The query-side recall
+     * lever that pairs with q93's precision lever; q88 → q94 → q93 is
+     * the full query pipeline.
+     *
+     * Determinism: both passes are the q88 scorer (integer micro-unit
+     * totals); the expansion selection is integer arithmetic with a
+     * term tie-break, so the expanded term SET — on which every pass-2
+     * score depends — is itself hash-pinned through the final rows.
+     *
+     * Scale shape: pass 1 and pass 2 are broadcast-probe scoring (the
+     * serving path substitutes the postings index 1:1); the expansion
+     * join touches only the 15 feedback docs' postings rows (a
+     * doc-keyed semi-join), and the candidate term frame is bounded by
+     * feedback-doc vocabulary, windowed per query.
+     */
+    QueryDef(
+      "q94_prf_expansion",
+      (s, dir) => {
+        val qt = queryTerms(s)
+        val (tf, dfreq, stats) = corpusIndex(s, dir)
+        val wF = Window.partitionBy("q_id")
+          .orderBy(col("bm25_micro").desc, col("doc_id"))
+        val feedback = bm25ScoresFor(s, dir, qt)
+          .withColumn("rank", row_number().over(wF))
+          .filter(col("rank") <= 5)
+          .select("q_id", "doc_id")
+        val idfMicro = round(idfExpr * lit(1e6)).cast("long")
+        val wE = Window.partitionBy("q_id")
+          .orderBy(col("exp_micro").desc, col("term"))
+        val expansion = tf.join(feedback, Seq("doc_id"))
+          .groupBy("q_id", "term").agg(sum(col("tf")).as("fbtf"))
+          .join(broadcast(qt.select(col("q_id").as("oq"), col("term").as("oterm"))),
+            col("term") === col("oterm") && col("q_id") === col("oq"), "left_anti")
+          .join(dfreq, Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("exp_micro", col("fbtf") * idfMicro)
+          .withColumn("erk", row_number().over(wE))
+          .filter(col("erk") <= 3)
+          .select("q_id", "term")
+        val qt2 = qt.unionByName(expansion)
+        top5(bm25ScoresFor(s, dir, qt2))
+      },
+      {
+        val expSql =
+          s"""fb AS (
+             |  SELECT q_id, doc_id FROM (
+             |    SELECT q_id, doc_id, row_number() OVER (
+             |      PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS rank
+             |    FROM perdoc) r WHERE rank <= 5),
+             |expc AS (
+             |  SELECT t.doc_id, f.q_id, t.term, t.tf FROM tf t
+             |  JOIN fb f ON f.doc_id = t.doc_id),
+             |expg AS (
+             |  SELECT q_id, term, CAST(sum(tf) AS BIGINT) AS fbtf FROM expc
+             |  WHERE NOT EXISTS (SELECT 1 FROM qt q
+             |                    WHERE q.q_id = expc.q_id AND q.term = expc.term)
+             |  GROUP BY 1, 2),
+             |expt AS (
+             |  SELECT q_id, term FROM (
+             |    SELECT e.q_id, e.term, row_number() OVER (
+             |      PARTITION BY e.q_id ORDER BY
+             |        e.fbtf * CAST(round(ln(1.0 +
+             |          (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+             |            / (CAST(d.df AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT)
+             |          DESC, e.term) AS erk
+             |    FROM expg e JOIN dfc d USING (term) CROSS JOIN stats s) r
+             |  WHERE erk <= 3),
+             |qt2 AS (SELECT q_id, term FROM qt
+             |        UNION ALL SELECT q_id, term FROM expt)""".stripMargin
+        Some(s"""WITH $Bm25Cte,
+               |$expSql,
+               |${bm25Core("_2", "documents", "qt2")}
+               |SELECT CAST(q_id AS BIGINT) AS q_id, rank, doc_id, n_hit, bm25_micro
+               |FROM (SELECT *, row_number() OVER (
+               |        PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS rank
+               |      FROM perdoc_2) r
+               |WHERE rank <= 5
+               |ORDER BY q_id, rank""".stripMargin)
       })
   )
 }

@@ -106,7 +106,12 @@ object ScaleBench {
   // because bucket pruning bounds the scan by the query terms' postings,
   // the whole point of the persisted index
   private val retQueries = Seq("q88_bm25_topk", "q90_hybrid_rrf",
-    "q91_bm25_indexed")
+    "q91_bm25_indexed",
+    // q93: candidate generation is the only corpus-linear stage (the
+    // greedy chain is candidate-bounded by construction); q94 doubles
+    // the q88 shape (two scoring passes + a feedback-doc-keyed
+    // expansion join)
+    "q93_mmr_rerank", "q94_prf_expansion")
   // upsert: snapshot AND change-set both scale ×N (key-shifted customer
   // replicas keep the mod-7/13/97 class mix) — the merge stays one
   // full-outer shuffle however large the dimension grows

@@ -28,14 +28,17 @@ class RetrievalSpec extends SparkSpec {
   private def microRound(x: Double): Long =
     new JBigDecimal(x).setScale(0, RoundingMode.HALF_UP).longValueExact()
 
+  private def docToks(): Map[Long, Vector[String]] =
+    graft.core.Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        wordRe.findAllIn(r.getString(1).toLowerCase).toVector)
+      .toMap
+
   /** Sequential BM25: (q_id, doc_id) -> (n_hit, bm25_micro). */
-  private def bm25Replay(): Map[(Long, Long), (Long, Long)] = {
-    val toks: Map[Long, Vector[String]] =
-      graft.core.Tables(spark, sf0001, "documents")
-        .select("doc_id", "text").collect()
-        .map(r => r.getLong(0) ->
-          wordRe.findAllIn(r.getString(1).toLowerCase).toVector)
-        .toMap
+  private def bm25Replay(qts: Seq[(Long, String)] = queryTerms)
+      : Map[(Long, Long), (Long, Long)] = {
+    val toks = docToks()
     val n = toks.size
     val dl: Map[Long, Int] = toks.view.mapValues(_.size).toMap
     val avgdl = dl.values.map(_.toLong).sum.toDouble / n.toDouble
@@ -44,7 +47,7 @@ class RetrievalSpec extends SparkSpec {
         .groupBy(identity).view.mapValues(_.size).toMap
     val df: Map[String, Int] =
       tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
-    queryTerms.flatMap { case (q, term) =>
+    qts.flatMap { case (q, term) =>
       tf.keys.collect { case (id, w) if w == term =>
         val t = tf((id, term)).toDouble
         val idf = math.log(1.0 + ((n - df(term)).toDouble + 0.5) /
@@ -196,6 +199,59 @@ class RetrievalSpec extends SparkSpec {
         .sortBy { case (d, rel) => (-rel, d) }.take(5).map(_._1)
     }
     assert(got.map(_._2).toSeq != pureTop5)
+  }
+
+  test("q94 matches a sequential two-pass PRF replay, and expansion engages") {
+    val toks = docToks()
+    val n = toks.size
+    val tf: Map[(Long, String), Int] =
+      toks.toSeq.flatMap { case (id, ws) => ws.map(w => (id, w)) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val df: Map[String, Int] =
+      tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    def idfMicro(term: String): Long =
+      microRound(math.log(1.0 + ((n - df(term)).toDouble + 0.5) /
+        (df(term).toDouble + 0.5)) * 1e6)
+    // pass 1 + top-5 feedback docs
+    val pass1 = bm25Replay()
+    val fb: Map[Long, Seq[Long]] =
+      pass1.toSeq.map { case ((q, d), (_, sc)) => (q, d, sc) }
+        .groupBy(_._1).view.mapValues {
+          _.map { case (_, d, sc) => (d, sc) }
+            .sortBy { case (d, sc) => (-sc, d) }.map(_._1).take(5)
+        }.toMap
+    // expansion: top-3 terms by fbtf * idf_micro, original terms excluded
+    val origTerms: Map[Long, Set[String]] =
+      queryTerms.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expanded: Seq[(Long, String)] = fb.toSeq.flatMap { case (q, docs) =>
+      docs.flatMap(d => toks(d)).groupBy(identity).toSeq
+        .collect { case (term, occ) if !origTerms(q)(term) =>
+          (term, occ.size.toLong * idfMicro(term))
+        }
+        .sortBy { case (term, sc) => (-sc, term) }.take(3)
+        .map { case (term, _) => (q, term) }
+    }
+    assert(expanded.size == 9, "each query must gain 3 expansion terms")
+    // pass 2 over the expanded sets, top-5
+    val pass2 = bm25Replay(queryTerms ++ expanded)
+    val want: Map[Long, Seq[(Long, Long, Long)]] =
+      pass2.toSeq.map { case ((q, d), (h, sc)) => (q, d, h, sc) }
+        .groupBy(_._1).view.mapValues { rows =>
+          rows.map { case (_, d, h, sc) => (d, h, sc) }
+            .sortBy { case (d, _, sc) => (-sc, d) }.take(5)
+        }.toMap
+    val got = graft.SparkEntry.queries("q94_prf_expansion")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, rank, doc, hit, micro) =>
+      assert(want(q)(rank - 1) == ((doc, hit, micro)),
+        s"q$q rank $rank: got ($doc,$hit,$micro) want ${want(q)(rank - 1)}")
+    }
+    // non-vacuity: the expanded ranking must differ from pass 1's top-5
+    val p1Top = fb.toSeq.sortBy(_._1).flatMap(_._2)
+    assert(got.sortBy(r => (r._1, r._2)).map(_._3).toSeq != p1Top)
   }
 
   test("q90's lexical leg agrees with the q88 scorer") {
