@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Retrieval, Runner, Similarity, TextAnalysis, Waterfall}
+import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Retrieval, Runner, Similarity, SketchExact, TextAnalysis, Waterfall}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,11 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            df + corpus-stats advanced by signed deltas, each phase
   *            oracle-recomputed monolithically), and MMR diversified
   *            rerank (q93: greedy k-of-candidates, integer-weighted)
+  *   q95–q97  sketch-accelerated EXACT operators (SketchExact): bloom-
+  *            prefiltered decontamination (≡ q53 under one oracle),
+  *            Misra-Gries + exact-recount heavy hitters, and bottom-k
+  *            weighted sampling via integer min-hash priorities — the
+  *            sketch prunes, a confirm pass restores bit-exactness
   */
 object SparkEntry {
 
@@ -113,7 +118,8 @@ object SparkEntry {
     Relational.defs ++ Waterfall.defs ++ Runner.defs ++ Bridge.defs ++
       Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Events.defs ++ RangeJoin.defs ++ Analytic.defs ++
-      Interchange.defs ++ Curation.defs ++ Retrieval.defs
+      Interchange.defs ++ Curation.defs ++ Retrieval.defs ++
+      SketchExact.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -94,6 +94,71 @@ object Dedup {
       .select(col("doc_id"), shinglesOf(col("t")).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
+  /** Benchmark/corpus sides for the decontamination family (q53
+    * exact-broadcast, q95 bloom-prefiltered — see
+    * [[SketchExact]]): the benchmark is a deterministic md5-bucket
+    * sample (q44's engine-identical lang-salted bucketing, bucket >=
+    * 250, ~2.3%) standing in for a held-out eval suite; in production
+    * the benchmark side is a separate, small-by-definition table.
+    * Returns (bench distinct shingle SET, corpus (doc_id, bucket, shs)).
+    */
+  private[operators] def decontamSides(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bucket = conv(
+      substring(md5(concat_ws(":",
+        coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2),
+      16, 10).cast("int")
+    val base = docs(s, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        split(trim(col("text")), Ws.Plus).as("t"))
+      .select(col("doc_id"), col("bucket"), shinglesOf(col("t")).as("shs"))
+    val bench = base.filter(col("bucket") >= 250)
+      .select(explode(col("shs")).as("sh")).distinct()
+    (bench, base.filter(col("bucket") < 250))
+  }
+
+  /** Shared q53/q95 report tail: per-doc hit counts -> containment. */
+  private[operators] def decontamAssemble(
+      corpus: DataFrame, hits: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), size(col("shs")).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment",
+        when(col("n_sh") > 0,
+          col("n_hit").cast("double") / col("n_sh").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("containment") >= 0.2)
+      .orderBy("doc_id")
+
+  /** One oracle for q53 AND q95: the bloom prefilter is an evaluation
+    * strategy, not a semantics change (no false negatives; false
+    * positives die in the exact confirm join) — the q78/q91
+    * materialization-not-semantics gate applied to a sketch.
+    */
+  private[operators] val DecontamOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket,
+      |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
+      |sh AS (SELECT doc_id, bucket,
+      |         CASE WHEN len(t) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+      |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |              ELSE [] END AS shs
+      |       FROM d),
+      |ev AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE bucket >= 250),
+      |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE bucket < 250),
+      |h AS (SELECT doc_id, count(*) AS n_hit FROM ex JOIN ev USING (sh) GROUP BY 1),
+      |c AS (SELECT s.doc_id, len(s.shs) AS n_sh,
+      |        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+      |      FROM sh s LEFT JOIN h ON s.doc_id = h.doc_id
+      |      WHERE s.bucket < 250)
+      |SELECT doc_id, n_sh, n_hit,
+      |  CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
+      |       ELSE 0.0 END AS containment,
+      |  CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
+      |       ELSE 0.0 END >= 0.2 AS contaminated
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Capped LSH band keys (8 minhashes, 4 bands x 2 rows) for a
     * (doc_id, sh) exploded-shingle frame — the signature/banding core
     * shared by q36/q39/q48/q59 (via [[minhashPairs]]) and q78's
@@ -429,56 +494,16 @@ object Dedup {
     QueryDef(
       "q53_decontam",
       (s, dir) => {
-        // q44's engine-identical md5 bucketing (lang-salted, 0..255)
-        val bucket = conv(
-          substring(md5(concat_ws(":",
-            coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2),
-          16, 10).cast("int")
-        val base = docs(s, dir)
-          .select(col("doc_id"), bucket.as("bucket"),
-            split(trim(col("text")), Ws.Plus).as("t"))
-          .select(col("doc_id"), col("bucket"), shinglesOf(col("t")).as("shs"))
-        val bench = base.filter(col("bucket") >= 250)
-          .select(explode(col("shs")).as("sh")).distinct()
-        val corpus = base.filter(col("bucket") < 250)
+        val (bench, corpus) = decontamSides(s, dir)
         // shinglesOf is distinct per doc and bench is a distinct set, so
         // count(*) after the semi-shaped inner join = |doc ∩ bench|
         val hits = corpus
           .select(col("doc_id"), explode(col("shs")).as("sh"))
           .join(broadcast(bench), Seq("sh"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-        corpus.select(col("doc_id"), size(col("shs")).as("n_sh"))
-          .join(hits, Seq("doc_id"), "left")
-          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-          .withColumn("containment",
-            when(col("n_sh") > 0,
-              col("n_hit").cast("double") / col("n_sh").cast("double"))
-              .otherwise(lit(0.0)))
-          .withColumn("contaminated", col("containment") >= 0.2)
-          .orderBy("doc_id")
+        decontamAssemble(corpus, hits)
       },
-      Some("""WITH d AS (SELECT doc_id,
-             |  CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket,
-             |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
-             |sh AS (SELECT doc_id, bucket,
-             |         CASE WHEN len(t) >= 3
-             |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
-             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-             |              ELSE [] END AS shs
-             |       FROM d),
-             |ev AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE bucket >= 250),
-             |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE bucket < 250),
-             |h AS (SELECT doc_id, count(*) AS n_hit FROM ex JOIN ev USING (sh) GROUP BY 1),
-             |c AS (SELECT s.doc_id, len(s.shs) AS n_sh,
-             |        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
-             |      FROM sh s LEFT JOIN h ON s.doc_id = h.doc_id
-             |      WHERE s.bucket < 250)
-             |SELECT doc_id, n_sh, n_hit,
-             |  CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
-             |       ELSE 0.0 END AS containment,
-             |  CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
-             |       ELSE 0.0 END >= 0.2 AS contaminated
-             |FROM c ORDER BY doc_id""".stripMargin)),
+      Some(DecontamOracle)),
 
     // ---- cross-split leakage: eval docs that are LSH near-dups of a
     // TRAIN doc — the split-hygiene check run before training (a random
