@@ -111,6 +111,8 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            Misra-Gries + exact-recount heavy hitters, and bottom-k
   *            weighted sampling via integer min-hash priorities — the
   *            sketch prunes, a confirm pass restores bit-exactness
+  *   q98      ORC interchange round-trip (q75's gate applied to the
+  *            second columnar estate format)
   */
 object SparkEntry {
 

@@ -37,6 +37,29 @@ object Interchange {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    /* ORC round-trip under the SAME oracle shape as q75: documents →
+     * ORC (Spark's built-in columnar writer — the OTHER columnar
+     * interchange format warehouse estates speak) → schema-pinned read
+     * → compared against DuckDB reading the ORIGINAL parquet. Green
+     * means the ORC path preserves every value exactly, so the engine
+     * can sit in an ORC-based estate (Hive-era tables, Trino
+     * connectors) without a parity risk. Both steps distributed; the
+     * schema is pinned on read for the same reason as q75 — inference
+     * costs an extra pass at scale and can widen types.
+     */
+    QueryDef(
+      "q98_orc_roundtrip",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val tmp = Files.createTempDirectory("graft-orc").toString
+        d.write.mode("overwrite").orc(tmp)
+        s.read.schema(d.schema).orc(tmp)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -14,6 +14,28 @@ import graft.sources.Sources
   */
 class OverlapInterchangeSpec extends SparkSpec {
 
+  test("ORC roundtrip (q98 path) preserves nulls, empty strings and unicode") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    val rows = Seq(
+      Row(1L, "plain words", "en"),
+      Row(2L, "", "en"), // empty string is NOT null
+      Row(3L, "line one\nline two\ttabbed", null),
+      Row(4L, "unicode: café 中文 😀 quote\"backslash\\", "mix"),
+      Row(5L, null, "de"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-adv").toString
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(schema).orc(dir)
+      .collect().sortBy(_.getLong(0))
+    back.zip(rows.sortBy(_.getLong(0))).foreach { case (g, w) =>
+      assert(g == w, s"ORC roundtrip diverged: $g vs $w")
+    }
+  }
+
   test("JSONL roundtrip preserves nulls, empty strings, newlines and unicode") {
     val schema = StructType(Seq(
       StructField("id", LongType),
