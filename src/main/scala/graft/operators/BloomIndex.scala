@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Persisted decontamination benchmark index: the [[BandIndex]] /
+  * [[PostingsIndex]] "build once, probe forever" pattern applied to the
+  * sketch layer.
+  *
+  * q53/q95 rebuild the benchmark's distinct-shingle set (and q95 its
+  * bloom filter) on EVERY run — the q78-shape recompute smell: the
+  * benchmark suite is the STATIONARY side of decontamination (it changes
+  * when the eval suite changes, not when corpus batches arrive), so at
+  * 100 TB its derived structures should be paid for once per benchmark
+  * generation, not once per ingest. This object persists both layers:
+  *
+  *  - the EXACT distinct shingle set as a parquet table bucketed by
+  *    `sh` — the confirm join's key — so a probe's confirm join reads
+  *    the benchmark side with NO exchange (the survivors side, already
+  *    bloom-pruned to a sliver, is the only thing that shuffles);
+  *  - the bloom filter bits as a `_BLOOM` sidecar (the map-side
+  *    prefilter, ~10 bits/shingle), deserialized once per (session,
+  *    generation) and broadcast.
+  *
+  * Freshness and restart follow BandIndex verbatim: a `_GRAFT_FP`
+  * file-metadata fingerprint of `documents.parquet` gates rebuild (the
+  * sidecar is covered by the same fingerprint — bloom and table are
+  * written together, fingerprint last, so a half-built index reads as
+  * stale, never as valid); a valid on-disk index re-registers into a
+  * fresh JVM's in-memory catalog without rebuilding.
+  */
+object BloomIndex {
+
+  /** Buckets = the engine's shuffle-partition count at bench scale. */
+  val NumBuckets = 32
+
+  def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  def tableNameFor(dir: String): String =
+    "graft_bench_shingles_" +
+      md5hex(Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+
+  private def indexPath(dir: String): Path =
+    Paths.get(indexRoot, tableNameFor(dir))
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  /** Per-(path, fingerprint) deserialized bloom cache: the sidecar is
+    * read once per corpus generation per JVM, not once per query.
+    */
+  @volatile private var bloomCache = Map.empty[(String, String), BloomFilter]
+
+  private def register(spark: SparkSession, name: String, path: Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"""CREATE TABLE `$name` (sh STRING)
+         |USING PARQUET
+         |CLUSTERED BY (sh) INTO $NumBuckets BUCKETS
+         |LOCATION '${path.toString}'""".stripMargin)
+  }
+
+  /** Ensure the benchmark index for `dir` exists, is fresh, and is in
+    * this session's catalog; returns the table name. Warm cost: a
+    * catalog lookup + an O(#files) fingerprint. Cold cost: one
+    * O(benchmark) build — paid once per benchmark generation.
+    */
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    val name = tableNameFor(dir)
+    val path = indexPath(dir)
+    val fp = BandIndex.fingerprint(dir)
+    val fpFile = path.resolve("_GRAFT_FP")
+    val validOnDisk = Files.exists(fpFile) &&
+      Files.readString(fpFile).trim == fp
+    if (spark.catalog.tableExists(name) && validOnDisk) name
+    else if (validOnDisk) { register(spark, name, path); name }
+    else {
+      val (bench, _) = Dedup.decontamSides(spark, dir)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      deleteTree(path)
+      bench.repartition(NumBuckets, col("sh"))
+        .write.format("parquet")
+        .bucketBy(NumBuckets, "sh")
+        .sortBy("sh")
+        .option("path", path.toString)
+        .saveAsTable(name)
+      // bloom over the just-written table (one distributed aggregate);
+      // sized from the table's row count — a metadata-cheap second job
+      val n = spark.table(name).count()
+      val bf = spark.table(name).stat
+        .bloomFilter("sh", math.max(n, 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      Files.write(path.resolve("_BLOOM"), bos.toByteArray)
+      Files.writeString(fpFile, fp) // commit marker: fingerprint LAST
+      name
+    }
+  }
+
+  /** The persisted bloom for `dir` (ensure()d, cached per generation). */
+  def bloom(spark: SparkSession, dir: String): BloomFilter = {
+    val name = ensure(spark, dir)
+    val fp = BandIndex.fingerprint(dir)
+    val key = (name, fp)
+    bloomCache.getOrElse(key, synchronized {
+      bloomCache.getOrElse(key, {
+        val bytes = Files.readAllBytes(indexPath(dir).resolve("_BLOOM"))
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+        bloomCache = bloomCache + (key -> bf)
+        bf
+      })
+    })
+  }
+
+  /** Per-doc benchmark-hit counts via the persisted index: map-side
+    * bloom prefilter, then the exact confirm join against the bucketed
+    * shingle table (index side exchange-free — spec-pinned). Output is
+    * identical to q53's exact-broadcast hits.
+    */
+  def probeHits(spark: SparkSession, dir: String): DataFrame = {
+    val name = ensure(spark, dir)
+    val bfB = spark.sparkContext.broadcast(bloom(spark, dir))
+    val mightContain =
+      udf((x: String) => x != null && bfB.value.mightContain(x))
+    val (_, corpus) = Dedup.decontamSides(spark, dir)
+    corpus.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .filter(mightContain(col("sh")))
+      .join(spark.table(name), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+  }
+
+  /** The full q53-equivalent report from the persisted index. */
+  def probe(spark: SparkSession, dir: String): DataFrame = {
+    val (_, corpus) = Dedup.decontamSides(spark, dir)
+    Dedup.decontamAssemble(corpus, probeHits(spark, dir))
+  }
+}

@@ -234,6 +234,19 @@ object SketchExact {
              |    i -> CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT))) AS priority
              |  FROM d)
              |SELECT doc_id, w, priority FROM p
-             |ORDER BY priority, doc_id LIMIT 50""".stripMargin))
+             |ORDER BY priority, doc_id LIMIT 50""".stripMargin)),
+
+    /* Decontamination from the PERSISTED benchmark index
+     * ([[BloomIndex]]): identical output to q53/q95 under the same
+     * oracle, but the benchmark's distinct-shingle table (bucketed by
+     * sh) and bloom sidecar are built once per benchmark generation and
+     * READ here — the q91 serving path applied to the sketch layer. The
+     * confirm join's index side is exchange-free (spec-pinned); only the
+     * bloom-pruned survivor sliver shuffles.
+     */
+    QueryDef(
+      "q99_decontam_indexed",
+      (s, dir) => BloomIndex.probe(s, dir),
+      Some(Dedup.DecontamOracle))
   )
 }

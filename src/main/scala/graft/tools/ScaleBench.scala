@@ -65,7 +65,14 @@ object ScaleBench {
     // DSIR: suffixed replicas scale the corpus LM's bigram table AND the
     // target slice (sources survive suffixing) ×N together — the
     // open-vocab worst case for the four count-table joins, same as q73
-    "q84_dsir_weight")
+    "q84_dsir_weight",
+    // bloom decontam: suffixed replicas share no shingles, so the
+    // benchmark shingle set (bucket >= 250 of EVERY replica — doc_id
+    // shifts re-deal the md5 buckets but keep the ~2.3% rate) and the
+    // corpus probe side both scale ×N; the curve measures the bloom
+    // build + map-side probe + pruned confirm join all growing together,
+    // the operator's open-vocabulary worst case
+    "q95_bloom_decontam")
   private val evtQueries = Seq("q60_event_hourly",
     // sessionize/as-of: replication shifts user_id per replica, so N×
     // rows arrive as N× users at the SAME per-user density — the curve
@@ -87,7 +94,17 @@ object ScaleBench {
   // tf-idf rides the same rotation replicas: the df table stays
   // vocabulary-sized (corpus-sublinear) while tf rows scale ×N — the
   // 100-TB shape where the term-statistics join side is bounded
-  private val vocQueries = Seq("q69_vocab_coverage", "q74_tfidf")
+  // heavy hitters ride the rotation replicas too: word rotation keeps
+  // the vocabulary fixed, so the bigram universe stays bounded (≤ V²)
+  // while token rows scale ×N — the Misra-Gries pass and candidate
+  // recount face N× stream length against a bounded candidate space,
+  // exactly the relative-threshold regime (φN grows with N, so the
+  // heavy SET stays comparable per factor). weighted sample: rotation
+  // preserves token counts ⇒ weights invariant; doc_ids shift ⇒ fresh
+  // priorities; the curve measures TakeOrderedAndProject's per-partition
+  // top-k over N× rows with k fixed
+  private val vocQueries = Seq("q69_vocab_coverage", "q74_tfidf",
+    "q96_heavy_hitters", "q97_weighted_sample")
   // retrieval rides the rotation replicas: the query-term set and query
   // vectors are FIXED dimensions (replica-0 ids), so BM25 faces N×
   // postings behind a vocabulary-sized df table and the semantic leg
