@@ -72,7 +72,13 @@ object ScaleBench {
     // corpus probe side both scale ×N; the curve measures the bloom
     // build + map-side probe + pruned confirm join all growing together,
     // the operator's open-vocabulary worst case
-    "q95_bloom_decontam")
+    "q95_bloom_decontam",
+    // indexed decontam: the warm-up pays the one-off benchmark index
+    // build per factor dir (ensure() is fingerprint-gated, the q91
+    // treatment), so the timed runs measure the WARM probe — corpus
+    // shingling + bloom prefilter scale ×N while the persisted bench
+    // table is read, not rebuilt
+    "q99_decontam_indexed")
   private val evtQueries = Seq("q60_event_hourly",
     // sessionize/as-of: replication shifts user_id per replica, so N×
     // rows arrive as N× users at the SAME per-user density — the curve
