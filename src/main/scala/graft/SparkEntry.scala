@@ -113,6 +113,13 @@ import graft.operators.{Analytic, Bridge, Curation, Dedup, Events, Interchange, 
   *            sketch prunes, a confirm pass restores bit-exactness
   *   q98      ORC interchange round-trip (q75's gate applied to the
   *            second columnar estate format)
+  *   q99      decontamination from the PERSISTED benchmark index
+  *            (BloomIndex: bucketed shingle table + bloom sidecar,
+  *            exchange-free confirm join — q91's serving path for
+  *            the sketch layer, same oracle as q53/q95)
+  *   q100     stratified weighted sampling (k per source): q97's
+  *            priorities under q68's salted two-phase top-k — the
+  *            balanced training-mix sampler, naive-window oracle
   */
 object SparkEntry {
 

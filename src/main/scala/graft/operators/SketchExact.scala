@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables, Ws}
@@ -235,6 +236,54 @@ object SketchExact {
              |  FROM d)
              |SELECT doc_id, w, priority FROM p
              |ORDER BY priority, doc_id LIMIT 50""".stripMargin)),
+
+    /* Stratified weighted sampling: the balanced training-mix sampler —
+     * k = 10 docs PER SOURCE, inclusion ∝ weight within each source,
+     * using q97's integer min-hash priorities. The scale hazard is the
+     * grouping itself: `source` is a bounded dimension, so a single
+     * window over it puts an entire source's rows in ONE task (the hot
+     * group q68 exists for). Composition: local top-k per
+     * (source, salt-of-doc_id) spreads each source over 8 tasks, the
+     * global per-source re-rank sees ≤ 8k candidate rows per source —
+     * q68's salted two-phase top-k under q97's sampling scheme, while
+     * the oracle states the NAIVE single window, so the hash proves the
+     * decomposition exact.
+     */
+    QueryDef(
+      "q100_stratified_weighted",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          least(greatest(size(split(trim(col("text")), Ws.Plus)), lit(1)),
+            lit(WCap)).as("w"))
+        val pri = d.select(col("source"), col("doc_id"), col("w"),
+          priorityCol(col("doc_id"), col("w")).as("priority"))
+        val salt = pmod(col("doc_id"), lit(8))
+        val wLocal = Window.partitionBy(col("source"), salt)
+          .orderBy(col("priority"), col("doc_id"))
+        val cand = pri
+          .withColumn("r", row_number().over(wLocal))
+          .filter(col("r") <= 10).drop("r")
+        val wGlobal = Window.partitionBy(col("source"))
+          .orderBy(col("priority"), col("doc_id"))
+        cand.withColumn("rank", row_number().over(wGlobal))
+          .filter(col("rank") <= 10)
+          .select("source", "rank", "doc_id", "w", "priority")
+          .orderBy("source", "rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  least(greatest(len(string_split_regex(trim(text), '[ \t\n\f\r]+')), 1), 64) AS w
+             |  FROM documents),
+             |p AS (SELECT doc_id, source, w,
+             |  list_min(list_transform(generate_series(1, w),
+             |    i -> CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT))) AS priority
+             |  FROM d),
+             |r AS (SELECT source, doc_id, w, priority,
+             |        row_number() OVER (PARTITION BY source
+             |                           ORDER BY priority, doc_id) AS rank
+             |      FROM p)
+             |SELECT source, rank, doc_id, w, priority FROM r
+             |WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
 
     /* Decontamination from the PERSISTED benchmark index
      * ([[BloomIndex]]): identical output to q53/q95 under the same

@@ -109,8 +109,11 @@ object ScaleBench {
   // preserves token counts ⇒ weights invariant; doc_ids shift ⇒ fresh
   // priorities; the curve measures TakeOrderedAndProject's per-partition
   // top-k over N× rows with k fixed
+  // q100 adds the per-source variant: sources survive rotation, so each
+  // of the bounded source strata grows ×N rows while k stays 10 — the
+  // salted two-phase top-k's whole reason to exist
   private val vocQueries = Seq("q69_vocab_coverage", "q74_tfidf",
-    "q96_heavy_hitters", "q97_weighted_sample")
+    "q96_heavy_hitters", "q97_weighted_sample", "q100_stratified_weighted")
   // retrieval rides the rotation replicas: the query-term set and query
   // vectors are FIXED dimensions (replica-0 ids), so BM25 faces N×
   // postings behind a vocabulary-sized df table and the semantic leg

@@ -117,6 +117,31 @@ class SketchExactSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
   }
 
+  test("q100 salted two-phase per-source top-k equals the naive window") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.core.Tables(spark, sf0001, "documents").select(col("doc_id"),
+      col("source"),
+      least(greatest(size(split(trim(col("text")), graft.core.Ws.Plus)), lit(1)),
+        lit(64)).as("w"))
+    val pri = d.select(col("source"), col("doc_id"), col("w"),
+      SketchExact.priorityCol(col("doc_id"), col("w")).as("priority"))
+    val naive = pri.withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select("source", "rank", "doc_id", "w", "priority")
+      .orderBy("source", "rank")
+      .collect()
+    val got = q("q100_stratified_weighted").collect()
+    assert(naive.length > 0)
+    assert(got.toSeq == naive.toSeq)
+    // exactly k (or the whole stratum) per source, ranks contiguous 1..n
+    got.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"$src ranks not contiguous")
+      assert(ranks.size <= 10)
+    }
+  }
+
   test("q97 plans as TakeOrderedAndProject, not a global sort") {
     val plan = q("q97_weighted_sample").queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
