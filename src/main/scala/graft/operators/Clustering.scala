@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Deterministic k-means (Lloyd) over the `embeddings` table — the
+  * clustering primitive behind cluster-balanced curation (SemDeDup's
+  * first stage, cluster-proportional sampling, per-cell dedup budgets).
+  * q42/q89 consume FIXED centroid cells; q101 is the step that produces
+  * cells from the data itself, so the whole curation chain
+  * (cluster → per-cell dedup → balanced sample) is now in-engine.
+  *
+  * Cross-engine exactness (the q79/q93 design): coordinates are
+  * quantized ONCE to integer micro-units (round(x·1e6) as long), after
+  * which every distance, sum, and centroid update is exact int64
+  * arithmetic — order-independent sums, total-order argmin
+  * (distance, then centroid id), and a round-half-away integer division
+  * for the mean that both engines express with the same integer ops
+  * (`(2s+n) div (2n)` on the absolute value). The DuckDB oracle unrolls
+  * both Lloyd iterations as CTEs, so the final per-vector assignment
+  * hash pins every intermediate centroid of the dependent chain — a
+  * single drifted coordinate in iteration 1 flips downstream
+  * assignments and the hash.
+  *
+  * Scale shape (the part that matters at 100 TB): assignment is
+  * map-side only — K centroids broadcast (K·d·8 bytes; thousands of
+  * centroids still fit in MBs), per-row argmin folded by ONE
+  * map-side-combined `min(struct)` aggregate, no window over the
+  * corpus. The update step shuffles at most K·d rows PER PARTITION
+  * (posexplode by dimension + partial aggregation), never the corpus;
+  * per-iteration centroid frames are 8×64 longs, eagerly
+  * localCheckpointed (the CC-loop discipline) so plan depth stays
+  * constant in the iteration count.
+  *
+  * Reference scope note: the reference has no clustering operator
+  * (its cells in q42's lineage are synthetic); q101 is part of the
+  * beyond-reference LLM-pipeline surface, cited to Lloyd (IEEE IT'82)
+  * and Abbas et al. 2023 (SemDeDup) for the curation use.
+  */
+object Clustering {
+
+  private val K = 8
+  private val Iters = 2
+
+  /** embeddings quantized to integer micro-units: (vec_id, qv). */
+  private def qvecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("qv"))
+
+  /** Exact integer squared L2 distance between two long arrays. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment: (vec_id, cid, dist2). Ties break on
+    * centroid id ascending via the struct total order.
+    */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d", dist2(col("qv"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("dist2"))
+
+  /** One Lloyd update: integer-mean centroids of the assignment's
+    * members; a centroid with no members carries over unchanged.
+    * Mean rounds half away from zero in pure integer arithmetic so
+    * both engines compute the identical coordinate.
+    */
+  private def update(vecs: DataFrame, asg: DataFrame,
+      prev: DataFrame): DataFrame = {
+    val sums = asg.select("vec_id", "cid").join(vecs, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr(
+        "CASE WHEN s >= 0 THEN (2*s+n) DIV (2*n) ELSE -((-2*s+n) DIV (2*n)) END"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("nv"))
+    prev.select(col("cid"), col("cv").as("pv"))
+      .join(sums, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("nv"), col("pv")).as("cv"))
+  }
+
+  /** `iters` Lloyd iterations from the k smallest-id seed vectors;
+    * returns the FINAL assignment (vec_id, cid, dist2).
+    */
+  def lloyd(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = vecs.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val asg = assign(vecs, cents)
+      cents = update(vecs, asg, cents).localCheckpoint(true)
+    }
+    assign(vecs, cents)
+  }
+
+  /** The SQL text of q101's unrolled Lloyd chain (CTEs e..c2), shared
+    * by q101's final assignment and q102's balanced sampler so the two
+    * oracles can never drift apart.
+    */
+  private val LloydCtes =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |c0 AS (SELECT vec_id AS cid, qv AS cv FROM e
+      |       ORDER BY vec_id LIMIT 8),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |        SELECT e.vec_id, c.cid, row_number() OVER (
+      |            PARTITION BY e.vec_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))), c.cid)
+      |          AS rk
+      |        FROM e CROSS JOIN c0 c) t WHERE rk = 1),
+      |u1 AS (SELECT a.cid, d.i, sum(e.qv[d.i]) AS s, count(*) AS n
+      |       FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims d
+      |       GROUP BY a.cid, d.i),
+      |n1 AS (SELECT cid, list(CASE WHEN s >= 0 THEN (2*s+n)//(2*n)
+      |         ELSE -((-2*s+n)//(2*n)) END ORDER BY i) AS cv
+      |       FROM u1 GROUP BY cid),
+      |c1 AS (SELECT c0.cid, coalesce(n1.cv, c0.cv) AS cv
+      |       FROM c0 LEFT JOIN n1 USING (cid)),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |        SELECT e.vec_id, c.cid, row_number() OVER (
+      |            PARTITION BY e.vec_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, 64),
+      |              i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))), c.cid)
+      |          AS rk
+      |        FROM e CROSS JOIN c1 c) t WHERE rk = 1),
+      |u2 AS (SELECT a.cid, d.i, sum(e.qv[d.i]) AS s, count(*) AS n
+      |       FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims d
+      |       GROUP BY a.cid, d.i),
+      |n2 AS (SELECT cid, list(CASE WHEN s >= 0 THEN (2*s+n)//(2*n)
+      |         ELSE -((-2*s+n)//(2*n)) END ORDER BY i) AS cv
+      |       FROM u2 GROUP BY cid),
+      |c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv
+      |       FROM c1 LEFT JOIN n2 USING (cid)),
+      |af AS (SELECT vec_id, cid, dist2 FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))) AS BIGINT) AS dist2,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(generate_series(1, 64),
+      |        i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))), c.cid) AS rk
+      |  FROM e CROSS JOIN c2 c) t
+      |WHERE rk = 1)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q101_kmeans_cells",
+      (s, dir) => lloyd(qvecs(s, dir), K, Iters).orderBy("vec_id"),
+      Some(LloydCtes +
+        "\nSELECT vec_id, cid, dist2 FROM af ORDER BY vec_id")),
+
+    /* Cluster-balanced uniform sample: k=10 vectors per q101 cell via
+     * the q97 bottom-k order machinery at weight 1 (one md5 replica per
+     * vec_id) — the deterministic form of cluster-proportional eval-set
+     * drawing (every cell contributes equally regardless of size).
+     * Scale shape: the only addition over q101 is a window partitioned
+     * by cid with k small and cells balanced BY the clustering itself,
+     * so the top-k shuffle is keyed on cid and each group ranks at most
+     * its own cell. Shares q101's Lloyd CTEs in the oracle so the two
+     * queries cannot drift.
+     */
+    QueryDef(
+      "q102_cluster_balanced_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val asg = lloyd(qvecs(s, dir), K, Iters)
+          .select(col("vec_id"), col("cid"))
+          .withColumn("priority",
+            SketchExact.priorityCol(col("vec_id"), lit(1)))
+        val w = Window.partitionBy("cid")
+          .orderBy(col("priority"), col("vec_id"))
+        asg.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select("cid", "rk", "vec_id", "priority")
+          .orderBy("cid", "rk")
+      },
+      Some(LloydCtes + """
+        |, pr AS (SELECT vec_id, cid,
+        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#1'), 1, 15)
+        |      AS BIGINT) AS priority FROM af)
+        |SELECT cid, rk, vec_id, priority FROM (
+        |  SELECT cid, vec_id, priority, row_number() OVER (
+        |    PARTITION BY cid ORDER BY priority, vec_id) AS rk FROM pr) t
+        |WHERE rk <= 10 ORDER BY cid, rk""".stripMargin)))
+}
