@@ -137,7 +137,13 @@ object ScaleBench {
     // greedy chain is candidate-bounded by construction); q94 doubles
     // the q88 shape (two scoring passes + a feedback-doc-keyed
     // expansion join)
-    "q93_mmr_rerank", "q94_prf_expansion")
+    "q93_mmr_rerank", "q94_prf_expansion",
+    // k-means rides the embedding replicas: seeds are the 8 smallest
+    // vec_ids (replica 0), so K stays fixed while the corpus scales ×N
+    // with decorrelated geometry — assignment is the map-side broadcast
+    // fold and the update shuffle stays K·d-bounded per partition, the
+    // exact claim the curve tests; q102 adds one cid-keyed window
+    "q101_kmeans_cells", "q102_cluster_balanced_sample")
   // upsert: snapshot AND change-set both scale ×N (key-shifted customer
   // replicas keep the mod-7/13/97 class mix) — the merge stays one
   // full-outer shuffle however large the dimension grows
