@@ -81,9 +81,11 @@ object SketchExact {
     */
   private val MgK = 667
 
-  /** (doc-order) adjacent word-bigram rows of `documents`. */
-  private[graft] def bigramRows(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+  /** (doc-order) adjacent word-bigram rows of any frame with a `text`
+    * column — shared by q96 and the streaming [[graft.streaming.HeavyHittersSink]].
+    */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(split(trim(col("text")), Ws.Plus).as("t"))
       .filter(size(col("t")) >= 2)
     val n1 = size(col("t")) - 1
@@ -94,6 +96,10 @@ object SketchExact {
       slice(col("t"), lit(2), n1),
       (a, b) => concat(a, lit(" "), b))).as("bg"))
   }
+
+  /** (doc-order) adjacent word-bigram rows of `documents`. */
+  private[graft] def bigramRows(s: SparkSession, dir: String): DataFrame =
+    bigramsOf(Tables(s, dir, "documents"))
 
   /** Per-partition Misra-Gries summaries, unioned and deduped: a
     * partitioning-independent SUPERSET of the exact heavy set (the spec
