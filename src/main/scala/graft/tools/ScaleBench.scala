@@ -51,6 +51,10 @@ object ScaleBench {
     // packing: the block-id prefix sum must stay flat-per-row as blocks
     // fill; leakage: N disjoint replicas → N× pairs, N× split probes
     "q58_sequence_pack", "q59_split_leakage",
+    // leakage-safe split: CC labels over N× disjoint pair graphs plus
+    // one doc_id-keyed join-back — curves the remediation beside the
+    // q59 detection it replaces
+    "q103_leakage_safe_split",
     // bigram LM: suffixed replicas share no tokens, so vocabulary AND
     // the bigram count table scale ×N with the corpus — the open-vocab
     // worst case for the train-side aggregations and count-table joins
