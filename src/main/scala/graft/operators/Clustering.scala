@@ -57,9 +57,10 @@ object Clustering {
       lit(0L), (acc, x) => acc + x)
 
   /** Nearest-centroid assignment: (vec_id, cid, dist2). Ties break on
-    * centroid id ascending via the struct total order.
+    * centroid id ascending via the struct total order. Shared with the
+    * streaming [[graft.streaming.ClusterSink]].
     */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("d", dist2(col("qv"), col("cv")))
       .groupBy("vec_id")
