@@ -193,5 +193,62 @@ object Clustering {
         |SELECT cid, rk, vec_id, priority FROM (
         |  SELECT cid, vec_id, priority, row_number() OVER (
         |    PARTITION BY cid ORDER BY priority, vec_id) AS rk FROM pr) t
-        |WHERE rk <= 10 ORDER BY cid, rk""".stripMargin)))
+        |WHERE rk <= 10 ORDER BY cid, rk""".stripMargin)),
+
+    /* SemDeDup over LEARNED cells: q89's within-cell near-duplicate
+     * prune (one-shot keep-first at cosine >= 0.3), but the cells come
+     * from q101's Lloyd assignment instead of q42's fixed centroid
+     * frame — the full Abbas et al. 2023 recipe is now in-engine end
+     * to end: learn cells from the data (q101), prune within cells
+     * (q104), draw the balanced sample (q102). Scale shape matches
+     * q89's: the quadratic regime is confined within a cell, and the
+     * production knob is cell COUNT ∝ corpus (cell size bounded), so
+     * the within-cell renamed-projection self-join shuffles once on
+     * cid and never crosses cells. The oracle prepends q101's Lloyd
+     * CTEs, so the hash pins the learned cells AND the prune decisions
+     * through one value — a drifted centroid flips cell membership,
+     * pair candidacy, and the final rows.
+     */
+    QueryDef(
+      "q104_semdedup_cells",
+      (s, dir) => {
+        val asg = lloyd(qvecs(s, dir), K, Iters).select("vec_id", "cid")
+        val ev = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("nrm", sqrt(aggregate(
+            transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        val full = asg.join(ev, "vec_id")
+        val a = full.select(col("vec_id").as("d1"), col("cid").as("c1"),
+          col("v").as("v1"), col("nrm").as("n1"))
+        val b = full.select(col("vec_id").as("d2"), col("cid").as("c2"),
+          col("v").as("v2"), col("nrm").as("n2"))
+        val removed = a.join(b, col("c1") === col("c2") && col("d1") < col("d2"))
+          .withColumn("cos", aggregate(
+            zip_with(col("v1"), col("v2"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")))
+          .filter(col("cos") >= 0.3)
+          .groupBy(col("d2").as("vec_id"))
+          .agg(min(col("d1")).as("dup_of"))
+        full.select("vec_id", "cid")
+          .join(removed, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"), col("dup_of"),
+            col("dup_of").isNull.as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(LloydCtes + """
+        |, ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nv AS (SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
+        |asg AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm
+        |        FROM af JOIN nv USING (vec_id)),
+        |rem AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+        |        FROM asg a JOIN asg b
+        |          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |        WHERE list_sum(list_transform(generate_series(1, 64),
+        |                i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3
+        |        GROUP BY 1)
+        |SELECT g.vec_id, g.cid, r.dup_of, r.dup_of IS NULL AS kept
+        |FROM asg g LEFT JOIN rem r ON r.vec_id = g.vec_id
+        |ORDER BY g.vec_id""".stripMargin)))
 }

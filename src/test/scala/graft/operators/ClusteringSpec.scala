@@ -130,6 +130,36 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("q104 prunes exactly the earlier-partner cosine matches within each cell") {
+    val cells = collected().map(t => t._1 -> t._2).toMap
+    val vecs = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def fold(xs: Iterator[Double]) = xs.foldLeft(0.0)(_ + _)
+      val d = fold(a.indices.iterator.map(i => a(i) * b(i)))
+      d / (math.sqrt(fold(a.iterator.map(x => x * x))) *
+        math.sqrt(fold(b.iterator.map(x => x * x))))
+    }
+    val got = graft.SparkEntry.queries("q104_semdedup_cells")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(got.length == vecs.size)
+    got.foreach { case (id, cid, dupOf, kept) =>
+      assert(cells(id) == cid, s"vec $id cell drifted from q101")
+      val partners = cells.collect {
+        case (o, c) if c == cid && o < id &&
+          cos(vecs(o), vecs(id)) >= 0.3 => o
+      }
+      if (partners.isEmpty) assert(kept && dupOf.isEmpty, s"vec $id")
+      else assert(!kept && dupOf.contains(partners.min), s"vec $id")
+    }
+    // non-vacuous both ways
+    assert(got.exists(!_._4) && got.exists(_._4))
+  }
+
   test("assignment is broadcast-shaped: no shuffle on the corpus side") {
     val vecs = graft.core.Tables(spark, sf0001, "embeddings")
       .select(col("vec_id"),
