@@ -554,6 +554,51 @@ object Dedup {
           |WHERE s.split = 'eval'
           |ORDER BY s.doc_id""".stripMargin)),
 
+    // ---- decontamination APPLICATION, completing the detect→apply
+    // pair the dedup family already has (q36/q39 detect → q56 applies):
+    // materialize the training corpus a run would actually read after
+    // q53's verdicts — every corpus doc NOT contaminated (containment
+    // < 0.2), carried with its evidence columns so downstream mixing
+    // stages (q57/q84) can re-weight without re-deriving. Same plan
+    // skeleton as q53 (broadcast benchmark set, zero fanout, one
+    // grouped count) plus one join back to the docs table for lang —
+    // the apply adds no new shuffle class, which is the point: at
+    // 100 TB the decision and the materialization share one scan.
+    QueryDef(
+      "q105_decontam_apply",
+      (s, dir) => {
+        val (bench, corpus) = decontamSides(s, dir)
+        val hits = corpus
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        decontamAssemble(corpus, hits)
+          .filter(!col("contaminated"))
+          .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "n_sh", "n_hit")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |  CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket,
+             |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
+             |sh AS (SELECT doc_id, lang, bucket,
+             |         CASE WHEN len(t) >= 3
+             |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             |              ELSE [] END AS shs
+             |       FROM d),
+             |ev AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE bucket >= 250),
+             |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE bucket < 250),
+             |h AS (SELECT doc_id, count(*) AS n_hit FROM ex JOIN ev USING (sh) GROUP BY 1),
+             |c AS (SELECT s.doc_id, s.lang, len(s.shs) AS n_sh,
+             |        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+             |      FROM sh s LEFT JOIN h ON s.doc_id = h.doc_id
+             |      WHERE s.bucket < 250)
+             |SELECT doc_id, lang, n_sh, n_hit FROM c
+             |WHERE NOT (CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
+             |                ELSE 0.0 END >= 0.2)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- the REMEDIATION q59's scaladoc names: a leakage-safe split.
     // Split by near-dup GROUP, not by doc — every doc carries its q39
     // cluster label (own doc_id when unpaired) and the train/eval

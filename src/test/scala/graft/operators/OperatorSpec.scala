@@ -58,6 +58,25 @@ class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q105 is exactly q53's complement: the not-contaminated corpus") {
+    val verdicts = run("q53_decontam").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("contaminated"), r.getAs[Int]("n_sh"),
+          r.getAs[Long]("n_hit"))).toMap
+    val kept = run("q105_decontam_apply").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_sh"),
+        r.getAs[Long]("n_hit")))
+    // every kept doc is a non-contaminated q53 doc with identical evidence
+    kept.foreach { case (id, nSh, nHit) =>
+      val (contaminated, eSh, eHit) = verdicts(id)
+      assert(!contaminated && nSh == eSh && nHit == eHit, s"doc $id")
+    }
+    // and the apply drops EXACTLY the contaminated set (non-vacuously)
+    val dropped = verdicts.count(_._2._1)
+    assert(kept.size + dropped == verdicts.size)
+    assert(dropped > 0, "no contaminated docs at this SF; gate is vacuous")
+  }
+
   test("q54 keeps non-dominant languages whole and is a pure filter") {
     val docs = graft.core.Tables(spark, sf0001, "documents")
       .select(col("doc_id"), col("lang"))
