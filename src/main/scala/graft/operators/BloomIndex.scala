@@ -130,12 +130,21 @@ object BloomIndex {
     * identical to q53's exact-broadcast hits.
     */
   def probeHits(spark: SparkSession, dir: String): DataFrame = {
+    val (_, corpus) = Dedup.decontamSides(spark, dir)
+    probeHitsOf(spark, dir, corpus)
+  }
+
+  /** The same indexed probe over ANY (doc_id, shs) frame — shared with
+    * the streaming [[graft.streaming.DecontamSink]], whose batches are
+    * not the full corpus.
+    */
+  def probeHitsOf(spark: SparkSession, dir: String,
+      shingled: DataFrame): DataFrame = {
     val name = ensure(spark, dir)
     val bfB = spark.sparkContext.broadcast(bloom(spark, dir))
     val mightContain =
       udf((x: String) => x != null && bfB.value.mightContain(x))
-    val (_, corpus) = Dedup.decontamSides(spark, dir)
-    corpus.select(col("doc_id"), explode(col("shs")).as("sh"))
+    shingled.select(col("doc_id"), explode(col("shs")).as("sh"))
       .filter(mightContain(col("sh")))
       .join(spark.table(name), Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))

@@ -61,7 +61,7 @@ object Dedup {
     * shorter side with nulls; concat propagates them; filter drops them —
     * yielding exactly the n-2 trigrams.
     */
-  private def shinglesOf(t: Column): Column = {
+  private[graft] def shinglesOf(t: Column): Column = {
     val shifted1 = slice(t, lit(2), greatest(size(t) - 1, lit(0)))
     val shifted2 = slice(t, lit(3), greatest(size(t) - 2, lit(0)))
     val tri = zip_with(
