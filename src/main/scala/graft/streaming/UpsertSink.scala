@@ -113,15 +113,22 @@ object UpsertSink {
 
   /** Drop snapshot versions older than the `keep` most recent. The
     * pointer is the source of truth, so removing superseded versions
-    * never races a reader that re-resolves the pointer.
+    * never races a reader that re-resolves the pointer — and the
+    * pointer-resolved version itself is NEVER dropped: in the crash
+    * window a half-committed orphan slot (v > pointer) exists, and
+    * counting it against `keep` would otherwise delete the one version
+    * the pointer still resolves to (every sink sharing this vacuum
+    * would then fail its next read instead of replaying).
     */
   def vacuum(dir: String, keep: Int): Seq[Long] = {
+    val pointer = latestVersion(dir)
     val d = new java.io.File(dir)
     val versions = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName.stripPrefix("v=").toLong)
       .sorted
     val drop = versions.dropRight(keep)
+      .filter(v => !pointer.contains(v))
     drop.foreach { v =>
       val root = Paths.get(dir, s"v=$v")
       Files.walk(root).sorted(java.util.Comparator.reverseOrder())

@@ -124,4 +124,24 @@ class UpsertSinkSpec extends SparkSpec {
     assert(left == Seq("v=2", "v=3"))
     assert(snapshotMap(dir) == Map(1L -> ("one", 40L)))
   }
+
+  test("vacuum never drops the pointer version, even past a crash-window orphan") {
+    val dir = tmp("graft-upsert-vac-orphan")
+    (0 to 1).foreach { i =>
+      assert(UpsertSink.applyBatch(
+        changes((1L, "one", 10L, false, at("10:00"))), i.toLong, dir))
+    }
+    val committed = snapshotMap(dir)
+    // crash window: v=2 fully written, pointer still at 1 — an
+    // aggressive keep=1 vacuum must not count the orphan against the
+    // budget and delete the one version the pointer resolves to
+    val orphanSrc = new java.io.File(s"$dir/v=1")
+    val orphanDst = new java.io.File(s"$dir/v=2")
+    org.apache.commons.io.FileUtils.copyDirectory(orphanSrc, orphanDst)
+    assert(UpsertSink.latestVersion(dir).contains(1L))
+    UpsertSink.vacuum(dir, keep = 1)
+    // the pointer version survives and the snapshot still reads
+    assert(new java.io.File(s"$dir/v=1").isDirectory)
+    assert(snapshotMap(dir) == committed)
+  }
 }
