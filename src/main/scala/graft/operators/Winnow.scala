@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+
+/** Winnowing fingerprints and cross-document duplicate-span detection —
+  * the char-level exact-substring layer of the dedup family, between
+  * q33's whole-doc fingerprint and q77's fixed-segment span dedup.
+  *
+  * q106 implements robust winnowing (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting",
+  * SIGMOD'03): hash every k-char gram, slide a window of w consecutive
+  * positions, keep each window's minimal hash (rightmost on ties). The
+  * selected set is a ~2/(w+1) sparsification with the paper's guarantee:
+  * any substring of length >= w+k-1 shared between two documents yields
+  * at least one shared selected fingerprint. This is the standard trick
+  * that makes char-level exact-substring dedup (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+  * there via suffix arrays, a single-machine structure) affordable on a
+  * distributed 100-TB corpus: downstream joins touch fingerprints, never
+  * every gram position.
+  *
+  * Scale design — ZERO pre-output shuffles in q106. A window-function
+  * formulation (min over ROWS BETWEEN CURRENT AND w-1 FOLLOWING,
+  * partitioned by doc) would shuffle every gram row (~n rows per doc) to
+  * co-locate partitions; instead the whole select runs as per-row array
+  * algebra: `transform(sequence)` builds the encoded key array, a
+  * shift-and-fold zip_with chain takes each window's min in O(log w)
+  * linear passes (see the inline comment for why NOT a per-window
+  * slice), and `array_distinct` collapses repeats — an embarrassingly-
+  * parallel projection chain, spec-pinned to contain no hash-partition
+  * exchange (`WinnowSpec`). The min-key encoding packs (hash, position) into one
+  * long — h48·2^15 + (2^15−1−p) — so a single integer `array_min` gives
+  * "smallest hash, rightmost position" exactly; h48 is the first 12 hex
+  * chars of md5 (the q97 cross-engine integer-hash contract). The
+  * encoding bounds doc length at 2^15−1 chars; longer docs chunk first
+  * (q55) — the bound is part of the operator contract, not a silent
+  * truncation.
+  *
+  * q107 joins the fingerprints on hash (count-DISTINCT-docs >= 2 — a
+  * grouped aggregate, so a boilerplate hash shared by millions of docs
+  * combines map-side and never fans out), then merges each doc's dup
+  * hits into maximal spans with a gaps-and-islands pass (lag + running
+  * sum over the SPARSE hit set — only dup fingerprints reach the window,
+  * so the one exchange carries the sparsified rows). Hits within
+  * G = k+w positions merge into one span (consecutive fingerprints
+  * inside a duplicated region are <= w apart; G adds one gram length of
+  * slack), reported as [span_start, span_end] char ranges with the hit
+  * count as evidence — the detect side of a Lee-et-al-style repeated-
+  * substring removal pass. q108 is the APPLY: foreign spans (hits whose
+  * hash is owned by an earlier doc) are spliced out, keep-first
+  * corpus-wide, and the post-dedup corpus ships with the spliced text
+  * hash-pinned by the oracle.
+  */
+object Winnow {
+
+  /** gram length in chars. */
+  val K = 30
+  /** winnow window: positions per window; guarantee length = W+K-1. */
+  val W = 10
+  /** island gap: dup hits further apart than this are separate spans. */
+  val G = K + W
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** All docs as (doc_id, tx, n) with trimmed text. */
+  private def trimmed(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), trim(col("text")).as("tx"))
+      .withColumn("n", length(col("tx")))
+
+  /** Selected fingerprints (doc_id, pos, h) — unordered, for reuse.
+    *
+    * The only pre-output exchange is [[graft.core.CpuSpread]]'s pinned
+    * doc-level repartition BEFORE the gram fanout: it shuffles one row
+    * per document (cheap at any scale) so the md5-per-position work
+    * parallelizes cluster-wide instead of riding the scan's byte-based
+    * partitioning (a small parquet = one partition = one core for a
+    * CPU-bound stage). No exchange ever carries gram- or
+    * fingerprint-level rows (spec-pinned).
+    */
+  private def fingerprints(s: SparkSession, dir: String): DataFrame =
+    graft.core.CpuSpread.byKey(trimmed(s, dir), col("doc_id"))
+      // shorter docs have no complete window — definitionally no
+      // fingerprint (mirrored in the oracle's WHERE)
+      .filter(col("n") >= K + W - 1)
+      .withColumn("np", col("n") - lit(K - 1))
+      .withColumn("keys", expr(
+        s"transform(sequence(1, n - ${K - 1}), p -> " +
+          s"cast(conv(substring(md5(substring(tx, p, $K)), 1, 12), 16, 10) as bigint)" +
+          s" * 32768 + (32767 - p))"))
+      // Sliding-window min by shift-and-fold doubling, NOT
+      // `transform(j -> array_min(slice(keys, j, W)))`: CollapseProject
+      // inlines `keys` into that lambda body, recomputing the full
+      // n-element md5 array once per window — O(n²) grams per doc (the
+      // measured 50x-class hazard documented at [[Dedup.shinglesOf]];
+      // here it was 13 min for two sf0.01 queries). Each zip_with lambda
+      // references only its own arguments, and each step consumes its
+      // predecessor twice, which keeps the projections from collapsing:
+      // four O(n) passes total. m2 covers 2 positions, m4 = m2⊕shift2
+      // covers 4, m8 covers 8, and m10 = m8⊕shift2 covers
+      // [i..i+7]∪[i+2..i+9] = the full w=10 window (overlap is harmless
+      // under min). zip_with pads the shorter side with null and least()
+      // skips nulls, so trailing partial windows hold partial minima —
+      // sliced off by the complete-window bound before distinct.
+      .withColumn("m2", expr(
+        "zip_with(keys, slice(keys, 2, greatest(np - 1, 0)), (a, b) -> least(a, b))"))
+      .withColumn("m4", expr(
+        "zip_with(m2, slice(m2, 3, greatest(np - 2, 0)), (a, b) -> least(a, b))"))
+      .withColumn("m8", expr(
+        "zip_with(m4, slice(m4, 5, greatest(np - 4, 0)), (a, b) -> least(a, b))"))
+      .withColumn("m10", expr(
+        "zip_with(m8, slice(m8, 3, greatest(np - 2, 0)), (a, b) -> least(a, b))"))
+      .withColumn("sel", expr(
+        s"array_distinct(slice(m10, 1, greatest(np - ${W - 1}, 0)))"))
+      // explode_OUTER, deliberately: plain explode lets
+      // InferFiltersFromGenerate synthesize `size(sel) > 0 AND
+      // isnotnull(sel)` and predicate pushdown then inlines the ENTIRE
+      // m2..m10 array pipeline into that filter below the scan — the
+      // whole winnow re-evaluated ~16x per row (measured: 58 s for
+      // q106 at sf0.1 with explode, 1.5 s with explode_outer; plan
+      // step (2) carried a multi-page Condition). The outer variant is
+      // row-identical here because `sel` is never empty: the length
+      // filter guarantees np >= W, so slice(m10, 1, np-W+1) has >= 1
+      // element. Nullability is the only schema difference and the
+      // oracle hash is over values.
+      .select(col("doc_id"), explode_outer(col("sel")).as("wk"))
+      .select(col("doc_id"),
+        (lit(32767L) - pmod(col("wk"), lit(32768L))).as("pos"),
+        expr("wk div 32768").as("h"))
+
+  /** Shared oracle prefix: the winnowed fingerprint set as CTE `sel`.
+    * One constant for both queries so the two oracles cannot drift
+    * (the q101/q102 discipline).
+    */
+  private val SelCte =
+    s"""WITH d AS (SELECT doc_id, trim(text) AS tx, len(trim(text)) AS n
+       |           FROM documents WHERE len(trim(text)) >= ${K + W - 1}),
+       |pos AS (SELECT doc_id, n, unnest(generate_series(1, n - ${K - 1})) AS p FROM d),
+       |g AS (SELECT pos.doc_id, pos.n, pos.p,
+       |        CAST(('0x' || substr(md5(substr(d.tx, pos.p, $K)), 1, 12)) AS BIGINT) AS h
+       |      FROM pos JOIN d USING (doc_id)),
+       |w AS (SELECT doc_id, n, p,
+       |        min(h * 32768 + (32767 - p)) OVER (PARTITION BY doc_id ORDER BY p
+       |          ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS wk
+       |      FROM g),
+       |sel AS (SELECT DISTINCT doc_id,
+       |          CAST(32767 - (wk % 32768) AS BIGINT) AS pos,
+       |          CAST(wk // 32768 AS BIGINT) AS h
+       |        FROM w WHERE p <= n - ${K - 1} - ${W - 1})""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q106_winnow_fingerprints",
+      (s, dir) => fingerprints(s, dir).orderBy("doc_id", "pos"),
+      Some(SelCte +
+        "\nSELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos")),
+
+    QueryDef(
+      "q107_dup_spans",
+      (s, dir) => {
+        val fp = fingerprints(s, dir)
+        val duph = fp.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select("h")
+        val hits = fp.join(duph, "h").select("doc_id", "pos")
+        val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        hits
+          .withColumn("prev", lag(col("pos"), 1).over(wdoc))
+          .withColumn("brk",
+            when(col("prev").isNull || col("pos") - col("prev") > G, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(
+            min(col("pos")).as("span_start"),
+            (max(col("pos")) + lit(K - 1).cast("long")).as("span_end"),
+            count(lit(1)).as("n_hits"))
+          .select("doc_id", "span_start", "span_end", "n_hits")
+          .orderBy("doc_id", "span_start")
+      },
+      Some(SelCte +
+        s""",
+           |duph AS (SELECT h FROM sel GROUP BY h
+           |         HAVING count(DISTINCT doc_id) >= 2),
+           |hits AS (SELECT s.doc_id, s.pos FROM sel s JOIN duph USING (h)),
+           |lagged AS (SELECT doc_id, pos,
+           |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+           |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $G
+           |    THEN 1 ELSE 0 END AS brk FROM hits),
+           |isl AS (SELECT doc_id, pos,
+           |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |        FROM lagged)
+           |SELECT doc_id, min(pos) AS span_start,
+           |  max(pos) + ${K - 1} AS span_end, count(*) AS n_hits
+           |FROM isl GROUP BY doc_id, island
+           |ORDER BY doc_id, span_start""".stripMargin)),
+
+    /* Span-dedup APPLY — the remove side of Lee et al.'s exact-substring
+     * dedup, keep-first corpus-wide (q77's discipline at char
+     * granularity): each fingerprint hash is OWNED by the smallest
+     * doc_id containing it (a grouped min on h — map-side combinable,
+     * so a boilerplate hash in millions of docs never fans out); a hit
+     * is FOREIGN iff its doc is not the owner; foreign hits island into
+     * spans (q107's gaps-and-islands over the SPARSE foreign set) and
+     * each doc's foreign spans are spliced out of its text, kept pieces
+     * re-joined in order (the q37/q77 array_sort(collect_list) pattern —
+     * pieces per doc are bounded by spans+1). Owner docs keep their
+     * text, so every duplicated region survives exactly once. Output is
+     * the post-dedup corpus with evidence columns (n_spans,
+     * n_chars_removed) and the spliced text itself hash-pinned by the
+     * oracle. Docs too short to fingerprint pass through unchanged.
+     */
+    QueryDef(
+      "q108_span_dedup_apply",
+      (s, dir) => {
+        val fp = fingerprints(s, dir)
+        val own = fp.groupBy("h").agg(min(col("doc_id")).as("owner"))
+        val fhits = fp.join(own, "h")
+          .filter(col("doc_id") =!= col("owner"))
+          .select("doc_id", "pos")
+        val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        val spans = fhits
+          .withColumn("prev", lag(col("pos"), 1).over(wdoc))
+          .withColumn("brk",
+            when(col("prev").isNull || col("pos") - col("prev") > G, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("brk")).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("s"),
+            (max(col("pos")) + lit(K - 1).cast("long")).as("e"))
+          .select("doc_id", "s", "e")
+        val wspan = Window.partitionBy("doc_id").orderBy("s")
+        val alld = trimmed(s, dir)
+        val pre = spans
+          .withColumn("ks", coalesce(lag(col("e"), 1).over(wspan), lit(0L)) + 1L)
+          .withColumn("ke", col("s") - 1L)
+          .select("doc_id", "ks", "ke")
+        val tailP = spans.groupBy("doc_id")
+          .agg((max(col("e")) + 1L).as("ks"))
+          .join(alld.select(col("doc_id"), col("n").cast("long").as("ke")),
+            "doc_id")
+          .select("doc_id", "ks", "ke")
+        val cleaned = pre.unionByName(tailP)
+          .filter(col("ke") >= col("ks"))
+          .join(alld.select("doc_id", "tx"), "doc_id")
+          .select(col("doc_id"), col("ks"),
+            expr("substring(tx, cast(ks as int), cast(ke - ks + 1 as int))")
+              .as("piece"))
+          .groupBy("doc_id")
+          .agg(array_join(
+            expr("transform(array_sort(collect_list(struct(ks, piece))), x -> x.piece)"),
+            "").as("ct"))
+        val stats = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + 1L).as("n_removed"))
+        alld
+          .join(stats, Seq("doc_id"), "left")
+          .join(cleaned, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_removed"), lit(0L)).as("n_chars_removed"),
+            coalesce(col("ct"),
+              when(col("n_spans").isNull, col("tx")).otherwise(lit("")))
+              .as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(SelCte +
+        s""",
+           |alld AS (SELECT doc_id, trim(text) AS tx, len(trim(text)) AS n
+           |         FROM documents),
+           |own AS (SELECT h, min(doc_id) AS owner FROM sel GROUP BY h),
+           |fhits AS (SELECT s.doc_id, s.pos FROM sel s JOIN own o USING (h)
+           |          WHERE s.doc_id <> o.owner),
+           |lagged AS (SELECT doc_id, pos,
+           |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+           |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $G
+           |    THEN 1 ELSE 0 END AS brk FROM fhits),
+           |isl AS (SELECT doc_id, pos,
+           |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |        FROM lagged),
+           |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${K - 1} AS e
+           |          FROM isl GROUP BY doc_id, island),
+           |pre AS (SELECT doc_id,
+           |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+           |          s - 1 AS ke
+           |        FROM spans),
+           |tail_p AS (SELECT sp.doc_id, max(sp.e) + 1 AS ks, a.n AS ke
+           |           FROM spans sp JOIN alld a USING (doc_id)
+           |           GROUP BY sp.doc_id, a.n),
+           |pieces AS (SELECT * FROM pre UNION ALL SELECT * FROM tail_p),
+           |cleaned AS (SELECT p.doc_id,
+           |              string_agg(substr(a.tx, CAST(p.ks AS INT),
+           |                                CAST(p.ke - p.ks + 1 AS INT)), ''
+           |                         ORDER BY p.ks) AS ct
+           |            FROM pieces p JOIN alld a USING (doc_id)
+           |            WHERE p.ke >= p.ks GROUP BY p.doc_id),
+           |stats AS (SELECT doc_id, count(*) AS n_spans,
+           |            CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+           |          FROM spans GROUP BY doc_id)
+           |SELECT a.doc_id,
+           |  coalesce(st.n_spans, 0) AS n_spans,
+           |  coalesce(st.n_removed, 0) AS n_chars_removed,
+           |  coalesce(c.ct,
+           |    CASE WHEN st.n_spans IS NULL THEN a.tx ELSE '' END) AS clean_text
+           |FROM alld a LEFT JOIN stats st USING (doc_id)
+           |            LEFT JOIN cleaned c USING (doc_id)
+           |ORDER BY a.doc_id""".stripMargin))
+  )
+}

@@ -82,7 +82,15 @@ object ScaleBench {
     // treatment), so the timed runs measure the WARM probe — corpus
     // shingling + bloom prefilter scale ×N while the persisted bench
     // table is read, not rebuilt
-    "q99_decontam_indexed")
+    "q99_decontam_indexed",
+    // winnowing: token suffixing changes char-grams too, so replicas are
+    // disjoint in fingerprint space — q106's map-side select scales ×N
+    // rows with no join, and q107's dup-hash groupBy + sparse-hit window
+    // face N× fingerprints whose dup structure is preserved per replica
+    "q106_winnow_fingerprints", "q107_dup_spans",
+    // span-dedup apply adds the ownership groupBy and the splice
+    // join-back on top of q107's shape — same disjoint-replica scaling
+    "q108_span_dedup_apply")
   private val evtQueries = Seq("q60_event_hourly",
     // sessionize/as-of: replication shifts user_id per replica, so N×
     // rows arrive as N× users at the SAME per-user density — the curve

@@ -1,0 +1,238 @@
+package graft.operators
+
+import java.io.File
+import java.security.MessageDigest
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+
+import graft.SparkSpec
+
+/** Winnowing (q106) and duplicate-span detection (q107) contract:
+  * sequential first-principles replay, the SIGMOD'03 coverage and
+  * guarantee properties, hash-layer honesty, and the map-side plan.
+  */
+class WinnowSpec extends SparkSpec {
+  import Winnow.{K, W}
+
+  private def q(name: String) = Winnow.defs.find(_.name == name).get.fn
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Sequential robust winnowing from first principles: hash every
+    * k-gram, per complete window of w keys keep the min (smallest hash,
+    * rightmost position via the inverted-position encoding), dedupe.
+    */
+  private def replay(text: String): Set[(Long, Long)] = {
+    val tx = text.trim
+    val n = tx.length
+    if (n < K + W - 1) Set.empty
+    else {
+      val np = n - (K - 1)
+      val keys = (1 to np).map { p =>
+        val h = java.lang.Long.parseLong(
+          md5hex(tx.substring(p - 1, p - 1 + K)).substring(0, 12), 16)
+        h * 32768L + (32767L - p)
+      }
+      (0 until np - (W - 1)).map(j => keys.slice(j, j + W).min)
+        .distinct.map(wk => (32767L - (wk % 32768L), wk / 32768L)).toSet
+    }
+  }
+
+  private def corpusTexts(dir: String): Map[Long, String] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+
+  test("q106 equals a sequential driver-side winnowing replay") {
+    val out = q("q106_winnow_fingerprints")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = corpusTexts(sf0001)
+    assert(docs.size >= 100)
+    docs.foreach { case (id, text) =>
+      assert(out.getOrElse(id, Set.empty[(Long, Long)]) == replay(text),
+        s"doc $id diverges from the sequential replay")
+    }
+  }
+
+  test("coverage invariant: every complete window holds a selection") {
+    val byDoc = q("q106_winnow_fingerprints")(spark, sf0001)
+      .collect().groupBy(_.getLong(0))
+    val lens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "length(trim(text)) AS n").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rows) =>
+      val ps = rows.map(_.getLong(1)).sorted
+      val np = lens(id) - (K - 1)
+      // window 1 covers [1, W]; the last window covers [np-W+1, np]; and
+      // no stretch of W consecutive positions lacks a selection
+      assert(ps.head <= W, s"doc $id: first selection ${ps.head}")
+      assert(ps.last >= np - W + 1, s"doc $id: last selection ${ps.last}")
+      ps.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= W, s"doc $id: gap ${b - a}")
+        case _           =>
+      }
+    }
+  }
+
+  test("a shared substring of length w+k-1 guarantees a shared fingerprint") {
+    val shared = "GRAFT SHARED BOILERPLATE SEGMENT NUMBER" // exactly 39
+    assert(shared.length == K + W - 1)
+    val dir = {
+      val d = File.createTempFile("graft-winnow", "")
+      d.delete(); d.mkdirs(); d.getAbsolutePath
+    }
+    import spark.implicits._
+    Seq(
+      (0L, s"alpha preamble text long enough to winnow $shared alpha tail section here", "en", "a"),
+      (1L, s"a completely different document opening $shared with its own distinct ending", "en", "b"),
+      (2L, "this control document shares no thirty-char gram with either of the others", "en", "c"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val fps = q("q106_winnow_fingerprints")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (a, b, c) = (fps(0L), fps(1L), fps(2L))
+    assert((a & b).nonEmpty,
+      "docs sharing a w+k-1 substring must share a selected hash")
+    assert((c & (a ++ b)).isEmpty,
+      "the control doc shares no 30-char gram, so no hash")
+
+    // q107 reports an overlapping span in BOTH sharing docs, positioned
+    // over the shared region (and nothing for the control doc)
+    val spans = q("q107_dup_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val texts = corpusTexts(dir)
+    Seq(0L, 1L).foreach { id =>
+      val at = texts(id).trim.indexOf(shared) + 1L
+      val hit = spans.filter(_._1 == id)
+      assert(hit.nonEmpty, s"doc $id: shared region not reported")
+      assert(hit.exists(s => s._2 <= at + shared.length - 1 && s._3 >= at),
+        s"doc $id: no span overlaps the shared region at $at")
+    }
+    assert(!spans.exists(_._1 == 2L), "control doc must have no dup span")
+  }
+
+  test("q107 dup hits are backed by gram TEXT shared across docs") {
+    // 48-bit hashes could in principle fabricate a cross-doc "duplicate"
+    // by collision; re-derive each selected fingerprint's gram text and
+    // check the hash-level dup verdict agrees with the text-level one
+    val texts = corpusTexts(sf0001)
+    val sel = texts.toSeq.flatMap { case (id, t) =>
+      replay(t).map { case (pos, h) =>
+        (id, h, t.trim.substring(pos.toInt - 1, pos.toInt - 1 + K))
+      }
+    }
+    val docsByHash = sel.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    val docsByGram = sel.groupBy(_._3).view.mapValues(_.map(_._1).toSet)
+    val dupHashes = docsByHash.filter(_._2.size >= 2).keySet
+    assert(dupHashes.nonEmpty, "sf0.001 must contain cross-doc dups")
+    sel.filter(s => dupHashes.contains(s._2)).foreach { case (id, h, gram) =>
+      assert(docsByGram(gram).size >= 2,
+        s"hash $h dup across docs but gram text is unique — collision")
+    }
+  }
+
+  /** Sequential q108 replay: ownership by min doc_id, foreign-hit
+    * islands, splice. Returns (n_spans, n_removed, clean_text) per doc.
+    */
+  private def replayApply(texts: Map[Long, String]): Map[Long, (Long, Long, String)] = {
+    import Winnow.G
+    val fps = texts.map { case (id, t) => id -> replay(t) }
+    val owner = fps.toSeq
+      .flatMap { case (id, s) => s.map { case (_, h) => (h, id) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    texts.map { case (id, t) =>
+      val tx = t.trim
+      val foreign = fps(id).toSeq
+        .filter { case (_, h) => owner(h) != id }
+        .map(_._1).sorted
+      val spans = foreign.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, p) if p - (e - (K - 1)) <= G =>
+          (s, p + (K - 1)) :: rest
+        case (acc, p) => (p, p + (K - 1)) :: acc
+      }.reverse
+      val clean = spans.foldRight((tx, List.empty[String])) {
+        case ((s, e), (remaining, acc)) =>
+          // spans are char ranges on tx; splice right-to-left
+          (remaining.substring(0, (s - 1).toInt),
+            remaining.substring(math.min(e.toInt, remaining.length)) :: acc)
+      } match { case (head, tails) => (head :: tails).mkString }
+      id -> (spans.size.toLong,
+        spans.map { case (s, e) => e - s + 1 }.sum, clean)
+    }
+  }
+
+  test("q108 equals a sequential ownership+splice replay") {
+    val texts = corpusTexts(sf0001)
+    val exp = replayApply(texts)
+    val got = q("q108_span_dedup_apply")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got.keySet == texts.keySet)
+    assert(got.values.exists(_._1 > 0L), "apply must remove something")
+    texts.keys.foreach { id =>
+      assert(got(id) == exp(id), s"doc $id diverges from the splice replay")
+    }
+    // evidence consistency: removed chars == length delta, per doc
+    got.foreach { case (id, (_, removed, clean)) =>
+      assert(texts(id).trim.length - clean.length == removed, s"doc $id")
+    }
+  }
+
+  test("q108 keep-first on the synthetic corpus: one surviving copy") {
+    val shared = "GRAFT SHARED BOILERPLATE SEGMENT NUMBER"
+    val dir = {
+      val d = File.createTempFile("graft-winnow-apply", "")
+      d.delete(); d.mkdirs(); d.getAbsolutePath
+    }
+    import spark.implicits._
+    Seq(
+      (0L, s"alpha preamble text long enough to winnow $shared alpha tail section here", "en", "a"),
+      (1L, s"a completely different document opening $shared with its own distinct ending", "en", "b"),
+      (2L, "this control document shares no thirty-char gram with either of the others", "en", "c"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = q("q108_span_dedup_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(rows(0L)._1 == 0L && rows(0L)._2.contains(shared),
+      "the owner doc keeps the shared region")
+    assert(rows(1L)._1 >= 1L && !rows(1L)._2.contains(shared),
+      "the later doc loses the shared region")
+    assert(rows(2L)._1 == 0L, "the control doc is untouched")
+  }
+
+  test("q106 plan: the only hash shuffle carries doc-level rows") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("q106_winnow_fingerprints")(spark, sf0001)
+        .queryExecution.executedPlan
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      // exactly the CpuSpread doc-level repartition — and it must sit
+      // BELOW the gram fanout (its subtree holds no Generate), so no
+      // exchange ever carries gram- or fingerprint-level rows
+      assert(hashEx.size == 1,
+        s"expected exactly the doc-spread exchange:\n$plan")
+      val fansOut = hashEx.head.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(fansOut.isEmpty,
+        s"the doc-spread exchange must precede the explode:\n$plan")
+      val generates = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(generates.nonEmpty, "winnow fanout missing from the plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+}
