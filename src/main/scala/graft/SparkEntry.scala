@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Analytic, Bridge, Clustering, Curation, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Retrieval, Runner, Similarity, SketchExact, TextAnalysis, Waterfall, Winnow}
+import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Retrieval, Runner, Similarity, SketchExact, TextAnalysis, Waterfall, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -128,7 +128,7 @@ object SparkEntry {
       Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Events.defs ++ RangeJoin.defs ++ Analytic.defs ++
       Interchange.defs ++ Curation.defs ++ Retrieval.defs ++
-      SketchExact.defs ++ Clustering.defs ++ Winnow.defs
+      SketchExact.defs ++ Clustering.defs ++ Winnow.defs ++ Bpe.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.core.{QueryDef, Tables, Ws}
+
+/** BPE tokenizer training (q109) and application (q110) — byte-pair
+  * encoding (Sennrich, Haddow & Birch, "Neural Machine Translation of
+  * Rare Words with Subword Units", ACL'16; the Gage'94 compression
+  * algorithm repurposed), the vocabulary-induction step every LLM data
+  * pipeline runs before token counting means anything.
+  *
+  * Scale design — the corpus is touched ONCE. Training iterates on the
+  * word-frequency VOCABULARY (distinct words + counts — corpus-sublinear,
+  * the dedup-before-compute discipline), exactly how production BPE
+  * trainers work: one corpus-wide word count, then merge learning over
+  * the weighted vocab. Each of the [[Merges]] unrolled iterations is one
+  * vocab-sized aggregate (adjacent symbol pairs via zip_with — lambdas
+  * reference only their own arguments, the Winnow/shinglesOf capture
+  * rule) plus a map-side merge application; the learned pair (one row)
+  * is read back driver-side per iteration — the CC-loop pattern of
+  * inspecting a bounded aggregate between rounds — and the vocab is
+  * localCheckpoint'd per iteration so lineage stays flat.
+  *
+  * Determinism & the cross-engine merge contract. Symbols are joined by
+  * TWO spaces with single-space outer padding, which makes plain SQL
+  * `replace(' '||w||' ', ' a  b ', ' ab ')` EXACTLY BPE's leftmost
+  * non-overlapping merge application on both engines: each match
+  * consumes one of the two separator spaces and leaves the other to
+  * seed the next match, so 'a a a a' under (a,a) becomes 'aa aa' (the
+  * single-space encoding drops the shared boundary space and merges
+  * only alternate pairs — wrong). Pair selection is a total order
+  * (count DESC, left ASC, right ASC), so the 5-step dependent chain is
+  * hash-pinned by the oracle the way q93's greedy picks and q101's
+  * Lloyd centroids are: a drifted pair at ANY step changes every later
+  * merge and the final rows.
+  *
+  * q110 applies the learned merges: the 5-row merge table is collected
+  * (a bounded dimension, the repo's dimension-collect rule) into a
+  * literal replace chain over the DISTINCT words, then joined back to
+  * the corpus and aggregated per doc — whitespace vs BPE token counts
+  * with fertility in exact integer micro-units. Its oracle re-derives
+  * the merges through the SAME CTE text as q109 (the q101/q102
+  * shared-constant discipline), so the two queries cannot drift.
+  */
+object Bpe {
+
+  /** unrolled merge-learning iterations. */
+  val Merges = 5
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** (word, cnt) weighted vocabulary — the one corpus-wide pass. */
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(explode(split(lower(trim(col("text"))), Ws.Plus)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Run the merge-learning loop; returns (merge table rows, final
+    * symbolized vocab). Each merge row is (step, left, right, merged,
+    * pair_count).
+    */
+  private def learn(s: SparkSession, dir: String): (Seq[Row], DataFrame) = {
+    var v = vocab(s, dir)
+      .withColumn("w", rtrim(regexp_replace(col("word"), "(.)", "$1  ")))
+      .select("w", "cnt")
+      .localCheckpoint(true)
+    val steps = Seq.newBuilder[Row]
+    for (step <- 1 to Merges) {
+      // adjacent symbol pairs, weighted by word count; zip_with pads the
+      // shifted side with null — the trailing (last, null) pair is
+      // filtered, and lambdas only reference their own arguments
+      val top = v
+        .withColumn("s", split(col("w"), "  "))
+        .withColumn("pr", expr(
+          "zip_with(s, slice(s, 2, greatest(size(s) - 1, 0)), " +
+            "(a, b) -> struct(a AS a, b AS b))"))
+        .select(col("cnt"), explode(col("pr")).as("p"))
+        .filter(col("p.b").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()(0)
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      steps += Row(step.toLong, a, b, a + b, n)
+      v = v
+        .withColumn("w", trim(replace(
+          concat(lit(" "), col("w"), lit(" ")),
+          lit(s" $a  $b "), lit(s" ${a + b} "))))
+        .localCheckpoint(true)
+    }
+    (steps.result(), v)
+  }
+
+  private val MergeSchema = StructType(Seq(
+    StructField("step", LongType), StructField("left_sym", StringType),
+    StructField("right_sym", StringType), StructField("merged", StringType),
+    StructField("pair_count", LongType)))
+
+  /** Shared oracle prefix: v0 (symbolized weighted vocab) and the
+    * unrolled p{i}/t{i}/v{i} chain. ONE constant for q109 and q110.
+    */
+  private val LearnCte: String = {
+    val iters = (1 to Merges).map { i =>
+      val j = i - 1
+      s"""e$i AS (SELECT cnt, string_split(w, '  ') AS s,
+         |          unnest(generate_series(1, len(string_split(w, '  ')) - 1)) AS x
+         |        FROM v$j),
+         |p$i AS (SELECT s[x] AS a, s[x+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM e$i GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, a || b AS m, n FROM p$i
+         |        ORDER BY n DESC, a, b LIMIT 1),
+         |v$i AS (SELECT trim(replace(' ' || w || ' ',
+         |          ' ' || (SELECT a FROM t$i) || '  ' || (SELECT b FROM t$i) || ' ',
+         |          ' ' || (SELECT m FROM t$i) || ' ')) AS w, cnt FROM v$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (SELECT unnest(string_split_regex(lower(trim(text)),
+       |                 '[ \\t\\n\\f\\r]+')) AS word
+       |         FROM documents WHERE trim(text) <> ''),
+       |v0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS w,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |       FROM words WHERE word <> '' GROUP BY 1),
+       |$iters""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q109_bpe_train",
+      (s, dir) => {
+        val (steps, _) = learn(s, dir)
+        s.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(steps).asJava), MergeSchema)
+          .orderBy("step")
+      },
+      Some(LearnCte + "\n" +
+        (1 to Merges).map(i =>
+          s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, n AS pair_count FROM t$i")
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY step"))),
+
+    /* BPE apply: per-doc whitespace vs BPE token counts + integer
+     * fertility. The merge chain is re-learned in-query (the oracle
+     * cannot read engine state; the shared CTE keeps both exact), then
+     * applied to DISTINCT words map-side and joined back — the q26
+     * dedup-before-compute shape: the expensive per-word replace chain
+     * runs once per distinct word, never once per occurrence.
+     */
+    QueryDef(
+      "q110_bpe_apply",
+      (s, dir) => {
+        val (steps, _) = learn(s, dir)
+        val applied = steps.foldLeft(
+          vocab(s, dir)
+            .withColumn("w", rtrim(regexp_replace(col("word"), "(.)", "$1  ")))) {
+          (df, m) =>
+            val (a, b, ab) = (m.getString(1), m.getString(2), m.getString(3))
+            df.withColumn("w", trim(replace(
+              concat(lit(" "), col("w"), lit(" ")),
+              lit(s" $a  $b "), lit(s" $ab "))))
+        }
+        val wordTok = applied
+          .select(col("word"), size(split(col("w"), "  ")).cast("long").as("n_bpe"))
+        val docWords = docs(s, dir)
+          .filter(trim(col("text")) =!= "")
+          .select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), Ws.Plus)).as("word"))
+          .filter(col("word") =!= "")
+        docWords.join(wordTok, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ws_tokens"),
+            sum(col("n_bpe")).as("n_bpe_tokens"))
+          .withColumn("fertility_micro",
+            expr("n_bpe_tokens * 1000000 div n_ws_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(LearnCte +
+        s""",
+           |wt AS (SELECT word,
+           |         CAST(len(string_split(
+           |           trim(replace(' ' || replace(' ' || replace(' ' || replace(' ' || replace(' ' ||
+           |             rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))
+           |             || ' ', ' ' || (SELECT a FROM t1) || '  ' || (SELECT b FROM t1) || ' ', ' ' || (SELECT m FROM t1) || ' ')
+           |             || ' ', ' ' || (SELECT a FROM t2) || '  ' || (SELECT b FROM t2) || ' ', ' ' || (SELECT m FROM t2) || ' ')
+           |             || ' ', ' ' || (SELECT a FROM t3) || '  ' || (SELECT b FROM t3) || ' ', ' ' || (SELECT m FROM t3) || ' ')
+           |             || ' ', ' ' || (SELECT a FROM t4) || '  ' || (SELECT b FROM t4) || ' ', ' ' || (SELECT m FROM t4) || ' ')
+           |             || ' ', ' ' || (SELECT a FROM t5) || '  ' || (SELECT b FROM t5) || ' ', ' ' || (SELECT m FROM t5) || ' ')),
+           |           '  ')) AS BIGINT) AS n_bpe
+           |       FROM (SELECT DISTINCT word FROM words)),
+           |dw AS (SELECT doc_id, word
+           |       FROM (SELECT doc_id,
+           |               unnest(string_split_regex(lower(trim(text)),
+           |                 '[ \\t\\n\\f\\r]+')) AS word
+           |             FROM documents WHERE trim(text) <> '')
+           |       WHERE word <> '')
+           |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+           |  CAST(sum(wt.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(sum(wt.n_bpe) AS BIGINT) * 1000000
+           |    // CAST(count(*) AS BIGINT) AS fertility_micro
+           |FROM dw JOIN wt USING (word)
+           |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin))
+  )
+}

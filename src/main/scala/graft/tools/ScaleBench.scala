@@ -125,7 +125,13 @@ object ScaleBench {
   // of the bounded source strata grows ×N rows while k stays 10 — the
   // salted two-phase top-k's whole reason to exist
   private val vocQueries = Seq("q69_vocab_coverage", "q74_tfidf",
-    "q96_heavy_hitters", "q97_weighted_sample", "q100_stratified_weighted")
+    "q96_heavy_hitters", "q97_weighted_sample", "q100_stratified_weighted",
+    // BPE rides the rotation replicas too: word rotation preserves the
+    // word multiset, so the weighted vocab the merge loop iterates on is
+    // FIXED while the corpus-side word count faces N× tokens — the
+    // claim that training cost is one corpus pass + vocab-sized
+    // iterations, measured; apply adds the word-level join-back
+    "q109_bpe_train", "q110_bpe_apply")
   // retrieval rides the rotation replicas: the query-term set and query
   // vectors are FIXED dimensions (replica-0 ids), so BM25 faces N×
   // postings behind a vocabulary-sized df table and the semantic leg

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BPE train/apply contract: the engine's space-encoded string-replace
+  * merge application is checked against an independent LIST-based
+  * sequential BPE implementation (the textbook formulation), on the
+  * corpus and on adversarial overlap cases.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def q(name: String) = Bpe.defs.find(_.name == name).get.fn
+
+  private def words(dir: String): Map[String, Long] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lower(trim(text)) AS t").collect()
+      .flatMap(_.getString(0).split("[ \t\n\f\r]+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+  /** Textbook left-to-right non-overlapping merge on a symbol list. */
+  private def mergeOnce(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Sequential BPE learning over a weighted vocab; returns the merge
+    * table and the final per-word tokenizations.
+    */
+  private def replayLearn(vocab0: Map[String, Long], k: Int)
+      : (Seq[(Long, String, String, String, Long)], Map[String, Vector[String]]) = {
+    var vocab: Map[String, (Vector[String], Long)] =
+      vocab0.map { case (w, c) => w -> (w.map(_.toString).toVector, c) }
+    val steps = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (step <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (syms, cnt) =>
+        syms.lazyZip(syms.drop(1)).foreach { (x, y) =>
+          counts((x, y)) = counts.getOrElse((x, y), 0L) + cnt
+        }
+      }
+      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      steps += ((step.toLong, a, b, a + b, n))
+      vocab = vocab.map { case (w, (syms, cnt)) => w -> (mergeOnce(syms, a, b), cnt) }
+    }
+    (steps.result(), vocab.map { case (w, (syms, _)) => w -> syms })
+  }
+
+  test("q109 merges equal a sequential list-based BPE replay") {
+    val (exp, _) = replayLearn(words(sf0001), Bpe.Merges)
+    val got = q("q109_bpe_train")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == exp,
+      s"engine merges $got differ from the textbook replay $exp")
+    assert(got.map(_._4).distinct.size == Bpe.Merges, "merges must be distinct")
+  }
+
+  test("the space-encoded replace equals list-based merging on overlap cases") {
+    // 'aaaa' under (a,a): leftmost non-overlap -> [aa, aa]; 'aaa' -> [aa, a];
+    // 'abab' under (a,b) -> [ab, ab]; chained: 'aaaa' then (aa,aa) -> [aaaa]
+    import spark.implicits._
+    val dir = {
+      val d = java.io.File.createTempFile("graft-bpe", "")
+      d.delete(); d.mkdirs(); d.getAbsolutePath
+    }
+    // craft a corpus where the top merges are forced: 'aa' then 'aaaa'
+    val doc = (Seq.fill(30)("aaaa") ++ Seq.fill(3)("abab") ++ Seq("zq")).mkString(" ")
+    Seq((0L, doc, "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (exp, expTok) = replayLearn(words(dir), Bpe.Merges)
+    val got = q("q109_bpe_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == exp, s"adversarial corpus: $got vs $exp")
+    // the first two merges must be the overlap-sensitive chain
+    assert(got(0)._2 == "a" && got(0)._3 == "a", s"expected (a,a) first: $got")
+    assert(got(1)._2 == "aa" && got(1)._3 == "aa", s"expected (aa,aa) second: $got")
+    // apply agrees with the list-based tokenization: 'aaaa' is ONE token
+    val applied = q("q110_bpe_apply")(spark, dir).collect()
+    assert(applied.length == 1)
+    val row = applied(0)
+    val wsTok = doc.split(" ").length.toLong
+    assert(row.getLong(1) == wsTok)
+    val expBpe = doc.split(" ").map(w => expTok(w).length.toLong).sum
+    assert(row.getLong(2) == expBpe,
+      s"bpe token count ${row.getLong(2)} vs list-based $expBpe")
+  }
+
+  test("q110 equals the list-based apply per doc, with exact fertility") {
+    val (_, tok) = replayLearn(words(sf0001), Bpe.Merges)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "lower(trim(text)) AS t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = q("q110_bpe_apply")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    var anyCompressed = false
+    got.foreach { case (id, (nws, nbpe, fert)) =>
+      val ws = docs(id).split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      assert(ws.length.toLong == nws, s"doc $id ws tokens")
+      val exp = ws.map(w => tok(w).length.toLong).sum
+      assert(exp == nbpe, s"doc $id bpe tokens $nbpe vs replay $exp")
+      assert(fert == nbpe * 1000000L / nws, s"doc $id fertility")
+      if (nbpe < ws.map(_.length.toLong).sum) anyCompressed = true
+    }
+    assert(anyCompressed, "merges must compress at least one doc")
+  }
+}
