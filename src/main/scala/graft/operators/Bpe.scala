@@ -62,20 +62,33 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Run the merge-learning loop; returns (merge table rows, final
-    * symbolized vocab). Each merge row is (step, left, right, merged,
-    * pair_count).
+    * symbolized vocab with the `word` column retained so q110 can reuse
+    * it directly). Each merge row is (step, left, right, merged,
+    * pair_count). Stops early when no adjacent pair remains (a fully
+    * merged or single-symbol vocab — the oracle's empty t_i CTEs then
+    * contribute zero rows to the union, so both engines truncate the
+    * merge table identically). `applyLast` skips the final merge
+    * application when the caller only needs the table (q109).
+    *
+    * The symbolization regex is `(?s)(.)`, NOT `(.)`: Java's dot
+    * excludes U+0085/U+2028/U+2029 while RE2's (DuckDB) excludes only
+    * \n, and those three are legal word chars under Ws — DOTALL makes
+    * both engines match every char.
     */
-  private def learn(s: SparkSession, dir: String): (Seq[Row], DataFrame) = {
+  private def learn(s: SparkSession, dir: String, applyLast: Boolean)
+      : (Seq[Row], DataFrame) = {
     var v = vocab(s, dir)
-      .withColumn("w", rtrim(regexp_replace(col("word"), "(.)", "$1  ")))
-      .select("w", "cnt")
+      .withColumn("w", rtrim(regexp_replace(col("word"), "(?s)(.)", "$1  ")))
+      .select("word", "w", "cnt")
       .localCheckpoint(true)
     val steps = Seq.newBuilder[Row]
-    for (step <- 1 to Merges) {
+    var step = 1
+    var exhausted = false
+    while (step <= Merges && !exhausted) {
       // adjacent symbol pairs, weighted by word count; zip_with pads the
       // shifted side with null — the trailing (last, null) pair is
       // filtered, and lambdas only reference their own arguments
-      val top = v
+      val tops = v
         .withColumn("s", split(col("w"), "  "))
         .withColumn("pr", expr(
           "zip_with(s, slice(s, 2, greatest(size(s) - 1, 0)), " +
@@ -86,14 +99,21 @@ object Bpe {
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1)
-        .collect()(0)
-      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      steps += Row(step.toLong, a, b, a + b, n)
-      v = v
-        .withColumn("w", trim(replace(
-          concat(lit(" "), col("w"), lit(" ")),
-          lit(s" $a  $b "), lit(s" ${a + b} "))))
-        .localCheckpoint(true)
+        .collect()
+      if (tops.isEmpty) exhausted = true
+      else {
+        val top = tops(0)
+        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        steps += Row(step.toLong, a, b, a + b, n)
+        if (step < Merges || applyLast) {
+          v = v
+            .withColumn("w", trim(replace(
+              concat(lit(" "), col("w"), lit(" ")),
+              lit(s" $a  $b "), lit(s" ${a + b} "))))
+            .localCheckpoint(true)
+        }
+        step += 1
+      }
     }
     (steps.result(), v)
   }
@@ -123,7 +143,7 @@ object Bpe {
     s"""WITH words AS (SELECT unnest(string_split_regex(lower(trim(text)),
        |                 '[ \\t\\n\\f\\r]+')) AS word
        |         FROM documents WHERE trim(text) <> ''),
-       |v0 AS (SELECT rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS w,
+       |v0 AS (SELECT rtrim(regexp_replace(word, '(?s)(.)', '\\1  ', 'g')) AS w,
        |         CAST(count(*) AS BIGINT) AS cnt
        |       FROM words WHERE word <> '' GROUP BY 1),
        |$iters""".stripMargin
@@ -133,7 +153,7 @@ object Bpe {
     QueryDef(
       "q109_bpe_train",
       (s, dir) => {
-        val (steps, _) = learn(s, dir)
+        val (steps, _) = learn(s, dir, applyLast = false)
         s.createDataFrame(
           new java.util.ArrayList[Row](scala.jdk.CollectionConverters
             .SeqHasAsJava(steps).asJava), MergeSchema)
@@ -154,17 +174,11 @@ object Bpe {
     QueryDef(
       "q110_bpe_apply",
       (s, dir) => {
-        val (steps, _) = learn(s, dir)
-        val applied = steps.foldLeft(
-          vocab(s, dir)
-            .withColumn("w", rtrim(regexp_replace(col("word"), "(.)", "$1  ")))) {
-          (df, m) =>
-            val (a, b, ab) = (m.getString(1), m.getString(2), m.getString(3))
-            df.withColumn("w", trim(replace(
-              concat(lit(" "), col("w"), lit(" ")),
-              lit(s" $a  $b "), lit(s" $ab "))))
-        }
-        val wordTok = applied
+        // learn() keeps the `word` column and applies the final merge,
+        // so the returned vocab IS the applied tokenization — no second
+        // corpus pass, no re-derivation
+        val (_, vFinal) = learn(s, dir, applyLast = true)
+        val wordTok = vFinal
           .select(col("word"), size(split(col("w"), "  ")).cast("long").as("n_bpe"))
         val docWords = docs(s, dir)
           .filter(trim(col("text")) =!= "")
@@ -184,12 +198,12 @@ object Bpe {
            |wt AS (SELECT word,
            |         CAST(len(string_split(
            |           trim(replace(' ' || replace(' ' || replace(' ' || replace(' ' || replace(' ' ||
-           |             rtrim(regexp_replace(word, '(.)', '\\1  ', 'g'))
-           |             || ' ', ' ' || (SELECT a FROM t1) || '  ' || (SELECT b FROM t1) || ' ', ' ' || (SELECT m FROM t1) || ' ')
-           |             || ' ', ' ' || (SELECT a FROM t2) || '  ' || (SELECT b FROM t2) || ' ', ' ' || (SELECT m FROM t2) || ' ')
-           |             || ' ', ' ' || (SELECT a FROM t3) || '  ' || (SELECT b FROM t3) || ' ', ' ' || (SELECT m FROM t3) || ' ')
-           |             || ' ', ' ' || (SELECT a FROM t4) || '  ' || (SELECT b FROM t4) || ' ', ' ' || (SELECT m FROM t4) || ' ')
-           |             || ' ', ' ' || (SELECT a FROM t5) || '  ' || (SELECT b FROM t5) || ' ', ' ' || (SELECT m FROM t5) || ' ')),
+           |             rtrim(regexp_replace(word, '(?s)(.)', '\\1  ', 'g'))
+           |             || ' ', ' ' || coalesce((SELECT a FROM t1), '') || '  ' || coalesce((SELECT b FROM t1), '') || ' ', ' ' || coalesce((SELECT m FROM t1), '') || ' ')
+           |             || ' ', ' ' || coalesce((SELECT a FROM t2), '') || '  ' || coalesce((SELECT b FROM t2), '') || ' ', ' ' || coalesce((SELECT m FROM t2), '') || ' ')
+           |             || ' ', ' ' || coalesce((SELECT a FROM t3), '') || '  ' || coalesce((SELECT b FROM t3), '') || ' ', ' ' || coalesce((SELECT m FROM t3), '') || ' ')
+           |             || ' ', ' ' || coalesce((SELECT a FROM t4), '') || '  ' || coalesce((SELECT b FROM t4), '') || ' ', ' ' || coalesce((SELECT m FROM t4), '') || ' ')
+           |             || ' ', ' ' || coalesce((SELECT a FROM t5), '') || '  ' || coalesce((SELECT b FROM t5), '') || ' ', ' ' || coalesce((SELECT m FROM t5), '') || ' ')),
            |           '  ')) AS BIGINT) AS n_bpe
            |       FROM (SELECT DISTINCT word FROM words)),
            |dw AS (SELECT doc_id, word

@@ -36,9 +36,10 @@ import graft.core.{QueryDef, Tables}
   * long — h48·2^15 + (2^15−1−p) — so a single integer `array_min` gives
   * "smallest hash, rightmost position" exactly; h48 is the first 12 hex
   * chars of md5 (the q97 cross-engine integer-hash contract). The
-  * encoding bounds doc length at 2^15−1 chars; longer docs chunk first
-  * (q55) — the bound is part of the operator contract, not a silent
-  * truncation.
+  * encoding bounds doc length at [[MaxDocLen]] = 2^15−1 chars; longer
+  * docs are EXCLUDED by an enforced filter (mirrored in the oracle) and
+  * pass through q108 unchanged — chunk them first (q55) if they must
+  * participate. An enforced exclusion, never a silent key wraparound.
   *
   * q107 joins the fingerprints on hash (count-DISTINCT-docs >= 2 — a
   * grouped aggregate, so a boilerplate hash shared by millions of docs
@@ -63,6 +64,13 @@ object Winnow {
   val W = 10
   /** island gap: dup hits further apart than this are separate spans. */
   val G = K + W
+  /** max doc length the packed (hash, position) key can encode: the
+    * position field is 15 bits. Docs longer than this are EXCLUDED from
+    * fingerprinting (enforced, mirrored in the oracle — an explicit
+    * exclusion, never a silent key wraparound) and pass through q108
+    * unchanged; chunk them first (q55) if they must participate.
+    */
+  val MaxDocLen = 32767
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -86,8 +94,9 @@ object Winnow {
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
     graft.core.CpuSpread.byKey(trimmed(s, dir), col("doc_id"))
       // shorter docs have no complete window — definitionally no
-      // fingerprint (mirrored in the oracle's WHERE)
-      .filter(col("n") >= K + W - 1)
+      // fingerprint; longer docs exceed the key encoding's position
+      // field ([[MaxDocLen]]) — both bounds mirrored in the oracle
+      .filter(col("n") >= K + W - 1 && col("n") <= MaxDocLen)
       .withColumn("np", col("n") - lit(K - 1))
       .withColumn("keys", expr(
         s"transform(sequence(1, n - ${K - 1}), p -> " +
@@ -139,7 +148,8 @@ object Winnow {
     */
   private val SelCte =
     s"""WITH d AS (SELECT doc_id, trim(text) AS tx, len(trim(text)) AS n
-       |           FROM documents WHERE len(trim(text)) >= ${K + W - 1}),
+       |           FROM documents WHERE len(trim(text)) >= ${K + W - 1}
+       |             AND len(trim(text)) <= $MaxDocLen),
        |pos AS (SELECT doc_id, n, unnest(generate_series(1, n - ${K - 1})) AS p FROM d),
        |g AS (SELECT pos.doc_id, pos.n, pos.p,
        |        CAST(('0x' || substr(md5(substr(d.tx, pos.p, $K)), 1, 12)) AS BIGINT) AS h
@@ -163,7 +173,12 @@ object Winnow {
     QueryDef(
       "q107_dup_spans",
       (s, dir) => {
-        val fp = fingerprints(s, dir)
+        // fp feeds both the dup-hash aggregate and the hit join probe;
+        // an eager localCheckpoint pins the md5-per-position chain (the
+        // dominant cost) to ONE execution instead of one per branch —
+        // the q26 dedup-before-compute discipline, and the fingerprint
+        // set is the sparsified small frame, cheap to hold
+        val fp = fingerprints(s, dir).localCheckpoint(true)
         val duph = fp.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
@@ -220,7 +235,8 @@ object Winnow {
     QueryDef(
       "q108_span_dedup_apply",
       (s, dir) => {
-        val fp = fingerprints(s, dir)
+        // same two-consumer shape as q107: checkpoint the winnow once
+        val fp = fingerprints(s, dir).localCheckpoint(true)
         val own = fp.groupBy("h").agg(min(col("doc_id")).as("owner"))
         val fhits = fp.join(own, "h")
           .filter(col("doc_id") =!= col("owner"))

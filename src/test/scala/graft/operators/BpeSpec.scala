@@ -37,16 +37,22 @@ class BpeSpec extends SparkSpec {
     var vocab: Map[String, (Vector[String], Long)] =
       vocab0.map { case (w, c) => w -> (w.map(_.toString).toVector, c) }
     val steps = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (step <- 1 to k) {
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.values.foreach { case (syms, cnt) =>
         syms.lazyZip(syms.drop(1)).foreach { (x, y) =>
           counts((x, y)) = counts.getOrElse((x, y), 0L) + cnt
         }
       }
-      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
-      steps += ((step.toLong, a, b, a + b, n))
-      vocab = vocab.map { case (w, (syms, cnt)) => w -> (mergeOnce(syms, a, b), cnt) }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        steps += ((step.toLong, a, b, a + b, n))
+        vocab = vocab.map { case (w, (syms, cnt)) => w -> (mergeOnce(syms, a, b), cnt) }
+        step += 1
+      }
     }
     (steps.result(), vocab.map { case (w, (syms, _)) => w -> syms })
   }
@@ -92,6 +98,31 @@ class BpeSpec extends SparkSpec {
     val expBpe = doc.split(" ").map(w => expTok(w).length.toLong).sum
     assert(row.getLong(2) == expBpe,
       s"bpe token count ${row.getLong(2)} vs list-based $expBpe")
+  }
+
+  test("a vocab with no remaining pairs stops merging early, no crash") {
+    // corpus of one two-char word: round 1 merges (a,b); round 2 finds
+    // zero adjacent pairs — the loop must truncate the merge table, not
+    // throw, and apply must still tokenize ('ab' -> ONE token)
+    import spark.implicits._
+    val dir = {
+      val d = java.io.File.createTempFile("graft-bpe-exh", "")
+      d.delete(); d.mkdirs(); d.getAbsolutePath
+    }
+    Seq((0L, "ab ab ab", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = q("q109_bpe_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val (exp, expTok) = replayLearn(words(dir), Bpe.Merges)
+    assert(got == exp, s"truncated chain: $got vs $exp")
+    assert(got == Seq((1L, "a", "b", "ab", 3L)))
+    val applied = q("q110_bpe_apply")(spark, dir).collect()
+    assert(applied.length == 1 && applied(0).getLong(2) == 3L,
+      "three 'ab' words tokenize to three single tokens")
+    assert(expTok("ab") == Vector("ab"))
   }
 
   test("q110 equals the list-based apply per doc, with exact fertility") {

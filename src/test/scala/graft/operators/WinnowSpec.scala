@@ -21,12 +21,20 @@ class WinnowSpec extends SparkSpec {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** SQL-semantics trim: strips ONLY spaces, like Spark trim(col) and
+    * DuckDB trim() — java.lang.String.trim also strips \t\n\f\r and
+    * would diverge from the engine on docs with leading/trailing
+    * non-space whitespace.
+    */
+  private def sqlTrim(s: String): String =
+    s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+
   /** Sequential robust winnowing from first principles: hash every
     * k-gram, per complete window of w keys keep the min (smallest hash,
     * rightmost position via the inverted-position encoding), dedupe.
     */
   private def replay(text: String): Set[(Long, Long)] = {
-    val tx = text.trim
+    val tx = sqlTrim(text)
     val n = tx.length
     if (n < K + W - 1) Set.empty
     else {
@@ -110,7 +118,7 @@ class WinnowSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val texts = corpusTexts(dir)
     Seq(0L, 1L).foreach { id =>
-      val at = texts(id).trim.indexOf(shared) + 1L
+      val at = sqlTrim(texts(id)).indexOf(shared) + 1L
       val hit = spans.filter(_._1 == id)
       assert(hit.nonEmpty, s"doc $id: shared region not reported")
       assert(hit.exists(s => s._2 <= at + shared.length - 1 && s._3 >= at),
@@ -126,7 +134,7 @@ class WinnowSpec extends SparkSpec {
     val texts = corpusTexts(sf0001)
     val sel = texts.toSeq.flatMap { case (id, t) =>
       replay(t).map { case (pos, h) =>
-        (id, h, t.trim.substring(pos.toInt - 1, pos.toInt - 1 + K))
+        (id, h, sqlTrim(t).substring(pos.toInt - 1, pos.toInt - 1 + K))
       }
     }
     val docsByHash = sel.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
@@ -149,7 +157,7 @@ class WinnowSpec extends SparkSpec {
       .flatMap { case (id, s) => s.map { case (_, h) => (h, id) } }
       .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     texts.map { case (id, t) =>
-      val tx = t.trim
+      val tx = sqlTrim(t)
       val foreign = fps(id).toSeq
         .filter { case (_, h) => owner(h) != id }
         .map(_._1).sorted
@@ -182,7 +190,7 @@ class WinnowSpec extends SparkSpec {
     }
     // evidence consistency: removed chars == length delta, per doc
     got.foreach { case (id, (_, removed, clean)) =>
-      assert(texts(id).trim.length - clean.length == removed, s"doc $id")
+      assert(sqlTrim(texts(id)).length - clean.length == removed, s"doc $id")
     }
   }
 
@@ -207,6 +215,31 @@ class WinnowSpec extends SparkSpec {
     assert(rows(1L)._1 >= 1L && !rows(1L)._2.contains(shared),
       "the later doc loses the shared region")
     assert(rows(2L)._1 == 0L, "the control doc is untouched")
+  }
+
+  test("docs beyond MaxDocLen are excluded, not key-wrapped") {
+    // the packed key's position field is 15 bits; a 40k-char doc would
+    // silently decode to wrong (hash, pos) pairs if it entered the
+    // pipeline — the contract is enforced exclusion, and q108 passes
+    // the excluded doc through unchanged
+    val dir = {
+      val d = File.createTempFile("graft-winnow-long", "")
+      d.delete(); d.mkdirs(); d.getAbsolutePath
+    }
+    val long = ("the quick brown fox jumps over the lazy dog " * 1000).trim
+    assert(long.length > Winnow.MaxDocLen)
+    import spark.implicits._
+    Seq((0L, long, "en", "a"),
+      (1L, "a normal short document that winnows fine and fingerprints", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = q("q106_winnow_fingerprints")(spark, dir).collect()
+    assert(!fps.exists(_.getLong(0) == 0L), "long doc must be excluded")
+    assert(fps.exists(_.getLong(0) == 1L), "short doc still fingerprints")
+    val applied = q("q108_span_dedup_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(applied(0L) == ((0L, long)), "excluded doc passes through intact")
   }
 
   test("q106 plan: the only hash shuffle carries doc-level rows") {
