@@ -40,6 +40,66 @@ object TextAnalysis {
     "de" -> "\\b(der|die|das|und|ist)\\b",
     "fr" -> "\\b(le|les|des|et|est)\\b")
 
+  /** Per-doc bigram-LM totals (doc_id, n_bigrams, lm_micro_nats) — the
+    * add-1-smoothed corpus LM score shared by q73 (scoring) and q111
+    * (filter apply). See q73's scaladoc for the micro-nat determinism
+    * design and the scale shape.
+    */
+  private def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val wordRe = "[a-z0-9]+"
+    val words = docs(s, dir)
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(lower(text), '$wordRe', 0)").as("ws"))
+    val vocab = words
+      .select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val big = words
+      .filter(size(col("ws")) >= 2)
+      .withColumn("h", slice(col("ws"), lit(1), size(col("ws")) - 1))
+      .withColumn("t", slice(col("ws"), lit(2), size(col("ws")) - 1))
+      .select(col("doc_id"), explode(arrays_zip(col("h"), col("t"))).as("bg"))
+      .select(col("doc_id"), col("bg.h").as("w1"), col("bg.t").as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    big
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("mn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mn")).as("lm_micro_nats"))
+  }
+
+  /** q73's oracle CTE prefix (words .. per_doc) — ONE constant shared
+    * with q111 so the scoring the filter ranks on cannot drift from the
+    * scoring q73 reports.
+    */
+  private val BigramLmCte =
+    """WITH words AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT count(DISTINCT w) AS v
+      |  FROM (SELECT unnest(ws) AS w FROM words)),
+      |big AS (
+      |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+      |  FROM (SELECT doc_id,
+      |          unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+      |        FROM words WHERE len(ws) >= 2)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      |per_doc AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)
+      |      / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000) AS BIGINT))
+      |      AS BIGINT) AS lm_micro_nats
+      |  FROM big b
+      |  JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab v
+      |  GROUP BY 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting (whitespace tokenizer; the BPE-ish regex
@@ -597,33 +657,8 @@ object TextAnalysis {
     QueryDef(
       "q73_bigram_lm",
       (s, dir) => {
-        val wordRe = "[a-z0-9]+"
-        val words = docs(s, dir)
-          .select(col("doc_id"),
-            expr(s"regexp_extract_all(lower(text), '$wordRe', 0)").as("ws"))
-        val vocab = words
-          .select(explode(col("ws")).as("w"))
-          .agg(countDistinct(col("w")).as("v"))
-        val big = words
-          .filter(size(col("ws")) >= 2)
-          .withColumn("h", slice(col("ws"), lit(1), size(col("ws")) - 1))
-          .withColumn("t", slice(col("ws"), lit(2), size(col("ws")) - 1))
-          .select(col("doc_id"), explode(arrays_zip(col("h"), col("t"))).as("bg"))
-          .select(col("doc_id"), col("bg.h").as("w1"), col("bg.t").as("w2"))
-        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-        val perDoc = big
-          .join(c12, Seq("w1", "w2"))
-          .join(c1, Seq("w1"))
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"),
-            round(log((col("c12") + 1).cast("double") /
-              (col("c1") + col("v")).cast("double")) * 1e6)
-              .cast("long").as("mn"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("mn")).as("lm_micro_nats"))
         docs(s, dir).select(col("doc_id"))
-          .join(perDoc, Seq("doc_id"), "left")
+          .join(bigramLmPerDoc(s, dir), Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
             coalesce(col("lm_micro_nats"), lit(0L)).as("lm_micro_nats"),
@@ -632,27 +667,7 @@ object TextAnalysis {
                 col("n_bigrams").cast("double")).as("avg_logprob"))
           .orderBy("doc_id")
       },
-      Some("""WITH words AS (
-             |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-             |  FROM documents),
-             |vocab AS (
-             |  SELECT count(DISTINCT w) AS v
-             |  FROM (SELECT unnest(ws) AS w FROM words)),
-             |big AS (
-             |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
-             |  FROM (SELECT doc_id,
-             |          unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
-             |        FROM words WHERE len(ws) >= 2)),
-             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
-             |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
-             |per_doc AS (
-             |  SELECT b.doc_id, count(*) AS n_bigrams,
-             |    CAST(sum(CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)
-             |      / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000) AS BIGINT))
-             |      AS BIGINT) AS lm_micro_nats
-             |  FROM big b
-             |  JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab v
-             |  GROUP BY 1)
+      Some(BigramLmCte + """
              |SELECT d.doc_id,
              |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
              |  CAST(coalesce(p.lm_micro_nats, 0) AS BIGINT) AS lm_micro_nats,
@@ -662,6 +677,50 @@ object TextAnalysis {
              |       ELSE NULL END AS avg_logprob
              |FROM documents d LEFT JOIN per_doc p USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    /* LM-quality filter APPLY — the q73 detect -> apply completion (the
+     * q53->q105 / q107->q108 discipline): the post-filter training
+     * corpus under the CCNet-style rule "drop the worst-scoring 20% by
+     * corpus-LM probability" (Wenzek et al., CCNet — there with wiki-LM
+     * perplexity buckets; here the corpus-trained q73 bigram LM).
+     *
+     * Determinism: the rank metric is integer micro-nats per bigram
+     * (lm_micro_nats div n_bigrams — integer division, exact on both
+     * engines); the cutoff is percentile_disc(0.2) over those integers
+     * (an actual data value, no interpolation — the q65 contract) and
+     * the gate is >= cutoff, so kept-set membership is exact. Docs with
+     * no bigrams are unscorable and dropped, stated rather than
+     * defaulted. Scale shape: everything up to per_doc is q73's plan;
+     * the percentile runs over DOC-level rows (corpus-sublinear) and
+     * the cutoff rides a 1-row broadcast back onto the scored frame —
+     * at a doc count where even doc-level exact percentile hurts, q70's
+     * approx_percentile twin is the documented fallback.
+     */
+    QueryDef(
+      "q111_lm_filter_apply",
+      (s, dir) => {
+        val scored = bigramLmPerDoc(s, dir)
+          .filter(col("n_bigrams") > 0)
+          .withColumn("avg_mn", expr("lm_micro_nats div n_bigrams"))
+        val cut = scored.agg(
+          expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY avg_mn)")
+            .as("cut"))
+        scored.crossJoin(broadcast(cut))
+          .filter(col("avg_mn") >= col("cut"))
+          .select(col("doc_id"), col("n_bigrams"), col("lm_micro_nats"),
+            col("avg_mn"))
+          .orderBy("doc_id")
+      },
+      Some(BigramLmCte + """,
+             |scored AS (
+             |  SELECT doc_id, n_bigrams, lm_micro_nats,
+             |    lm_micro_nats // n_bigrams AS avg_mn
+             |  FROM per_doc WHERE n_bigrams > 0),
+             |cut AS (SELECT quantile_disc(avg_mn, 0.2) AS cut FROM scored)
+             |SELECT s.doc_id, s.n_bigrams, s.lm_micro_nats, s.avg_mn
+             |FROM scored s CROSS JOIN cut c
+             |WHERE s.avg_mn >= c.cut
+             |ORDER BY s.doc_id""".stripMargin)),
 
     /* TF-IDF salient-term extraction — top-3 terms per document by
      * tf × smooth-idf (sklearn convention: idf = ln((N+1)/(df+1)) + 1),

@@ -59,6 +59,9 @@ object ScaleBench {
     // the bigram count table scale ×N with the corpus — the open-vocab
     // worst case for the train-side aggregations and count-table joins
     "q73_bigram_lm",
+    // LM filter apply shares q73's open-vocab worst case; the added
+    // percentile + gate run over doc-level rows (corpus-sublinear)
+    "q111_lm_filter_apply",
     // segment dedup: suffixed replicas share no segments, so the
     // distinct-hash keep-first aggregation scales ×N (the grouped-min
     // shuffle is the cost being curved); incremental dedup: history

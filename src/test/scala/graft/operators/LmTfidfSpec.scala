@@ -56,6 +56,35 @@ class LmTfidfSpec extends SparkSpec {
     }
   }
 
+  test("q111 is exactly q73's scored set gated at the discrete 20th percentile") {
+    // derive the expected kept set from q73's OWN output (the shared-CTE
+    // contract driver-checked): rank metric = integer micro-nats per
+    // bigram with toward-zero division, cutoff = percentile_disc(0.2)
+    // (smallest value whose cumulative fraction >= 0.2), gate >= cutoff
+    val scored = graft.SparkEntry.queries("q73_bigram_lm")(spark, sf0001)
+      .collect().filter(_.getLong(1) > 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(2) / r.getLong(1)))
+    assert(scored.nonEmpty)
+    val sorted = scored.map(_._4).sorted
+    val cut = sorted(math.ceil(0.2 * sorted.length).toInt - 1)
+    val expKept = scored.filter(_._4 >= cut).map(_._1).toSet
+    val got = graft.SparkEntry.queries("q111_lm_filter_apply")(spark, sf0001)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet == expKept, "kept-set membership")
+    got.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) / r.getLong(1),
+        s"avg_mn must be the integer division, doc ${r.getLong(0)}")
+      assert(r.getLong(3) >= cut, s"below-cutoff doc ${r.getLong(0)} kept")
+    }
+    // at least the target fraction dropped-or-tied: kept <= n, dropped
+    // strictly below cutoff is <= 20% of scored by percentile_disc
+    val dropped = scored.length - got.length
+    assert(dropped > 0, "the filter must drop someone (non-vacuity)")
+    assert(dropped <= math.ceil(0.2 * scored.length).toInt,
+      "percentile_disc(0.2) can drop at most the bottom fifth")
+  }
+
   test("q74 matches a sequential TF-IDF replay (top-3, total order)") {
     val toks = docTokens()
     val n = toks.size
