@@ -120,6 +120,28 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, Dedup, Even
   *   q100     stratified weighted sampling (k per source): q97's
   *            priorities under q68's salted two-phase top-k — the
   *            balanced training-mix sampler, naive-window oracle
+  *   q101–q104 clustering arc: deterministic k-means cells (2 unrolled
+  *            Lloyd iterations, exact int64 arithmetic, oracle CTEs pin
+  *            every intermediate centroid), cluster-balanced sampling
+  *            (shared Lloyd CTE text), leakage-safe split by near-dup
+  *            GROUP (q103), and SemDeDup over the LEARNED cells (q104
+  *            — the full Abbas et al. recipe in-engine)
+  *   q105     decontamination APPLY (q53's exact complement; evidence
+  *            columns carried for downstream re-weighting)
+  *   q106–q108 char-level exact-substring dedup: robust winnowing
+  *            fingerprints (SIGMOD'03 — per-row array algebra, the one
+  *            hash exchange carries doc-level rows), cross-document
+  *            duplicate spans (grouped dup-hash count + gaps-and-
+  *            islands over the sparse hits), and the keep-first splice
+  *            APPLY (foreign spans removed, spliced text hash-pinned)
+  *   q109–q110 BPE tokenizer training on the weighted vocabulary (one
+  *            corpus pass; merge application = plain replace over a
+  *            double-space symbol encoding, exact on both engines;
+  *            oracle unrolls the merge chain) and the per-doc apply
+  *            (whitespace vs BPE token counts, integer fertility)
+  *   q111     LM-quality filter APPLY (q73 detect→apply): drop the
+  *            worst 20% by corpus-LM score at a percentile_disc
+  *            cutoff over integer micro-nat averages
   */
 object SparkEntry {
 
