@@ -32,14 +32,37 @@ import graft.core.{QueryDef, Tables}
   * linear passes (see the inline comment for why NOT a per-window
   * slice), and `array_distinct` collapses repeats — an embarrassingly-
   * parallel projection chain, spec-pinned to contain no hash-partition
-  * exchange (`WinnowSpec`). The min-key encoding packs (hash, position) into one
-  * long — h48·2^15 + (2^15−1−p) — so a single integer `array_min` gives
-  * "smallest hash, rightmost position" exactly; h48 is the first 12 hex
-  * chars of md5 (the q97 cross-engine integer-hash contract). The
-  * encoding bounds doc length at [[MaxDocLen]] = 2^15−1 chars; longer
-  * docs are EXCLUDED by an enforced filter (mirrored in the oracle) and
-  * pass through q108 unchanged — chunk them first (q55) if they must
+  * exchange (`WinnowSpec`). The min-key encoding packs (hash, position)
+  * into one long — h1·2^20 + (2^20−1−p) — so a single integer min gives
+  * "smallest hash, rightmost position" exactly. The encoding bounds doc
+  * length at [[MaxDocLen]] = 2^20−1 chars (~1 MB); longer docs are
+  * EXCLUDED by an enforced filter (mirrored in the oracle) and pass
+  * through q108 unchanged — chunk them first (q55) if they must
   * participate. An enforced exclusion, never a silent key wraparound.
+  *
+  * Hashing is Karp-Rabin polynomial (Karp & Rabin, IBM JRD'87), not
+  * md5: the per-position gram hash is the Horner fold
+  * `h1 = fold(codes[p..p+K-1], 0, (acc, c) -> (acc*B1 + c) mod M1)`
+  * over the chars' code points, exact int64 modular arithmetic written
+  * as the SAME formula in the DuckDB oracle (the q97 integer-contract
+  * discipline applied to a cheaper hash — round 10's md5-per-position
+  * cost ~one digest + substring + hex-parse allocation per char; the
+  * polynomial is a handful of integer mul/mod per char and keeps the
+  * family's CPU floor down, which is the only win available in a
+  * saturated per-char stage). On the Spark side the whole per-doc
+  * selection — rolling O(1)-per-gram hash updates plus a monotonic-
+  * deque window minimum — runs as ONE native Catalyst expression over
+  * primitive arrays ([[graft.expressions.WinnowFingerprints]]), the
+  * promotion path SURVEY §2.10 reserves for measured hot paths.
+  *
+  * The match hash is TWO independent polynomial hashes of the same
+  * gram — `h = h1·2^30 + h2` with (B1, M1) = (131, 2^31−1) and
+  * (B2, M2) = (137, 1073741789), 61 effective bits vs the 48-bit md5
+  * prefix the first cut packed: strictly lower cross-doc collision
+  * odds AND a cheaper hash. h2 is computed only at SELECTED positions
+  * (~2/(w+1) of grams), so its cost is off the per-char critical path;
+  * winnow selection itself needs only h1, whose 31 bits leave room for
+  * a 20-bit position field in the packed key.
   *
   * q107 joins the fingerprints on hash (count-DISTINCT-docs >= 2 — a
   * grouped aggregate, so a boilerplate hash shared by millions of docs
@@ -58,19 +81,35 @@ import graft.core.{QueryDef, Tables}
   */
 object Winnow {
 
+  // canonical parameters live with the native expression; aliased here
+  // for the oracle SQL, the spans queries, and the specs
   /** gram length in chars. */
-  val K = 30
+  val K: Int = graft.expressions.WinnowFingerprints.K
   /** winnow window: positions per window; guarantee length = W+K-1. */
-  val W = 10
+  val W: Int = graft.expressions.WinnowFingerprints.W
   /** island gap: dup hits further apart than this are separate spans. */
   val G = K + W
-  /** max doc length the packed (hash, position) key can encode: the
-    * position field is 15 bits. Docs longer than this are EXCLUDED from
+  /** selection-hash modulus: the Mersenne prime 2^31−1. */
+  val M1: Long = graft.expressions.WinnowFingerprints.M1
+  /** selection-hash base. */
+  val B1: Long = graft.expressions.WinnowFingerprints.B1
+  /** confirm-hash modulus: the largest prime below 2^30. */
+  val M2: Long = graft.expressions.WinnowFingerprints.M2
+  /** confirm-hash base. */
+  val B2: Long = graft.expressions.WinnowFingerprints.B2
+  /** position field width of the packed key: 2^20 positions. */
+  val PosMod: Long = graft.expressions.WinnowFingerprints.PosMod
+  /** max doc length the packed (hash, position) key can encode: h1 is
+    * 31 bits, the position field 20 bits (51-bit keys — the round-10
+    * md5 packing had only 15 position bits, excluding every doc over
+    * 32 KB from char dedup). Docs longer than this are EXCLUDED from
     * fingerprinting (enforced, mirrored in the oracle — an explicit
     * exclusion, never a silent key wraparound) and pass through q108
-    * unchanged; chunk them first (q55) if they must participate.
+    * unchanged; chunk them first (q55) if they must participate. The
+    * ~1 MB bound is also the memory guard: the native expression holds
+    * one code-point array per doc while it winnows.
     */
-  val MaxDocLen = 32767
+  val MaxDocLen: Long = graft.expressions.WinnowFingerprints.MaxDocLen
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -92,55 +131,38 @@ object Winnow {
     * fingerprint-level rows (spec-pinned).
     */
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
-    graft.core.CpuSpread.byKey(trimmed(s, dir), col("doc_id"))
+    fingerprintsOf(graft.core.CpuSpread.byKey(trimmed(s, dir), col("doc_id")))
+
+  /** Winnowed fingerprints of an arbitrary (doc_id, tx, n) frame —
+    * shared by the corpus queries, [[FpIndex]]'s build/append, and the
+    * streaming winnow sink, so every consumer fingerprints identically.
+    *
+    * The selection itself is ONE native expression per doc
+    * ([[graft.expressions.WinnowFingerprints]]: rolling Karp-Rabin +
+    * monotonic-deque window min in primitive arrays — see its scaladoc
+    * for why the declarative zip_with formulation lost to it), followed
+    * by a single explode. explode_OUTER, deliberately: plain explode
+    * lets InferFiltersFromGenerate synthesize `size(fps) > 0 AND
+    * isnotnull(fps)` and predicate pushdown duplicates the generator
+    * input below the scan — the winnow evaluated twice per row (the
+    * measured ~16x hazard of round 9's array pipeline; with the native
+    * expression the duplication would be 2x — still wrong). The outer
+    * variant is row-identical because `fps` is never empty: the length
+    * filter guarantees at least one complete window. Nullability is
+    * the only schema difference and the oracle hash is over values.
+    */
+  private[graft] def fingerprintsOf(docsFrame: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsFrame.sparkSession)
+    docsFrame
       // shorter docs have no complete window — definitionally no
       // fingerprint; longer docs exceed the key encoding's position
       // field ([[MaxDocLen]]) — both bounds mirrored in the oracle
       .filter(col("n") >= K + W - 1 && col("n") <= MaxDocLen)
-      .withColumn("np", col("n") - lit(K - 1))
-      .withColumn("keys", expr(
-        s"transform(sequence(1, n - ${K - 1}), p -> " +
-          s"cast(conv(substring(md5(substring(tx, p, $K)), 1, 12), 16, 10) as bigint)" +
-          s" * 32768 + (32767 - p))"))
-      // Sliding-window min by shift-and-fold doubling, NOT
-      // `transform(j -> array_min(slice(keys, j, W)))`: CollapseProject
-      // inlines `keys` into that lambda body, recomputing the full
-      // n-element md5 array once per window — O(n²) grams per doc (the
-      // measured 50x-class hazard documented at [[Dedup.shinglesOf]];
-      // here it was 13 min for two sf0.01 queries). Each zip_with lambda
-      // references only its own arguments, and each step consumes its
-      // predecessor twice, which keeps the projections from collapsing:
-      // four O(n) passes total. m2 covers 2 positions, m4 = m2⊕shift2
-      // covers 4, m8 covers 8, and m10 = m8⊕shift2 covers
-      // [i..i+7]∪[i+2..i+9] = the full w=10 window (overlap is harmless
-      // under min). zip_with pads the shorter side with null and least()
-      // skips nulls, so trailing partial windows hold partial minima —
-      // sliced off by the complete-window bound before distinct.
-      .withColumn("m2", expr(
-        "zip_with(keys, slice(keys, 2, greatest(np - 1, 0)), (a, b) -> least(a, b))"))
-      .withColumn("m4", expr(
-        "zip_with(m2, slice(m2, 3, greatest(np - 2, 0)), (a, b) -> least(a, b))"))
-      .withColumn("m8", expr(
-        "zip_with(m4, slice(m4, 5, greatest(np - 4, 0)), (a, b) -> least(a, b))"))
-      .withColumn("m10", expr(
-        "zip_with(m8, slice(m8, 3, greatest(np - 2, 0)), (a, b) -> least(a, b))"))
-      .withColumn("sel", expr(
-        s"array_distinct(slice(m10, 1, greatest(np - ${W - 1}, 0)))"))
-      // explode_OUTER, deliberately: plain explode lets
-      // InferFiltersFromGenerate synthesize `size(sel) > 0 AND
-      // isnotnull(sel)` and predicate pushdown then inlines the ENTIRE
-      // m2..m10 array pipeline into that filter below the scan — the
-      // whole winnow re-evaluated ~16x per row (measured: 58 s for
-      // q106 at sf0.1 with explode, 1.5 s with explode_outer; plan
-      // step (2) carried a multi-page Condition). The outer variant is
-      // row-identical here because `sel` is never empty: the length
-      // filter guarantees np >= W, so slice(m10, 1, np-W+1) has >= 1
-      // element. Nullability is the only schema difference and the
-      // oracle hash is over values.
-      .select(col("doc_id"), explode_outer(col("sel")).as("wk"))
       .select(col("doc_id"),
-        (lit(32767L) - pmod(col("wk"), lit(32768L))).as("pos"),
-        expr("wk div 32768").as("h"))
+        explode_outer(call_function("graft_winnow_fingerprints", col("tx")))
+          .as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+  }
 
   /** Shared oracle prefix: the winnowed fingerprint set as CTE `sel`.
     * One constant for both queries so the two oracles cannot drift
@@ -152,16 +174,24 @@ object Winnow {
        |             AND len(trim(text)) <= $MaxDocLen),
        |pos AS (SELECT doc_id, n, unnest(generate_series(1, n - ${K - 1})) AS p FROM d),
        |g AS (SELECT pos.doc_id, pos.n, pos.p,
-       |        CAST(('0x' || substr(md5(substr(d.tx, pos.p, $K)), 1, 12)) AS BIGINT) AS h
+       |        list_reduce(list_transform(generate_series(pos.p, pos.p + ${K - 1}),
+       |          i -> CAST(ascii(substr(d.tx, CAST(i AS INT), 1)) AS BIGINT)),
+       |          (a, c) -> (a * $B1 + c) % $M1) AS h1
        |      FROM pos JOIN d USING (doc_id)),
        |w AS (SELECT doc_id, n, p,
-       |        min(h * 32768 + (32767 - p)) OVER (PARTITION BY doc_id ORDER BY p
+       |        min(h1 * $PosMod + (${PosMod - 1} - p)) OVER (PARTITION BY doc_id ORDER BY p
        |          ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS wk
        |      FROM g),
-       |sel AS (SELECT DISTINCT doc_id,
-       |          CAST(32767 - (wk % 32768) AS BIGINT) AS pos,
-       |          CAST(wk // 32768 AS BIGINT) AS h
-       |        FROM w WHERE p <= n - ${K - 1} - ${W - 1})""".stripMargin
+       |selw AS (SELECT DISTINCT doc_id,
+       |          CAST(${PosMod - 1} - (wk % $PosMod) AS BIGINT) AS pos,
+       |          CAST(wk // $PosMod AS BIGINT) AS h1
+       |        FROM w WHERE p <= n - ${K - 1} - ${W - 1}),
+       |sel AS (SELECT s.doc_id, s.pos,
+       |          s.h1 * 1073741824 + list_reduce(list_transform(
+       |            generate_series(s.pos, s.pos + ${K - 1}),
+       |            i -> CAST(ascii(substr(d.tx, CAST(i AS INT), 1)) AS BIGINT)),
+       |            (a, c) -> (a * $B2 + c) % $M2) AS h
+       |        FROM selw s JOIN d USING (doc_id))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.io.File
-import java.security.MessageDigest
 
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
@@ -17,10 +16,6 @@ class WinnowSpec extends SparkSpec {
 
   private def q(name: String) = Winnow.defs.find(_.name == name).get.fn
 
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
   /** SQL-semantics trim: strips ONLY spaces, like Spark trim(col) and
     * DuckDB trim() — java.lang.String.trim also strips \t\n\f\r and
     * would diverge from the engine on docs with leading/trailing
@@ -29,23 +24,35 @@ class WinnowSpec extends SparkSpec {
   private def sqlTrim(s: String): String =
     s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
 
-  /** Sequential robust winnowing from first principles: hash every
-    * k-gram, per complete window of w keys keep the min (smallest hash,
-    * rightmost position via the inverted-position encoding), dedupe.
+  /** Independent Horner fold of a gram under (b, m) — the straight-line
+    * definition the engine's doubling composition must equal.
+    */
+  private def horner(gram: String, b: Long, m: Long): Long =
+    gram.foldLeft(0L)((acc, c) => (acc * b + c.toInt) % m)
+
+  /** Sequential robust winnowing from first principles: Karp-Rabin-hash
+    * every k-gram, per complete window of w keys keep the min (smallest
+    * hash, rightmost position via the inverted-position encoding),
+    * dedupe, then attach the two-modulus 61-bit match hash.
     */
   private def replay(text: String): Set[(Long, Long)] = {
+    import Winnow.{B1, B2, M1, M2, PosMod}
     val tx = sqlTrim(text)
     val n = tx.length
-    if (n < K + W - 1) Set.empty
+    if (n < K + W - 1 || n > Winnow.MaxDocLen) Set.empty
     else {
       val np = n - (K - 1)
       val keys = (1 to np).map { p =>
-        val h = java.lang.Long.parseLong(
-          md5hex(tx.substring(p - 1, p - 1 + K)).substring(0, 12), 16)
-        h * 32768L + (32767L - p)
+        val h1 = horner(tx.substring(p - 1, p - 1 + K), B1, M1)
+        h1 * PosMod + (PosMod - 1L - p)
       }
       (0 until np - (W - 1)).map(j => keys.slice(j, j + W).min)
-        .distinct.map(wk => (32767L - (wk % 32768L), wk / 32768L)).toSet
+        .distinct.map { wk =>
+          val pos = PosMod - 1L - (wk % PosMod)
+          val h1 = wk / PosMod
+          val h2 = horner(tx.substring(pos.toInt - 1, pos.toInt - 1 + K), B2, M2)
+          (pos, h1 * 1073741824L + h2)
+        }.toSet
     }
   }
 
@@ -128,9 +135,10 @@ class WinnowSpec extends SparkSpec {
   }
 
   test("q107 dup hits are backed by gram TEXT shared across docs") {
-    // 48-bit hashes could in principle fabricate a cross-doc "duplicate"
-    // by collision; re-derive each selected fingerprint's gram text and
-    // check the hash-level dup verdict agrees with the text-level one
+    // 61-bit two-modulus hashes could in principle fabricate a cross-doc
+    // "duplicate" by collision; re-derive each selected fingerprint's
+    // gram text and check the hash-level dup verdict agrees with the
+    // text-level one
     val texts = corpusTexts(sf0001)
     val sel = texts.toSeq.flatMap { case (id, t) =>
       replay(t).map { case (pos, h) =>
@@ -218,7 +226,7 @@ class WinnowSpec extends SparkSpec {
   }
 
   test("docs beyond MaxDocLen are excluded, not key-wrapped") {
-    // the packed key's position field is 15 bits; a 40k-char doc would
+    // the packed key's position field is 20 bits; a >1M-char doc would
     // silently decode to wrong (hash, pos) pairs if it entered the
     // pipeline — the contract is enforced exclusion, and q108 passes
     // the excluded doc through unchanged
@@ -226,7 +234,7 @@ class WinnowSpec extends SparkSpec {
       val d = File.createTempFile("graft-winnow-long", "")
       d.delete(); d.mkdirs(); d.getAbsolutePath
     }
-    val long = ("the quick brown fox jumps over the lazy dog " * 1000).trim
+    val long = ("the quick brown fox jumps over the lazy dog " * 24000).trim
     assert(long.length > Winnow.MaxDocLen)
     import spark.implicits._
     Seq((0L, long, "en", "a"),
