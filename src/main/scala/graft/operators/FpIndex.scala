@@ -1,0 +1,208 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, BUCKETED winnow-fingerprint index — the structure that
+  * makes char-level exact-substring dedup O(batch) per ingest instead
+  * of O(corpus) per run.
+  *
+  * Round 10's q107/q108 had the right within-run shape (one winnow,
+  * localCheckpoint, two consumers) but recomputed the ENTIRE corpus's
+  * per-char-position fingerprints on EVERY run and pinned the
+  * corpus-wide set (~2% of corpus bytes) into executor block-manager
+  * storage — at 100 TB that is a full-corpus scan per dedup pass plus
+  * ~2 TB of ephemeral executor state, the same materialize-vs-recompute
+  * defect q78 had for token-level dedup before [[BandIndex]]. This
+  * object is the fix, the BandIndex contract applied verbatim to the
+  * winnow layer: the corpus fingerprint set (doc_id, pos, h) is
+  * materialized ONCE as a parquet table bucketed by `h` — the key every
+  * downstream consumer joins or groups on — so
+  *
+  *  - q107's dup-hash aggregate (`GROUP BY h HAVING count(DISTINCT
+  *    doc_id) >= 2`) and q108's ownership aggregate (`min(doc_id) per
+  *    h`) run directly on the bucketed scan with NO exchange — the
+  *    scan's h-clustering already satisfies both the aggregates' and
+  *    the hash-join-back's required distribution ([[FpIndexSpec]] pins
+  *    that plan), and
+  *  - an ingest batch probes for duplicated spans by winnowing only
+  *    the BATCH docs (O(batch) compute) and joining them against the
+  *    index with a shuffle on the BATCH SIDE ONLY.
+  *
+  * After a batch is admitted, [[append]] inserts the batch's
+  * fingerprints into the same table (bucket layout preserved by the
+  * bucketed-append writer) — ingest → probe → admit → append, the
+  * q87/q92 maintenance loop at char granularity (q112 proves two
+  * chained batches match a from-scratch recompute under the DuckDB
+  * oracle).
+  *
+  * Freshness, registration, hot-path cost, and the single-writer
+  * contract are [[BandIndex]]'s verbatim (file-metadata `_GRAFT_FP`
+  * fingerprint standing in for a table-format snapshot id; the build
+  * is idempotent and the fingerprint is written last, so a concurrent
+  * loser is rebuilt on next touch rather than read). Duplicate rows
+  * from a crash-replayed append are harmless by construction: every
+  * reader either takes DISTINCT doc_ids per h, min(doc_id) per h, or
+  * DISTINCT (doc_id, pos) hits.
+  */
+object FpIndex {
+
+  /** Buckets = the engine's shuffle-partition count at bench scale, so
+    * batch-side shuffles land exactly in the index's layout.
+    */
+  val NumBuckets = 32
+
+  def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** One index (table name + directory) per corpus directory. */
+  def tableNameFor(dir: String): String =
+    "graft_fp_index_" + md5hex(
+      Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+
+  private def indexPath(dir: String): Path =
+    Paths.get(indexRoot, tableNameFor(dir))
+
+  /** Winnowed fingerprints of a (doc_id, text) frame, CPU-spread by doc
+    * so the per-char winnow parallelizes cluster-wide.
+    */
+  private[graft] def fingerprintRows(docs: DataFrame): DataFrame =
+    Winnow.fingerprintsOf(graft.core.CpuSpread.byKey(
+      docs.select(col("doc_id"), trim(col("text")).as("tx"))
+        .withColumn("n", length(col("tx"))),
+      col("doc_id")))
+
+  /** Build the bucketed index over `docs` (doc_id, text) at `path`,
+    * registered as `name`. The pre-write `repartition` on `h` uses the
+    * same hash the bucketed writer assigns files by, so each task lands
+    * ~one bucket file.
+    */
+  def buildIndex(spark: SparkSession, docs: DataFrame, name: String,
+      path: Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    deleteTree(path)
+    fingerprintRows(docs)
+      .repartition(NumBuckets, col("h"))
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "h")
+      .sortBy("h")
+      .option("path", path.toString)
+      .saveAsTable(name)
+  }
+
+  /** Register an existing on-disk index into this session's catalog —
+    * the post-JVM-restart path.
+    */
+  private def register(spark: SparkSession, name: String, path: Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"""CREATE TABLE `$name` (doc_id BIGINT, pos BIGINT, h BIGINT)
+         |USING PARQUET
+         |CLUSTERED BY (h) INTO $NumBuckets BUCKETS
+         |LOCATION '${path.toString}'""".stripMargin)
+  }
+
+  /** Append an admitted batch's fingerprints to the index;
+    * `mode("append").bucketBy` validates the spec and writes
+    * bucket-id-named files, so probes still read the table bucketed.
+    */
+  def append(spark: SparkSession, name: String, admittedDocs: DataFrame): Unit =
+    fingerprintRows(admittedDocs)
+      .repartition(NumBuckets, col("h"))
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "h")
+      .sortBy("h")
+      .mode("append")
+      .saveAsTable(name)
+
+  /** Ensure the whole-corpus fingerprint index for `dir` exists, is
+    * fresh, and is in this session's catalog; returns the table name.
+    * Cost: a catalog lookup + an O(#files) fingerprint when warm; one
+    * O(corpus) winnow when cold or stale — paid once per corpus
+    * generation, NOT per query run.
+    */
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    val name = tableNameFor(dir)
+    val path = indexPath(dir)
+    val fp = BandIndex.fingerprint(dir)
+    val fpFile = path.resolve("_GRAFT_FP")
+    val validOnDisk = Files.exists(fpFile) &&
+      Files.readString(fpFile).trim == fp
+    if (spark.catalog.tableExists(name) && validOnDisk) name
+    else if (validOnDisk) { register(spark, name, path); name }
+    else {
+      buildIndex(spark,
+        graft.core.Tables(spark, dir, "documents").select("doc_id", "text"),
+        name, path)
+      Files.writeString(fpFile, fp)
+      name
+    }
+  }
+
+  /** Create an EMPTY bucketed index (schema + bucket spec, no rows) —
+    * the cold-start entry for a continuous ingest stream.
+    */
+  def initIndex(spark: SparkSession, name: String, path: Path): Unit =
+    buildIndex(spark, BandIndex.emptyDocs(spark), name, path)
+
+  /** Probe `batchDocs` (doc_id, text) against the index: per batch doc,
+    * the maximal duplicated-span ranges whose fingerprints already
+    * exist in HISTORY (any indexed doc) or in an EARLIER batch doc
+    * (smaller doc_id — the within-batch keep-first), as
+    * (doc_id, span_start, span_end, n_hits).
+    *
+    * Scale shape: the batch is winnowed once and eagerly pinned (two
+    * consumers + the caller usually appends right after — O(batch)
+    * state, the legitimate use of localCheckpoint the corpus-wide form
+    * was not); the history leg shuffles ONLY the batch fingerprints
+    * into the index's bucket layout; the within-batch leg self-joins
+    * the batch (renamed projection — see [[BandIndex.probeIndex]] on
+    * why not as("a")/as("b") aliases); the islands window carries only
+    * the sparse foreign hits.
+    *
+    * `excludeBatchFromHistory` is the streaming REPLAY seam
+    * ([[graft.streaming.WinnowIndexSink]]): if a prior attempt appended
+    * this batch's fingerprints and crashed before committing the
+    * decision log, the replayed probe would find the batch's own docs
+    * as "history" and report every span as duplicated. Excluding the
+    * batch's own ids from the hist leg (left_anti on the small
+    * batch-id set) makes the probe idempotent under replay-after-
+    * append; within-batch spans still come from the batchHits leg,
+    * exactly once.
+    */
+  def probeSpans(spark: SparkSession, name: String, batchDocs: DataFrame,
+      excludeBatchFromHistory: Boolean = false): DataFrame = {
+    val bfp = fingerprintRows(batchDocs).localCheckpoint(true)
+    val hist = spark.table(name)
+    val histLeg0 = bfp.join(
+      hist.select(col("h"), col("doc_id").as("hist_id")), Seq("h"))
+    val histLeg =
+      if (excludeBatchFromHistory)
+        histLeg0.join(batchDocs.select(col("doc_id").as("hist_id")),
+          Seq("hist_id"), "left_anti")
+      else histLeg0
+    val histHits = histLeg.select("doc_id", "pos")
+    val bSide = bfp.select(col("doc_id").as("other"), col("h").as("b_h"))
+    val batchHits = bfp.join(bSide,
+        col("h") === col("b_h") && col("other") < col("doc_id"))
+      .select("doc_id", "pos")
+    val foreign = histHits.unionByName(batchHits).distinct()
+    Winnow.islandSpans(foreign)
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(p.toFile)
+    }
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted bucketed winnow-fingerprint index behind q107/q108/q112
+  * (round 10's one `weak` verdict item): per-run cost must come from the
+  * INDEX, not a corpus re-winnow, and per-batch probe cost must be
+  * O(batch). Proven against monolithic recomputes, through the chained
+  * probe→append→probe loop, at the replay seam, and at the plan level.
+  */
+class FpIndexSpec extends SparkSpec {
+
+  private val dir = sf0001
+
+  private def q(name: String) = Winnow.defs.find(_.name == name).get.fn
+
+  private def base: DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("bucket", BandIndex.ingestBucket)
+
+  private def docsSlice(lo: Int, hi: Int): DataFrame =
+    base.filter(col("bucket") >= lo && col("bucket") < hi)
+      .select("doc_id", "text")
+
+  /** Monolithic twin of [[FpIndex.probeSpans]]: winnow history + batch
+    * in one pass, split by bucket predicate — the round-10 shape every
+    * incremental result is checked against.
+    */
+  private def monolithic(histPred: Column, batchPred: Column): DataFrame = {
+    val fps = FpIndex.fingerprintRows(
+        base.filter(histPred || batchPred).select("doc_id", "text"))
+      .join(base.select("doc_id", "bucket"), "doc_id")
+    val hist = fps.filter(histPred)
+      .select(col("h").as("b_h"), col("doc_id").as("hist_id"))
+    val bat = fps.filter(batchPred).select("doc_id", "pos", "h")
+    val histHits = bat.join(hist, col("h") === col("b_h"))
+      .select("doc_id", "pos")
+    val bSide = bat.select(col("doc_id").as("other"), col("h").as("o_h"))
+    val batchHits = bat.join(bSide,
+        col("h") === col("o_h") && col("other") < col("doc_id"))
+      .select("doc_id", "pos")
+    Winnow.islandSpans(histHits.unionByName(batchHits).distinct())
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.orderBy("doc_id", "span_start").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("q107 from the persisted index equals a direct corpus re-winnow") {
+    val got = q("q107_dup_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val fp = FpIndex.fingerprintRows(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+    val duph = fp.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val want = rows(Winnow.islandSpans(
+      fp.join(duph, "h").select("doc_id", "pos")))
+    assert(want.nonEmpty, "sf0.001 must contain cross-doc dup spans")
+    assert(got == want)
+  }
+
+  test("probe -> append -> probe (the maintenance loop) matches recompute") {
+    val name = "graft_fpidx_chain_test"
+    val path = java.nio.file.Files.createTempDirectory("graft-fpidx-chain")
+    try {
+      FpIndex.buildIndex(spark, docsSlice(0, 200), name, path.resolve("idx"))
+      val p1 = rows(FpIndex.probeSpans(spark, name, docsSlice(200, 230)))
+      assert(p1 == rows(monolithic(
+        col("bucket") < 200,
+        col("bucket") >= 200 && col("bucket") < 230)))
+      FpIndex.append(spark, name, docsSlice(200, 230))
+      val p2 = rows(FpIndex.probeSpans(spark, name, docsSlice(230, 256)))
+      assert(p2 == rows(monolithic(
+        col("bucket") < 230, col("bucket") >= 230)))
+      assert((p1 ++ p2).nonEmpty, "chain must find at least one dup span")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `graft_fpidx_chain_test`")
+    }
+  }
+
+  test("replay seam: probe after a crashed append diverges, exclusion heals it") {
+    val name = "graft_fpidx_replay_test"
+    val path = java.nio.file.Files.createTempDirectory("graft-fpidx-replay")
+    try {
+      FpIndex.buildIndex(spark, docsSlice(0, 200), name, path.resolve("idx"))
+      val batch = docsSlice(200, 230)
+      val clean = rows(FpIndex.probeSpans(spark, name, batch))
+      // crash window: the batch's fingerprints landed but the decision
+      // log did not — the replayed naive probe sees the batch's own
+      // docs as history and reports spam spans
+      FpIndex.append(spark, name, batch)
+      val naive = rows(FpIndex.probeSpans(spark, name, batch))
+      assert(naive != clean, "the replay seam must be REAL on this corpus")
+      val healed = rows(FpIndex.probeSpans(spark, name, batch,
+        excludeBatchFromHistory = true))
+      assert(healed == clean, "exclusion must make the probe idempotent")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `graft_fpidx_replay_test`")
+    }
+  }
+
+  test("q107 plan: index side exchange-free, one doc_id shuffle for islands") {
+    FpIndex.ensure(spark, dir)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // broadcast off: a broadcast join-back would trivially not shuffle
+    // and prove nothing about the bucketed distribution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = q("q107_dup_spans")(spark, dir).queryExecution.executedPlan
+      val name = FpIndex.tableNameFor(dir)
+      val scans = plan.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == name) => f
+      }
+      assert(scans.size == 2, s"dup-agg + join-back must read the index:\n$plan")
+      assert(scans.forall(_.bucketedScan),
+        "index scan fell back to a non-bucketed read")
+      // the dup aggregate and the h join-back ride the bucketing: the
+      // ONLY hash exchange in the whole plan is the islands window's
+      // doc_id shuffle of the sparse hits
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.size == 1, s"expected only the islands shuffle:\n$plan")
+      val keys = hashEx.head.outputPartitioning
+        .asInstanceOf[HashPartitioning].expressions.map(_.sql.toLowerCase)
+      assert(keys.exists(_.contains("doc_id")) && !keys.exists(_.contains("`h`")),
+        s"the one shuffle must carry hits by doc_id, got $keys")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+    }
+  }
+
+  test("a fresh session re-registers a valid on-disk index without rebuilding") {
+    val name = FpIndex.ensure(spark, dir)
+    val r1 = q("q107_dup_spans")(spark, dir).collect().length
+    val idxDir = java.nio.file.Paths.get(FpIndex.indexRoot, name)
+    val mtimeBefore = java.nio.file.Files.getLastModifiedTime(
+      idxDir.resolve("_GRAFT_FP"))
+    // simulate a JVM restart: in-memory catalog loses the entry, files stay
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    assert(!spark.catalog.tableExists(name))
+    assert(q("q107_dup_spans")(spark, dir).collect().length == r1)
+    assert(spark.catalog.tableExists(name))
+    assert(java.nio.file.Files.getLastModifiedTime(
+        idxDir.resolve("_GRAFT_FP")) == mtimeBefore,
+      "re-registration must not rebuild the index files")
+  }
+}
