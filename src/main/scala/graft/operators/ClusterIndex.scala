@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Persisted Lloyd cluster assignment — the [[BandIndex]] /
+  * [[PostingsIndex]] / [[BloomIndex]] / [[FpIndex]] "build once, probe
+  * forever" pattern applied to the clustering layer.
+  *
+  * q104 re-learns the k-means cells in-query on every run;
+  * profile_q104.json put that Lloyd chain at 66% of the query. In a
+  * deployment the assignment is a curated artifact: learned once per
+  * embedding-corpus generation, then served to every downstream
+  * consumer (SemDeDup pruning, balanced sampling, per-cell budgets).
+  * This object persists exactly that — (vec_id, cid, v, nrm), the
+  * assignment JOINED with the full-precision vectors — as a parquet
+  * table bucketed by `cid`, which is the within-cell pair join's key:
+  * q113's self-join reads BOTH sides from the bucketed scan with no
+  * exchange ([[ClusterIndexSpec]] pins the plan).
+  *
+  * Freshness and restart follow the house contract verbatim, except
+  * the `_GRAFT_FP` fingerprint covers `embeddings.parquet` (this
+  * index's source), not `documents.parquet`. Fingerprint written last,
+  * so a half-built index reads as stale, never as valid.
+  */
+object ClusterIndex {
+
+  /** Buckets = the engine's shuffle-partition count at bench scale. */
+  val NumBuckets = 32
+
+  def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  def tableNameFor(dir: String): String =
+    "graft_cluster_asg_" + md5hex(
+      Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+
+  private def indexPath(dir: String): Path =
+    Paths.get(indexRoot, tableNameFor(dir))
+
+  /** File-metadata fingerprint of `embeddings.parquet` under `dir` —
+    * [[BandIndex.fingerprint]]'s contract over this index's source.
+    */
+  def fingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    def entries(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).flatMap(entries).toSeq
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    md5hex(entries(root).mkString("\n"))
+  }
+
+  private def register(spark: SparkSession, name: String, path: Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"""CREATE TABLE `$name`
+         |  (vec_id BIGINT, cid BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE)
+         |USING PARQUET
+         |CLUSTERED BY (cid) INTO $NumBuckets BUCKETS
+         |LOCATION '${path.toString}'""".stripMargin)
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  /** Ensure the assignment index for `dir` exists, is fresh, and is in
+    * this session's catalog; returns the table name. Warm cost: a
+    * catalog lookup + an O(#files) fingerprint. Cold cost: one Lloyd
+    * run — paid once per embedding-corpus generation, NOT per query.
+    */
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    val name = tableNameFor(dir)
+    val path = indexPath(dir)
+    val fp = fingerprint(dir)
+    val fpFile = path.resolve("_GRAFT_FP")
+    val validOnDisk = Files.exists(fpFile) &&
+      Files.readString(fpFile).trim == fp
+    if (spark.catalog.tableExists(name) && validOnDisk) name
+    else if (validOnDisk) { register(spark, name, path); name }
+    else {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      deleteTree(path)
+      Clustering.assignmentWithVectors(spark, dir)
+        .repartition(NumBuckets, col("cid"))
+        .write.format("parquet")
+        .bucketBy(NumBuckets, "cid")
+        .sortBy("cid", "vec_id")
+        .option("path", path.toString)
+        .saveAsTable(name)
+      Files.writeString(fpFile, fp)
+      name
+    }
+  }
+}

@@ -88,6 +88,47 @@ object Clustering {
       .select(col("cid"), coalesce(col("nv"), col("pv")).as("cv"))
   }
 
+  /** The learned assignment joined with full-precision vectors:
+    * (vec_id, cid, v, nrm) — q104's input, and the frame
+    * [[ClusterIndex]] persists so the serving path skips the Lloyd
+    * chain entirely.
+    */
+  private[graft] def assignmentWithVectors(s: SparkSession,
+      dir: String): DataFrame = {
+    val asg = lloyd(qvecs(s, dir), K, Iters).select("vec_id", "cid")
+    val ev = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    asg.join(ev, "vec_id")
+  }
+
+  /** SemDeDup's within-cell keep-first prune over a (vec_id, cid, v,
+    * nrm) frame — shared by q104 (in-query Lloyd) and q113 (persisted
+    * [[ClusterIndex]]) so the two queries cannot drift; both run under
+    * ONE oracle string (the q91 ≡ q88 materialization-not-semantics
+    * gate). The renamed-projection self-join never crosses cells.
+    */
+  private[graft] def semdedupFrom(full: DataFrame): DataFrame = {
+    val a = full.select(col("vec_id").as("d1"), col("cid").as("c1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = full.select(col("vec_id").as("d2"), col("cid").as("c2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val removed = a.join(b, col("c1") === col("c2") && col("d1") < col("d2"))
+      .withColumn("cos", aggregate(
+        zip_with(col("v1"), col("v2"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")))
+      .filter(col("cos") >= 0.3)
+      .groupBy(col("d2").as("vec_id"))
+      .agg(min(col("d1")).as("dup_of"))
+    full.select("vec_id", "cid")
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** `iters` Lloyd iterations from the k smallest-id seed vectors;
     * returns the FINAL assignment (vec_id, cid, dist2).
     */
@@ -154,6 +195,24 @@ object Clustering {
       |  FROM e CROSS JOIN c2 c) t
       |WHERE rk = 1)""".stripMargin
 
+  /** q104/q113's shared oracle: Lloyd unrolled + within-cell prune. */
+  private val SemDedupOracle: String =
+    LloydCtes + """
+      |, ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nv AS (SELECT vec_id, v,
+      |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
+      |asg AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm
+      |        FROM af JOIN nv USING (vec_id)),
+      |rem AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+      |        FROM asg a JOIN asg b
+      |          ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |        WHERE list_sum(list_transform(generate_series(1, 64),
+      |                i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3
+      |        GROUP BY 1)
+      |SELECT g.vec_id, g.cid, r.dup_of, r.dup_of IS NULL AS kept
+      |FROM asg g LEFT JOIN rem r ON r.vec_id = g.vec_id
+      |ORDER BY g.vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q101_kmeans_cells",
@@ -211,44 +270,25 @@ object Clustering {
      */
     QueryDef(
       "q104_semdedup_cells",
-      (s, dir) => {
-        val asg = lloyd(qvecs(s, dir), K, Iters).select("vec_id", "cid")
-        val ev = Tables(s, dir, "embeddings")
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
-          .withColumn("nrm", sqrt(aggregate(
-            transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-        val full = asg.join(ev, "vec_id")
-        val a = full.select(col("vec_id").as("d1"), col("cid").as("c1"),
-          col("v").as("v1"), col("nrm").as("n1"))
-        val b = full.select(col("vec_id").as("d2"), col("cid").as("c2"),
-          col("v").as("v2"), col("nrm").as("n2"))
-        val removed = a.join(b, col("c1") === col("c2") && col("d1") < col("d2"))
-          .withColumn("cos", aggregate(
-            zip_with(col("v1"), col("v2"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("n1") * col("n2")))
-          .filter(col("cos") >= 0.3)
-          .groupBy(col("d2").as("vec_id"))
-          .agg(min(col("d1")).as("dup_of"))
-        full.select("vec_id", "cid")
-          .join(removed, Seq("vec_id"), "left")
-          .select(col("vec_id"), col("cid"), col("dup_of"),
-            col("dup_of").isNull.as("kept"))
-          .orderBy("vec_id")
-      },
-      Some(LloydCtes + """
-        |, ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |nv AS (SELECT vec_id, v,
-        |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
-        |asg AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm
-        |        FROM af JOIN nv USING (vec_id)),
-        |rem AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
-        |        FROM asg a JOIN asg b
-        |          ON a.cid = b.cid AND a.vec_id < b.vec_id
-        |        WHERE list_sum(list_transform(generate_series(1, 64),
-        |                i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3
-        |        GROUP BY 1)
-        |SELECT g.vec_id, g.cid, r.dup_of, r.dup_of IS NULL AS kept
-        |FROM asg g LEFT JOIN rem r ON r.vec_id = g.vec_id
-        |ORDER BY g.vec_id""".stripMargin)))
+      (s, dir) => semdedupFrom(assignmentWithVectors(s, dir)),
+      Some(SemDedupOracle)),
+
+    /* SemDeDup's PRODUCTION form: the same within-cell prune, but the
+     * Lloyd assignment comes from the persisted [[ClusterIndex]] — a
+     * (vec_id, cid, v, nrm) table bucketed by cid under _GRAFT_FP
+     * freshness — instead of being re-learned in-query.
+     * profile_q104.json attributed 66% of q104 to the in-query Lloyd
+     * chain; here that cost is paid once per embedding-corpus
+     * generation ([[ClusterIndex.ensure]]) and the serving run starts
+     * at the within-cell join. Because the table is bucketed on cid —
+     * the pair join's key — BOTH sides of the self-join read the
+     * bucketed scan with no exchange (ClusterIndexSpec pins the plan).
+     * Shares q104's oracle string verbatim: the q91 ≡ q88
+     * materialization-not-semantics gate — if the persisted assignment
+     * ever drifted from the in-query chain, the value hash flips.
+     */
+    QueryDef(
+      "q113_semdedup_indexed",
+      (s, dir) => semdedupFrom(s.table(ClusterIndex.ensure(s, dir))),
+      Some(SemDedupOracle)))
 }
