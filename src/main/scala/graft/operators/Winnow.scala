@@ -190,6 +190,49 @@ object Winnow {
       .select("doc_id", "span_start", "span_end", "n_hits")
   }
 
+  /** Splice span ranges out of each doc's text — the apply half of
+    * q108, shared with the streaming [[graft.streaming.WinnowIndexSink]]
+    * so batch and stream splice identically. `alld` is (doc_id, tx, n)
+    * covering EVERY doc (spanless docs pass through unchanged); `spans`
+    * is (doc_id, s, e) char ranges. Kept pieces re-join in order via
+    * array_sort(collect_list) — pieces per doc are bounded by spans+1.
+    * Output: (doc_id, n_spans, n_chars_removed, clean_text).
+    */
+  private[graft] def spliceClean(alld: DataFrame, spans: DataFrame): DataFrame = {
+    val wspan = Window.partitionBy("doc_id").orderBy("s")
+    val pre = spans
+      .withColumn("ks", coalesce(lag(col("e"), 1).over(wspan), lit(0L)) + 1L)
+      .withColumn("ke", col("s") - 1L)
+      .select("doc_id", "ks", "ke")
+    val tailP = spans.groupBy("doc_id")
+      .agg((max(col("e")) + 1L).as("ks"))
+      .join(alld.select(col("doc_id"), col("n").cast("long").as("ke")),
+        "doc_id")
+      .select("doc_id", "ks", "ke")
+    val cleaned = pre.unionByName(tailP)
+      .filter(col("ke") >= col("ks"))
+      .join(alld.select("doc_id", "tx"), "doc_id")
+      .select(col("doc_id"), col("ks"),
+        expr("substring(tx, cast(ks as int), cast(ke - ks + 1 as int))")
+          .as("piece"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ks, piece))), x -> x.piece)"),
+        "").as("ct"))
+    val stats = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1L).as("n_removed"))
+    alld
+      .join(stats, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_chars_removed"),
+        coalesce(col("ct"),
+          when(col("n_spans").isNull, col("tx")).otherwise(lit("")))
+          .as("clean_text"))
+  }
+
   /** Shared oracle prefix: the winnowed fingerprint set as CTE `sel`.
     * One constant for both queries so the two oracles cannot drift
     * (the q101/q102 discipline).
@@ -292,40 +335,7 @@ object Winnow {
         val spans = islandSpans(fhits)
           .select(col("doc_id"), col("span_start").as("s"),
             col("span_end").as("e"))
-        val wspan = Window.partitionBy("doc_id").orderBy("s")
-        val alld = trimmed(s, dir)
-        val pre = spans
-          .withColumn("ks", coalesce(lag(col("e"), 1).over(wspan), lit(0L)) + 1L)
-          .withColumn("ke", col("s") - 1L)
-          .select("doc_id", "ks", "ke")
-        val tailP = spans.groupBy("doc_id")
-          .agg((max(col("e")) + 1L).as("ks"))
-          .join(alld.select(col("doc_id"), col("n").cast("long").as("ke")),
-            "doc_id")
-          .select("doc_id", "ks", "ke")
-        val cleaned = pre.unionByName(tailP)
-          .filter(col("ke") >= col("ks"))
-          .join(alld.select("doc_id", "tx"), "doc_id")
-          .select(col("doc_id"), col("ks"),
-            expr("substring(tx, cast(ks as int), cast(ke - ks + 1 as int))")
-              .as("piece"))
-          .groupBy("doc_id")
-          .agg(array_join(
-            expr("transform(array_sort(collect_list(struct(ks, piece))), x -> x.piece)"),
-            "").as("ct"))
-        val stats = spans.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(col("e") - col("s") + 1L).as("n_removed"))
-        alld
-          .join(stats, Seq("doc_id"), "left")
-          .join(cleaned, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-            coalesce(col("n_removed"), lit(0L)).as("n_chars_removed"),
-            coalesce(col("ct"),
-              when(col("n_spans").isNull, col("tx")).otherwise(lit("")))
-              .as("clean_text"))
-          .orderBy("doc_id")
+        spliceClean(trimmed(s, dir), spans).orderBy("doc_id")
       },
       Some(SelCte +
         s""",
