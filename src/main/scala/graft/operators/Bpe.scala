@@ -75,8 +75,8 @@ object Bpe {
     * \n, and those three are legal word chars under Ws — DOTALL makes
     * both engines match every char.
     */
-  private def learn(s: SparkSession, dir: String, applyLast: Boolean)
-      : (Seq[Row], DataFrame) = {
+  private def learn(s: SparkSession, dir: String, applyLast: Boolean,
+      merges: Int = Merges): (Seq[Row], DataFrame) = {
     var v = vocab(s, dir)
       .withColumn("w", rtrim(regexp_replace(col("word"), "(?s)(.)", "$1  ")))
       .select("word", "w", "cnt")
@@ -84,7 +84,7 @@ object Bpe {
     val steps = Seq.newBuilder[Row]
     var step = 1
     var exhausted = false
-    while (step <= Merges && !exhausted) {
+    while (step <= merges && !exhausted) {
       // adjacent symbol pairs, weighted by word count; zip_with pads the
       // shifted side with null — the trailing (last, null) pair is
       // filtered, and lambdas only reference their own arguments
@@ -105,7 +105,7 @@ object Bpe {
         val top = tops(0)
         val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
         steps += Row(step.toLong, a, b, a + b, n)
-        if (step < Merges || applyLast) {
+        if (step < merges || applyLast) {
           v = v
             .withColumn("w", trim(replace(
               concat(lit(" "), col("w"), lit(" ")),
@@ -118,6 +118,19 @@ object Bpe {
     (steps.result(), v)
   }
 
+  /** Merge learning at an arbitrary depth — production vocabularies run
+    * thousands of merges, and nothing in the loop depends on [[Merges]]:
+    * each iteration is one vocabulary-sized aggregate regardless of
+    * depth. The q109 ORACLE stays at the 5-step unrolled CTE chain (an
+    * oracle CTE per merge does not scale to 50+), so deep chains are
+    * gated by the textbook-replay golden in BpeSpec instead — the same
+    * split the deflate/HLL queries use (cross-engine oracle where
+    * expressible, independent-implementation golden where not).
+    */
+  private[graft] def learnSteps(s: SparkSession, dir: String,
+      merges: Int): Seq[Row] =
+    learn(s, dir, applyLast = false, merges)._1
+
   private val MergeSchema = StructType(Seq(
     StructField("step", LongType), StructField("left_sym", StringType),
     StructField("right_sym", StringType), StructField("merged", StringType),
@@ -125,6 +138,15 @@ object Bpe {
 
   /** Shared oracle prefix: v0 (symbolized weighted vocab) and the
     * unrolled p{i}/t{i}/v{i} chain. ONE constant for q109 and q110.
+    *
+    * Exhaustion is EXPLICIT, not a NULL-propagation artifact: when a
+    * step's t$i is empty (no adjacent pair left), the coalesce('')
+    * guards make v$i's replace pattern a four-space string that can
+    * never occur in the two-space symbol encoding, so v$i = v$j
+    * verbatim and every later t$j stays empty — exactly the engine's
+    * early-stop. (q110's wt chain already used this guard; q109's v$i
+    * previously leaned on replace(w, NULL, NULL) nulling the column,
+    * which happened to reconcile but was load-bearing by accident.)
     */
   private val LearnCte: String = {
     val iters = (1 to Merges).map { i =>
@@ -137,8 +159,8 @@ object Bpe {
          |t$i AS (SELECT a, b, a || b AS m, n FROM p$i
          |        ORDER BY n DESC, a, b LIMIT 1),
          |v$i AS (SELECT trim(replace(' ' || w || ' ',
-         |          ' ' || (SELECT a FROM t$i) || '  ' || (SELECT b FROM t$i) || ' ',
-         |          ' ' || (SELECT m FROM t$i) || ' ')) AS w, cnt FROM v$j)""".stripMargin
+         |          ' ' || coalesce((SELECT a FROM t$i), '') || '  ' || coalesce((SELECT b FROM t$i), '') || ' ',
+         |          ' ' || coalesce((SELECT m FROM t$i), '') || ' ')) AS w, cnt FROM v$j)""".stripMargin
     }.mkString(",\n")
     s"""WITH words AS (SELECT unnest(string_split_regex(lower(trim(text)),
        |                 '[ \\t\\n\\f\\r]+')) AS word

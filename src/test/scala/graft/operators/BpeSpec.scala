@@ -125,6 +125,20 @@ class BpeSpec extends SparkSpec {
     assert(expTok("ab") == Vector("ab"))
   }
 
+  test("a 50-merge chain equals the textbook replay (production-depth golden)") {
+    // the cross-engine oracle pins 5 merges (one unrolled CTE per step
+    // does not scale to production depths); this golden pins a 50-deep
+    // dependent chain against the independent list-based implementation
+    // — any drift at ANY step changes every later pick
+    val (exp, _) = replayLearn(words(sf0001), 50)
+    val got = Bpe.learnSteps(spark, sf0001, 50)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(exp.size >= 40, s"sf0.001 must sustain a deep chain, got ${exp.size}")
+    assert(got == exp)
+    assert(got.map(_._4).distinct.size == got.size, "merged symbols distinct")
+  }
+
   test("q110 equals the list-based apply per doc, with exact fertility") {
     val (_, tok) = replayLearn(words(sf0001), Bpe.Merges)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
