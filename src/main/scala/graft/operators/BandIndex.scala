@@ -51,10 +51,11 @@ import graft.core.Tables
   * band frequency at sf0.1 is 25 vs cap 256), so the DuckDB oracle
   * needs no cap arm — same contract as q36.
   *
-  * Single-writer contract: concurrent [[ensure]] calls from separate
-  * JVMs may race the build; the build is idempotent (same input → same
-  * index) and the fingerprint is written last, so a half-built loser is
-  * rebuilt on next touch rather than read.
+  * Concurrent builders: [[ensure]] is synchronized within a JVM, and
+  * across processes the build lands in a temp sibling published by one
+  * atomic rename ([[IndexCommit]]) — a reader observes the old index,
+  * no index, or the new index, never a half-built one; a racing
+  * builder's loser discards its temp (builds are idempotent).
   */
 object BandIndex {
 
@@ -203,8 +204,13 @@ object BandIndex {
       val hist = docsWithBucket(spark, dir)
         .filter(col("bucket") < BatchThreshold)
         .select("doc_id", "text")
-      buildIndex(spark, hist, name, path)
-      Files.writeString(fpFile, fp)
+      // build into a temp sibling + atomic publish ([[IndexCommit]]) so
+      // a concurrent process never observes a half-built index
+      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+        buildIndex(spark, hist, tn, tp)
+        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+      }
+      register(spark, name, path)
       name
     }
   }

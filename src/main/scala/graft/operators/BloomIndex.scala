@@ -27,10 +27,11 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Freshness and restart follow BandIndex verbatim: a `_GRAFT_FP`
   * file-metadata fingerprint of `documents.parquet` gates rebuild (the
-  * sidecar is covered by the same fingerprint — bloom and table are
-  * written together, fingerprint last, so a half-built index reads as
-  * stale, never as valid); a valid on-disk index re-registers into a
-  * fresh JVM's in-memory catalog without rebuilding.
+  * sidecar is covered by the same fingerprint — table, bloom, and
+  * fingerprint land together in a temp sibling and publish by one
+  * atomic rename ([[IndexCommit]]), so a half-built index is never
+  * visible at the final path); a valid on-disk index re-registers into
+  * a fresh JVM's in-memory catalog without rebuilding.
   */
 object BloomIndex {
 
@@ -51,12 +52,6 @@ object BloomIndex {
 
   private def indexPath(dir: String): Path =
     Paths.get(indexRoot, tableNameFor(dir))
-
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
 
   /** Per-(path, fingerprint) deserialized bloom cache: the sidecar is
     * read once per corpus generation per JVM, not once per query.
@@ -88,23 +83,28 @@ object BloomIndex {
     else if (validOnDisk) { register(spark, name, path); name }
     else {
       val (bench, _) = Dedup.decontamSides(spark, dir)
-      spark.sql(s"DROP TABLE IF EXISTS `$name`")
-      deleteTree(path)
-      bench.repartition(NumBuckets, col("sh"))
-        .write.format("parquet")
-        .bucketBy(NumBuckets, "sh")
-        .sortBy("sh")
-        .option("path", path.toString)
-        .saveAsTable(name)
-      // bloom over the just-written table (one distributed aggregate);
-      // sized from the table's row count — a metadata-cheap second job
-      val n = spark.table(name).count()
-      val bf = spark.table(name).stat
-        .bloomFilter("sh", math.max(n, 1L), 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      Files.write(path.resolve("_BLOOM"), bos.toByteArray)
-      Files.writeString(fpFile, fp) // commit marker: fingerprint LAST
+      // build into a temp sibling + atomic publish ([[IndexCommit]]) so
+      // a concurrent process never observes a half-built index; table,
+      // _BLOOM sidecar, and fingerprint land together, the rename IS
+      // the commit marker
+      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+        bench.repartition(NumBuckets, col("sh"))
+          .write.format("parquet")
+          .bucketBy(NumBuckets, "sh")
+          .sortBy("sh")
+          .option("path", tp.toString)
+          .saveAsTable(tn)
+        // bloom over the just-written table (one distributed aggregate);
+        // sized from the table's row count — a metadata-cheap second job
+        val n = spark.table(tn).count()
+        val bf = spark.table(tn).stat
+          .bloomFilter("sh", math.max(n, 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Files.write(tp.resolve("_BLOOM"), bos.toByteArray)
+        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+      }
+      register(spark, name, path)
       name
     }
   }

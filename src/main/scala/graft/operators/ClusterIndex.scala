@@ -68,12 +68,6 @@ object ClusterIndex {
          |LOCATION '${path.toString}'""".stripMargin)
   }
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-
   /** Ensure the assignment index for `dir` exists, is fresh, and is in
     * this session's catalog; returns the table name. Warm cost: a
     * catalog lookup + an O(#files) fingerprint. Cold cost: one Lloyd
@@ -89,16 +83,19 @@ object ClusterIndex {
     if (spark.catalog.tableExists(name) && validOnDisk) name
     else if (validOnDisk) { register(spark, name, path); name }
     else {
-      spark.sql(s"DROP TABLE IF EXISTS `$name`")
-      deleteTree(path)
-      Clustering.assignmentWithVectors(spark, dir)
-        .repartition(NumBuckets, col("cid"))
-        .write.format("parquet")
-        .bucketBy(NumBuckets, "cid")
-        .sortBy("cid", "vec_id")
-        .option("path", path.toString)
-        .saveAsTable(name)
-      Files.writeString(fpFile, fp)
+      // build into a temp sibling + atomic publish ([[IndexCommit]]) so
+      // a concurrent process never observes a half-built index
+      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+        Clustering.assignmentWithVectors(spark, dir)
+          .repartition(NumBuckets, col("cid"))
+          .write.format("parquet")
+          .bucketBy(NumBuckets, "cid")
+          .sortBy("cid", "vec_id")
+          .option("path", tp.toString)
+          .saveAsTable(tn)
+        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+      }
+      register(spark, name, path)
       name
     }
   }

@@ -138,10 +138,15 @@ object FpIndex {
     if (spark.catalog.tableExists(name) && validOnDisk) name
     else if (validOnDisk) { register(spark, name, path); name }
     else {
-      buildIndex(spark,
-        graft.core.Tables(spark, dir, "documents").select("doc_id", "text"),
-        name, path)
-      Files.writeString(fpFile, fp)
+      // build into a temp sibling + atomic publish ([[IndexCommit]]) so
+      // a concurrent process never observes a half-built index
+      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+        buildIndex(spark,
+          graft.core.Tables(spark, dir, "documents").select("doc_id", "text"),
+          tn, tp)
+        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+      }
+      register(spark, name, path)
       name
     }
   }

@@ -14,6 +14,24 @@ import graft.sources.Sources
   */
 object Interchange {
 
+  /** Fresh temp dir for a round-trip write, reclaimed at JVM exit: the
+    * returned DataFrame reads the dir lazily (possibly long after this
+    * call), so eager deletion is impossible — a shutdown hook bounds
+    * the accumulation at one dir per invocation per JVM instead of
+    * leaking corpus copies across benchmark/correctness runs forever.
+    */
+  private def roundtripDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /* JSONL round-trip, oracle-gated: documents → JSONL (Spark writer,
@@ -30,7 +48,7 @@ object Interchange {
       "q75_jsonl_roundtrip",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        val tmp = Files.createTempDirectory("graft-jsonl").toString
+        val tmp = roundtripDir("graft-jsonl")
         Sources.writeJsonl(d, tmp)
         Sources.readJsonl(s, tmp, d.schema)
           .select("doc_id", "text", "lang", "source", "n_chars")
@@ -53,7 +71,7 @@ object Interchange {
       "q98_orc_roundtrip",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
-        val tmp = Files.createTempDirectory("graft-orc").toString
+        val tmp = roundtripDir("graft-orc")
         d.write.mode("overwrite").orc(tmp)
         s.read.schema(d.schema).orc(tmp)
           .select("doc_id", "text", "lang", "source", "n_chars")

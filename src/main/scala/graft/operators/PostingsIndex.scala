@@ -225,8 +225,15 @@ object PostingsIndex {
       val validOnDisk = Files.exists(fpFile) &&
         Files.readString(fpFile).trim == fp
       if (!validOnDisk) {
-        buildIndex(spark, dir, name, path)
-        Files.writeString(fpFile, fp)
+        // build into a temp sibling + atomic publish ([[IndexCommit]]):
+        // postings table AND sidecar v=0 land together, the rename is
+        // the commit, so a concurrent process never observes a
+        // half-built index
+        IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+          buildIndex(spark, dir, tn, tp)
+          Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+        }
+        register(spark, name, path)
       } else if (!spark.catalog.tableExists(name)) {
         register(spark, name, path)
       }

@@ -53,11 +53,16 @@ object SketchExact {
     */
   private[graft] def bloomSurvivors(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val (bench, corpus) = Dedup.decontamSides(s, dir)
-    // The benchmark is small by definition (it is the held-out eval
-    // suite), so counting it for the filter's sizing is one tiny job;
-    // the sketch itself is built by a distributed aggregate and only the
-    // ~KB..MB filter bits ever reach the driver — fact data never does.
+    val (bench0, corpus) = Dedup.decontamSides(s, dir)
+    // THREE consumers read the bench shingle set (the sizing count, the
+    // bloom build, and the exact confirm join) — pin it once instead of
+    // re-deriving the distinct aggregation per consumer (the q107
+    // two-consumer discipline). Bounded state: the benchmark is the
+    // held-out eval suite, small by definition.
+    val bench = bench0.localCheckpoint(true)
+    // Counting it for the filter's sizing is one tiny job; the sketch
+    // itself is built by a distributed aggregate and only the ~KB..MB
+    // filter bits ever reach the driver — fact data never does.
     val nBench = bench.count()
     val bf = bench.stat.bloomFilter("sh", math.max(nBench, 1L), 0.01)
     val bfB = s.sparkContext.broadcast(bf)

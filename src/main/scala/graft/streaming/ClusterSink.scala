@@ -106,6 +106,7 @@ object ClusterSink {
           transform(array_sort(collect_list(struct(col("i"), col("c")))),
             p => p.getField("c")).as("cv"))
         .orderBy("cid")
+      // coalesce(1): bounded state — the frame is exactly K centroid rows
       next.coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$batchId")
       val tmp = Paths.get(dir, s"_LATEST.tmp.$batchId")
       Files.writeString(tmp, batchId.toString)

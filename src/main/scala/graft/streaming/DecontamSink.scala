@@ -91,6 +91,8 @@ object DecontamSink {
           col("n_hit").cast("double") / col("n_sh").cast("double") >= 0.2))
         .withColumn("batch_id", lit(batchId))
         .orderBy("doc_id")
+      // coalesce(1): batch-sized, not corpus-sized — one verdict row per
+      // micro-batch doc; acceptable for a per-batch decision log
       verdicts.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/v=$batchId")
       val tmp = Paths.get(outDir, s"_LATEST.tmp.$batchId")

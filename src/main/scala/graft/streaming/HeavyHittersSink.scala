@@ -131,6 +131,7 @@ object HeavyHittersSink {
         .select(col("bg"), (col("cnt") - lit(cut)).as("cnt"))
         .orderBy("bg")
       val vDir = s"$dir/v=$batchId"
+      // coalesce(1): bounded state — the summary holds at most MgK counter rows
       next.coalesce(1).write.mode("overwrite").parquet(s"$vDir/summary")
       Files.writeString(Paths.get(vDir, "_TOTAL"),
         (priorTotal + batchN).toString)

@@ -95,6 +95,7 @@ object SampleSink {
       val cand = bottomK(prioritized(
         batch.select(docSchema.fieldNames.map(col): _*)))
       val merged = bottomK(sample(spark, dir).unionByName(cand).distinct())
+      // coalesce(1): bounded state — the merged frame is at most k sample rows
       merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$batchId")
       val tmp = Paths.get(dir, s"_LATEST.tmp.$batchId")
       Files.writeString(tmp, batchId.toString)
