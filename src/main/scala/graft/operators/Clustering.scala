@@ -129,6 +129,29 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  /** The within-cell prune under the PRODUCTION cell-count knob:
+    * `cells` ∝ corpus with cell size bounded — the regime q89/q104's
+    * docs name as the scale path. Cells are stood in by a
+    * deterministic uniform hash assignment (xxhash64 of vec_id mod
+    * `cells`), NOT a Lloyd run, because the knob claim being measured
+    * is about the JOIN: with cell size held bounded, within-cell pairs
+    * grow linearly with the corpus however large it gets, while a
+    * FIXED cell count would grow them quadratically. The learned-
+    * assignment path has its own curves (q101) and persisted serving
+    * form (q113); this entry exists for the ScaleBench knob curve that
+    * turns the "cell count ∝ corpus" argument into a measurement.
+    */
+  private[graft] def semdedupKnob(s: SparkSession, dir: String,
+      cells: Int): DataFrame = {
+    val full = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("cid", pmod(xxhash64(col("vec_id")), lit(cells.toLong)))
+    semdedupFrom(full)
+  }
+
   /** `iters` Lloyd iterations from the k smallest-id seed vectors;
     * returns the FINAL assignment (vec_id, cid, dist2).
     */

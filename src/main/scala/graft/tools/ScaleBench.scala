@@ -146,7 +146,9 @@ object ScaleBench {
   // curved: SemDeDup's scale knob is cell COUNT ∝ corpus (tau'd cell
   // size bounded), and its centroid set is a fixed in-query dimension
   // by construction — a fixed-16-cell curve would measure the
-  // quadratic-in-cell-size regime the production knob exists to avoid.
+  // quadratic-in-cell-size regime the production knob exists to avoid
+  // (q104/q113's fixed K=8 likewise; the q104_semdedup_knob family
+  // below measures the KNOB itself: cells ∝ factor, cell size bounded).
   // q91 rides the same replicas: its per-factor warm-up pays the one-off
   // index build (ensure() is fingerprint-gated), so the timed runs
   // measure the WARM probe — which should stay near-flat across factors
@@ -361,8 +363,7 @@ object ScaleBench {
     // a min-of-2 first cut produced non-monotonic curves (single GC/JIT
     // outliers at one factor masked the shape), and the curve SHAPE
     // across factors is the whole point of this harness
-    def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.catalog.clearCache() // see Bench: stray cache pins checkpoint blocks
       try materialize(fn(spark, dir)) catch { case _: Throwable => return -1.0 }
       val t = (1 to 3).map { _ =>
@@ -392,10 +393,20 @@ object ScaleBench {
         ordQueries.map(q => (q, q, rotDir)) ++
         crtQueries.map(q => (q, q, rotDir)) ++
         sufQueries.map(q => (q, q, sufDir)) ++
+        // the SemDeDup cell-count KNOB curve: cells = 8·factor over the
+        // ×factor embedding corpus, cell size bounded — within-cell
+        // pairs grow ∝ N, the production regime q89/q104's fixed-cell
+        // benches deliberately do NOT measure (their fixed K makes the
+        // pair join quadratic by design; the knob is why that is fine)
+        Seq(("q104_semdedup_knob", "__knob__", rotDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)))
         .filter { case (key, _, _) => only.forall(_.contains(key)) }
         .foreach { case (key, q, d) =>
-          val s = time(q, d)
+          val fn: (SparkSession, String) => DataFrame =
+            if (q == "__knob__")
+              (sp, dd) => graft.operators.Clustering.semdedupKnob(sp, dd, 8 * n)
+            else SparkEntry.queries(q)
+          val s = time(fn, d)
           results(key) = results.getOrElse(key, Seq.empty) :+ s
           println(f"[scale] x$n%-2d $key%-28s $s%8.2f s")
         }
