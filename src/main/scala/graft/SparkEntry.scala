@@ -129,11 +129,14 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, Dedup, Even
   *   q105     decontamination APPLY (q53's exact complement; evidence
   *            columns carried for downstream re-weighting)
   *   q106–q108 char-level exact-substring dedup: robust winnowing
-  *            fingerprints (SIGMOD'03 — per-row array algebra, the one
-  *            hash exchange carries doc-level rows), cross-document
-  *            duplicate spans (grouped dup-hash count + gaps-and-
-  *            islands over the sparse hits), and the keep-first splice
-  *            APPLY (foreign spans removed, spliced text hash-pinned)
+  *            fingerprints (SIGMOD'03 — ONE native Catalyst expression
+  *            per doc: rolling Karp-Rabin + monotonic-deque window min,
+  *            cross-engine exact under the oracle's Horner-fold CTE;
+  *            the one hash exchange carries doc-level rows),
+  *            cross-document duplicate spans (dup-hash aggregate +
+  *            gaps-and-islands, both exchange-free on the persisted
+  *            FpIndex bucketed scan), and the keep-first splice APPLY
+  *            (foreign spans removed, spliced text hash-pinned)
   *   q109–q110 BPE tokenizer training on the weighted vocabulary (one
   *            corpus pass; merge application = plain replace over a
   *            double-space symbol encoding, exact on both engines;
@@ -142,6 +145,16 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, Dedup, Even
   *   q111     LM-quality filter APPLY (q73 detect→apply): drop the
   *            worst 20% by corpus-LM score at a percentile_disc
   *            cutoff over integer micro-nat averages
+  *   q112     winnow fingerprint-index MAINTENANCE loop (q87/q92's
+  *            proof structure at char granularity): build on history →
+  *            probe batch 1 for duplicated spans → append → probe
+  *            batch 2, each phase recomputed monolithically by the
+  *            oracle — the APPEND path of the persisted FpIndex gated
+  *   q113     SemDeDup SERVING form: q104's within-cell prune from the
+  *            persisted ClusterIndex (assignment + vectors bucketed by
+  *            cid; pair join exchange-free on the bucketed scan) under
+  *            q104's oracle string verbatim — the in-query Lloyd chain
+  *            (66% of q104) paid once per corpus generation
   */
 object SparkEntry {
 
