@@ -97,6 +97,35 @@ object FpIndex {
       .saveAsTable(name)
   }
 
+  /** Fold away duplicate fingerprint rows (legitimately accrued by
+    * crash-replayed appends — the index is at-least-once storage with
+    * distinct-read semantics, so duplicates never change answers; they
+    * only cost scan bytes). [[BandIndex.compact]]'s contract verbatim:
+    * distinct rows eagerly pinned off the table's files before the
+    * in-place rewrite, fingerprint sidecar preserved — compaction
+    * changes the layout, not which corpus the index covers. Returns
+    * (rows before, after).
+    */
+  def compact(spark: SparkSession, name: String, path: Path): (Long, Long) = {
+    val fp = {
+      val f = path.resolve("_GRAFT_FP")
+      if (Files.exists(f)) Some(Files.readString(f)) else None
+    }
+    val before = spark.table(name).count()
+    val rows = spark.table(name).distinct().localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    deleteTree(path)
+    rows
+      .repartition(NumBuckets, col("h"))
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "h")
+      .sortBy("h")
+      .option("path", path.toString)
+      .saveAsTable(name)
+    fp.foreach(Files.writeString(path.resolve("_GRAFT_FP"), _))
+    (before, spark.table(name).count())
+  }
+
   /** Register an existing on-disk index into this session's catalog —
     * the post-JVM-restart path.
     */

@@ -107,6 +107,41 @@ class FpIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction folds duplicate appends away without changing any answer") {
+    val name = "graft_fpidx_compact_test"
+    val path = java.nio.file.Files.createTempDirectory("graft-fpidx-compact")
+      .resolve("idx")
+    try {
+      FpIndex.buildIndex(spark, docsSlice(0, 200), name, path)
+      // a crash-replayed append: the same batch lands twice
+      FpIndex.append(spark, name, docsSlice(200, 230))
+      FpIndex.append(spark, name, docsSlice(200, 230))
+      val probe = rows(FpIndex.probeSpans(spark, name, docsSlice(230, 256)))
+      val (before, after) = FpIndex.compact(spark, name, path)
+      assert(after < before, s"duplicates should fold: $before -> $after")
+      assert(after == spark.table(name).distinct().count())
+      // identical spans, and the rewritten table still reads bucketed
+      assert(rows(FpIndex.probeSpans(spark, name, docsSlice(230, 256))) == probe)
+      val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+      val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = FpIndex.probeSpans(spark, name, docsSlice(230, 256))
+          .queryExecution.executedPlan
+        val scans = plan.collect {
+          case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == name) => f
+        }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          "compacted index lost its bucketed layout")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
   test("q107 plan: index side exchange-free, one doc_id shuffle for islands") {
     FpIndex.ensure(spark, dir)
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
