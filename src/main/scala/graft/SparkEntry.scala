@@ -155,6 +155,12 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, Dedup, Even
   *            cid; pair join exchange-free on the bucketed scan) under
   *            q104's oracle string verbatim — the in-query Lloyd chain
   *            (66% of q104) paid once per corpus generation
+  *   q114     SAMPLE-trained k-means: Lloyd on a bounded deterministic
+  *            bottom-64 priority sample, full corpus broadcast-assigned
+  *            once — learning cost corpus-independent, so cell count
+  *            can scale with the corpus (the knob's missing half); the
+  *            oracle runs the SAME unrolled Lloyd generator over the
+  *            sample CTE that q101 runs over the corpus
   */
 object SparkEntry {
 

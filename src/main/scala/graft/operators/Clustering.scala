@@ -43,6 +43,8 @@ object Clustering {
 
   private val K = 8
   private val Iters = 2
+  /** q114's bounded training-sample size. */
+  private val SampleK = 64
 
   /** embeddings quantized to integer micro-units: (vec_id, qv). */
   private def qvecs(s: SparkSession, dir: String): DataFrame =
@@ -152,10 +154,12 @@ object Clustering {
     semdedupFrom(full)
   }
 
-  /** `iters` Lloyd iterations from the k smallest-id seed vectors;
-    * returns the FINAL assignment (vec_id, cid, dist2).
+  /** `iters` Lloyd iterations from the k smallest-id seed vectors of
+    * `vecs`; returns the learned CENTROIDS (cid, cv) — callers pick
+    * what to assign against them (q101: the same corpus; q114: the
+    * full corpus against sample-learned centroids).
     */
-  def lloyd(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+  def lloydCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
       .localCheckpoint(true)
@@ -163,52 +167,67 @@ object Clustering {
       val asg = assign(vecs, cents)
       cents = update(vecs, asg, cents).localCheckpoint(true)
     }
-    assign(vecs, cents)
+    cents
   }
 
-  /** The SQL text of q101's unrolled Lloyd chain (CTEs e..c2), shared
-    * by q101's final assignment and q102's balanced sampler so the two
-    * oracles can never drift apart.
+  /** `iters` Lloyd iterations from the k smallest-id seed vectors;
+    * returns the FINAL assignment (vec_id, cid, dist2).
     */
-  private val LloydCtes =
+  def lloyd(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(vecs, lloydCentroids(vecs, k, iters))
+
+  /** The quantized-embeddings CTE every clustering oracle opens with. */
+  private val ECte =
     """WITH e AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       |           x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
-      |  FROM embeddings),
-      |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-      |c0 AS (SELECT vec_id AS cid, qv AS cv FROM e
-      |       ORDER BY vec_id LIMIT 8),
-      |a1 AS (SELECT vec_id, cid FROM (
-      |        SELECT e.vec_id, c.cid, row_number() OVER (
-      |            PARTITION BY e.vec_id ORDER BY
-      |            list_sum(list_transform(generate_series(1, 64),
-      |              i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))), c.cid)
-      |          AS rk
-      |        FROM e CROSS JOIN c0 c) t WHERE rk = 1),
-      |u1 AS (SELECT a.cid, d.i, sum(e.qv[d.i]) AS s, count(*) AS n
-      |       FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims d
-      |       GROUP BY a.cid, d.i),
-      |n1 AS (SELECT cid, list(CASE WHEN s >= 0 THEN (2*s+n)//(2*n)
-      |         ELSE -((-2*s+n)//(2*n)) END ORDER BY i) AS cv
-      |       FROM u1 GROUP BY cid),
-      |c1 AS (SELECT c0.cid, coalesce(n1.cv, c0.cv) AS cv
-      |       FROM c0 LEFT JOIN n1 USING (cid)),
-      |a2 AS (SELECT vec_id, cid FROM (
-      |        SELECT e.vec_id, c.cid, row_number() OVER (
-      |            PARTITION BY e.vec_id ORDER BY
-      |            list_sum(list_transform(generate_series(1, 64),
-      |              i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))), c.cid)
-      |          AS rk
-      |        FROM e CROSS JOIN c1 c) t WHERE rk = 1),
-      |u2 AS (SELECT a.cid, d.i, sum(e.qv[d.i]) AS s, count(*) AS n
-      |       FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims d
-      |       GROUP BY a.cid, d.i),
-      |n2 AS (SELECT cid, list(CASE WHEN s >= 0 THEN (2*s+n)//(2*n)
-      |         ELSE -((-2*s+n)//(2*n)) END ORDER BY i) AS cv
-      |       FROM u2 GROUP BY cid),
-      |c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv
-      |       FROM c1 LEFT JOIN n2 USING (cid)),
-      |af AS (SELECT vec_id, cid, dist2 FROM (
+      |  FROM embeddings)""".stripMargin
+
+  /** The unrolled two-iteration Lloyd chain (dims, c0..c2) learning
+    * centroids FROM `src` — `src` is the full corpus `e` for q101's
+    * family and the bounded sample `smp` for q114. ONE generator for
+    * both so the iteration algebra cannot drift between them.
+    */
+  private def lloydIterCtes(src: String): String =
+    s"""dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM $src
+       |       ORDER BY vec_id LIMIT 8),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |        SELECT $src.vec_id, c.cid, row_number() OVER (
+       |            PARTITION BY $src.vec_id ORDER BY
+       |            list_sum(list_transform(generate_series(1, 64),
+       |              i -> ($src.qv[i]-c.cv[i])*($src.qv[i]-c.cv[i]))), c.cid)
+       |          AS rk
+       |        FROM $src CROSS JOIN c0 c) t WHERE rk = 1),
+       |u1 AS (SELECT a.cid, d.i, sum($src.qv[d.i]) AS s, count(*) AS n
+       |       FROM a1 a JOIN $src USING (vec_id) CROSS JOIN dims d
+       |       GROUP BY a.cid, d.i),
+       |n1 AS (SELECT cid, list(CASE WHEN s >= 0 THEN (2*s+n)//(2*n)
+       |         ELSE -((-2*s+n)//(2*n)) END ORDER BY i) AS cv
+       |       FROM u1 GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(n1.cv, c0.cv) AS cv
+       |       FROM c0 LEFT JOIN n1 USING (cid)),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |        SELECT $src.vec_id, c.cid, row_number() OVER (
+       |            PARTITION BY $src.vec_id ORDER BY
+       |            list_sum(list_transform(generate_series(1, 64),
+       |              i -> ($src.qv[i]-c.cv[i])*($src.qv[i]-c.cv[i]))), c.cid)
+       |          AS rk
+       |        FROM $src CROSS JOIN c1 c) t WHERE rk = 1),
+       |u2 AS (SELECT a.cid, d.i, sum($src.qv[d.i]) AS s, count(*) AS n
+       |       FROM a2 a JOIN $src USING (vec_id) CROSS JOIN dims d
+       |       GROUP BY a.cid, d.i),
+       |n2 AS (SELECT cid, list(CASE WHEN s >= 0 THEN (2*s+n)//(2*n)
+       |         ELSE -((-2*s+n)//(2*n)) END ORDER BY i) AS cv
+       |       FROM u2 GROUP BY cid),
+       |c2 AS (SELECT c1.cid, coalesce(n2.cv, c1.cv) AS cv
+       |       FROM c1 LEFT JOIN n2 USING (cid))""".stripMargin
+
+  /** Final assignment of the FULL corpus `e` against the learned c2 —
+    * identical text whether c2 was learned from `e` or from a sample.
+    */
+  private val AfCte =
+    """af AS (SELECT vec_id, cid, dist2 FROM (
       |  SELECT e.vec_id, c.cid,
       |    CAST(list_sum(list_transform(generate_series(1, 64),
       |      i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))) AS BIGINT) AS dist2,
@@ -217,6 +236,13 @@ object Clustering {
       |        i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))), c.cid) AS rk
       |  FROM e CROSS JOIN c2 c) t
       |WHERE rk = 1)""".stripMargin
+
+  /** The SQL text of q101's unrolled Lloyd chain (CTEs e..c2, af),
+    * shared by q101's final assignment, q102's balanced sampler, and
+    * q104/q113's prune so the oracles can never drift apart.
+    */
+  private val LloydCtes =
+    ECte + ",\n" + lloydIterCtes("e") + ",\n" + AfCte
 
   /** q104/q113's shared oracle: Lloyd unrolled + within-cell prune. */
   private val SemDedupOracle: String =
@@ -313,5 +339,53 @@ object Clustering {
     QueryDef(
       "q113_semdedup_indexed",
       (s, dir) => semdedupFrom(s.table(ClusterIndex.ensure(s, dir))),
-      Some(SemDedupOracle)))
+      Some(SemDedupOracle)),
+
+    /* SAMPLE-trained k-means — the missing half of the cell-count-knob
+     * story. q101's Lloyd revisits every vector per iteration, so
+     * learning K ∝ corpus cells that way costs O(K·corpus·iters) —
+     * quadratic in replication when corpus and K grow together. The
+     * production recipe (what faiss-style trainers and the SemDeDup
+     * pipeline of Abbas et al. 2023 actually run) trains on a BOUNDED
+     * deterministic sample and broadcast-assigns the full corpus once:
+     *   - sample: bottom-[[SampleK]] vectors by the q97/q102 integer
+     *     md5 priority — deterministic, cross-engine, and a map-side
+     *     TakeOrderedAndProject top-k, never a global sort;
+     *   - Lloyd on the sample: every iteration touches [[SampleK]]
+     *     rows, so learning cost is corpus-INDEPENDENT (and K could
+     *     scale with the corpus without the q101 iteration cost
+     *     following it);
+     *   - assignment: one broadcast map-side pass over the corpus
+     *     (min-struct fold, the q101 shape) — the only corpus-linear
+     *     stage.
+     * The oracle re-derives the sample (priority window), runs the
+     * SAME unrolled Lloyd chain generator over `smp` that q101 runs
+     * over `e` (one generator — the iteration algebra cannot drift),
+     * and assigns the full corpus; the hash pins sample membership,
+     * every intermediate centroid, and all assignments in one value.
+     */
+    QueryDef(
+      "q114_sample_kmeans",
+      (s, dir) => {
+        val q = qvecs(s, dir)
+        val smp = q
+          .withColumn("priority", SketchExact.priorityCol(col("vec_id"), lit(1)))
+          .orderBy("priority", "vec_id").limit(SampleK)
+          .select("vec_id", "qv")
+          // bounded state (SampleK rows), consumed by the seed select
+          // and every iteration's assign+update
+          .localCheckpoint(true)
+        assign(q, lloydCentroids(smp, K, Iters)).orderBy("vec_id")
+      },
+      Some(ECte + ",\n" +
+        s"""pr AS (SELECT vec_id,
+           |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#1'), 1, 15)
+           |      AS BIGINT) AS priority FROM e),
+           |smp AS (SELECT vec_id, qv FROM (
+           |    SELECT e.vec_id, e.qv,
+           |      row_number() OVER (ORDER BY pr.priority, e.vec_id) AS rk
+           |    FROM e JOIN pr USING (vec_id)) t WHERE rk <= $SampleK),
+           |""".stripMargin +
+        lloydIterCtes("smp") + ",\n" + AfCte +
+        "\nSELECT vec_id, cid, dist2 FROM af ORDER BY vec_id")))
 }

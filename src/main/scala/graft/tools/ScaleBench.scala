@@ -165,8 +165,14 @@ object ScaleBench {
     // vec_ids (replica 0), so K stays fixed while the corpus scales ×N
     // with decorrelated geometry — assignment is the map-side broadcast
     // fold and the update shuffle stays K·d-bounded per partition, the
-    // exact claim the curve tests; q102 adds one cid-keyed window
-    "q101_kmeans_cells", "q102_cluster_balanced_sample")
+    // exact claim the curve tests; q102 adds one cid-keyed window.
+    // q114 is the sample-trained form: the bottom-64 priority sample
+    // stays 64 rows at every factor (its membership drifts with the
+    // corpus, its SIZE never), so Lloyd cost is corpus-independent and
+    // the curve isolates the one corpus-linear stage (top-k sample +
+    // broadcast assignment)
+    "q101_kmeans_cells", "q102_cluster_balanced_sample",
+    "q114_sample_kmeans")
   // upsert: snapshot AND change-set both scale ×N (key-shifted customer
   // replicas keep the mod-7/13/97 class mix) — the merge stays one
   // full-outer shuffle however large the dimension grows
