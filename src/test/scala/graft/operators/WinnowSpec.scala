@@ -24,33 +24,36 @@ class WinnowSpec extends SparkSpec {
   private def sqlTrim(s: String): String =
     s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
 
-  /** Independent Horner fold of a gram under (b, m) — the straight-line
-    * definition the engine's doubling composition must equal.
+  /** Independent Horner fold of a code-point slice under (b, m) — the
+    * straight-line definition the engine's rolling hash must equal.
     */
-  private def horner(gram: String, b: Long, m: Long): Long =
-    gram.foldLeft(0L)((acc, c) => (acc * b + c.toInt) % m)
+  private def horner(cps: Array[Int], from: Int, len: Int, b: Long, m: Long): Long =
+    (from until from + len).foldLeft(0L)((acc, i) => (acc * b + cps(i)) % m)
 
-  /** Sequential robust winnowing from first principles: Karp-Rabin-hash
-    * every k-gram, per complete window of w keys keep the min (smallest
-    * hash, rightmost position via the inverted-position encoding),
-    * dedupe, then attach the two-modulus 61-bit match hash.
+  /** Sequential robust winnowing from first principles, over CODE
+    * POINTS (the character unit Spark's length/substring and DuckDB's
+    * len/substr both count — a UTF-16 replay would silently diverge on
+    * astral chars): Karp-Rabin-hash every k-gram, per complete window
+    * of w keys keep the min (smallest hash, rightmost position via the
+    * inverted-position encoding), dedupe, then attach the two-modulus
+    * 61-bit match hash.
     */
   private def replay(text: String): Set[(Long, Long)] = {
     import Winnow.{B1, B2, M1, M2, PosMod}
-    val tx = sqlTrim(text)
-    val n = tx.length
+    val cps = sqlTrim(text).codePoints().toArray
+    val n = cps.length
     if (n < K + W - 1 || n > Winnow.MaxDocLen) Set.empty
     else {
       val np = n - (K - 1)
       val keys = (1 to np).map { p =>
-        val h1 = horner(tx.substring(p - 1, p - 1 + K), B1, M1)
+        val h1 = horner(cps, p - 1, K, B1, M1)
         h1 * PosMod + (PosMod - 1L - p)
       }
       (0 until np - (W - 1)).map(j => keys.slice(j, j + W).min)
         .distinct.map { wk =>
           val pos = PosMod - 1L - (wk % PosMod)
           val h1 = wk / PosMod
-          val h2 = horner(tx.substring(pos.toInt - 1, pos.toInt - 1 + K), B2, M2)
+          val h2 = horner(cps, pos.toInt - 1, K, B2, M2)
           (pos, h1 * 1073741824L + h2)
         }.toSet
     }
@@ -223,6 +226,36 @@ class WinnowSpec extends SparkSpec {
     assert(rows(1L)._1 >= 1L && !rows(1L)._2.contains(shared),
       "the later doc loses the shared region")
     assert(rows(2L)._1 == 0L, "the control doc is untouched")
+  }
+
+  test("non-ASCII docs fingerprint by code point (BMP and astral)") {
+    // the engine hashes code points (WinnowFingerprints iterates
+    // codePointAt; DuckDB's ascii/substr count the same unit) — a doc
+    // mixing 2-byte BMP chars and a 4-byte astral char must match the
+    // code-point replay exactly; a UTF-16 or byte-level engine would
+    // shift every downstream position and hash
+    val dir = {
+      val d = File.createTempFile("graft-winnow-uni", "")
+      d.delete(); d.mkdirs(); d.getAbsolutePath
+    }
+    val astral = new String(Character.toChars(0x1F600))
+    val t0 = s"café naïve résumé $astral " +
+      "shared unicode winnow segment body with enough length to fingerprint"
+    val t1 = s"another carrier of the same trailing text $astral " +
+      "shared unicode winnow segment body with enough length to fingerprint"
+    import spark.implicits._
+    Seq((0L, t0, "fr", "a"), (1L, t1, "fr", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q106_winnow_fingerprints")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq(0L -> t0, 1L -> t1).foreach { case (id, t) =>
+      assert(out(id) == replay(t), s"doc $id diverges on unicode text")
+    }
+    assert((out(0L).map(_._2) & out(1L).map(_._2)).nonEmpty,
+      "the shared >= w+k-1 suffix must yield a shared hash across docs")
   }
 
   test("docs beyond MaxDocLen are excluded, not key-wrapped") {
