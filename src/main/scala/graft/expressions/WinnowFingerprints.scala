@@ -142,8 +142,9 @@ object WinnowFingerprints {
       val wk = h1 * PosMod + (PosMod - 1L - p)
       // monotonic deque push: drop dominated (larger-key) candidates
       while (tail > head && dqKey(tail - 1) >= wk) tail -= 1
-      // the array is sized W+1 and a full deque holds <= W live entries,
-      // but compact to the front when the ring would overrun
+      // live entries peak at W+1 (the push lands before this position's
+      // expiry runs); the arrays are sized 4W so this front-compaction
+      // fires at most once per ~3W pushes — amortized O(1)
       if (tail == dqPos.length) {
         System.arraycopy(dqPos, head, dqPos, 0, tail - head)
         System.arraycopy(dqKey, head, dqKey, 0, tail - head)

@@ -64,33 +64,22 @@ object BandIndex {
     */
   val NumBuckets = 32
 
-  def indexRoot: String =
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
-
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  def indexRoot: String = IndexCommit.indexRoot
 
   /** One index (table name + directory) per corpus directory. */
   def tableNameFor(dir: String): String =
-    "graft_band_index_" + md5hex(Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+    IndexCommit.tableName("graft_band_index_", dir)
 
   private def indexPath(dir: String): Path =
     Paths.get(indexRoot, tableNameFor(dir))
 
   /** File-metadata fingerprint of `documents.parquet` under `dir` (file
     * or directory of part files): no data scan, invalidates on any
-    * rewrite because mtimes move.
+    * rewrite because mtimes move. Also the base other document-sourced
+    * indexes tag with their own parameters.
     */
-  def fingerprint(dir: String): String = {
-    val root = new java.io.File(s"$dir/documents.parquet")
-    def entries(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).flatMap(entries).toSeq
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    md5hex(entries(root).mkString("\n"))
-  }
+  def fingerprint(dir: String): String =
+    IndexCommit.sourceFingerprint(dir, "documents.parquet")
 
   /** q44/q78's engine-identical deterministic ingest bucketing: first md5
     * byte of `lang:doc_id` as an int in [0, 256). Bucket ≥ 230 is the
@@ -128,7 +117,7 @@ object BandIndex {
   private def writeIndexRows(spark: SparkSession, rows: DataFrame,
       name: String, path: Path): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    deleteTree(path)
+    IndexCommit.deleteTree(path)
     rows
       .repartition(NumBuckets, col("band_idx"), col("band_key"))
       .write.format("parquet")
@@ -141,10 +130,15 @@ object BandIndex {
   /** Fold away duplicate band rows (legitimately accrued by
     * crash-replayed appends — the index is at-least-once storage with
     * distinct-count read semantics, so duplicates never change answers;
-    * they only cost scan bytes). The distinct rows are EAGERLY pinned
-    * off the table's files before the in-place rewrite, and the
-    * fingerprint sidecar is preserved — compaction changes the layout,
-    * not which corpus the index covers. Returns (rows before, after).
+    * they only cost scan bytes). The rewrite goes through
+    * [[IndexCommit.commitBuild]]: distinct rows eagerly pinned off the
+    * table's files, written into a temp sibling WITH the preserved
+    * fingerprint sidecar, published by one rename — a crash
+    * mid-compaction leaves the original index intact instead of
+    * destroying it (an IngestDedupSink-managed index has no
+    * fingerprint-gated rebuild path to recover through). Compaction
+    * changes the layout, not which corpus the index covers. Returns
+    * (rows before, after).
     */
   def compact(spark: SparkSession, name: String, path: Path): (Long, Long) = {
     val fp = {
@@ -153,8 +147,11 @@ object BandIndex {
     }
     val before = spark.table(name).count()
     val rows = spark.table(name).distinct().localCheckpoint(true)
-    writeIndexRows(spark, rows, name, path)
-    fp.foreach(Files.writeString(path.resolve("_GRAFT_FP"), _))
+    IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+      writeIndexRows(spark, rows, tn, tp)
+      fp.foreach(Files.writeString(tp.resolve("_GRAFT_FP"), _))
+    }
+    register(spark, name, path)
     (before, spark.table(name).count())
   }
 
@@ -162,12 +159,13 @@ object BandIndex {
     * the files carry the bucketed writer's bucket-id naming) into this
     * session's catalog — the post-JVM-restart path.
     */
-  private def register(spark: SparkSession, name: String, path: Path): Unit = {
+  private[operators] def register(spark: SparkSession, name: String,
+      path: Path): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(
       s"""CREATE TABLE `$name` (hist_id BIGINT, band_idx INT, band_key STRING)
          |USING PARQUET
-         |CLUSTERED BY (band_idx, band_key) INTO $NumBuckets BUCKETS
+         |CLUSTERED BY (band_idx, band_key) SORTED BY (band_idx, band_key) INTO $NumBuckets BUCKETS
          |LOCATION '${path.toString}'""".stripMargin)
   }
 
@@ -299,12 +297,4 @@ object BandIndex {
     probeIndex(spark, name, batch)
   }
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(p.toFile)
-    }
 }

@@ -38,17 +38,10 @@ object BloomIndex {
   /** Buckets = the engine's shuffle-partition count at bench scale. */
   val NumBuckets = 32
 
-  def indexRoot: String =
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
-
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  def indexRoot: String = IndexCommit.indexRoot
 
   def tableNameFor(dir: String): String =
-    "graft_bench_shingles_" +
-      md5hex(Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+    IndexCommit.tableName("graft_bench_shingles_", dir)
 
   private def indexPath(dir: String): Path =
     Paths.get(indexRoot, tableNameFor(dir))
@@ -63,7 +56,7 @@ object BloomIndex {
     spark.sql(
       s"""CREATE TABLE `$name` (sh STRING)
          |USING PARQUET
-         |CLUSTERED BY (sh) INTO $NumBuckets BUCKETS
+         |CLUSTERED BY (sh) SORTED BY (sh) INTO $NumBuckets BUCKETS
          |LOCATION '${path.toString}'""".stripMargin)
   }
 

@@ -30,33 +30,22 @@ object ClusterIndex {
   /** Buckets = the engine's shuffle-partition count at bench scale. */
   val NumBuckets = 32
 
-  def indexRoot: String =
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
-
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  def indexRoot: String = IndexCommit.indexRoot
 
   def tableNameFor(dir: String): String =
-    "graft_cluster_asg_" + md5hex(
-      Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+    IndexCommit.tableName("graft_cluster_asg_", dir)
 
   private def indexPath(dir: String): Path =
     Paths.get(indexRoot, tableNameFor(dir))
 
-  /** File-metadata fingerprint of `embeddings.parquet` under `dir` —
-    * [[BandIndex.fingerprint]]'s contract over this index's source.
+  /** Freshness = `embeddings.parquet` metadata (this index's source,
+    * not `documents.parquet`) + the Lloyd parameters the assignment was
+    * learned under — a param change makes the old index read as stale,
+    * never as valid (the PostingsIndex ":sidecar-v3" discipline).
     */
-  def fingerprint(dir: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
-    def entries(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .sortBy(_.getName).flatMap(entries).toSeq
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    md5hex(entries(root).mkString("\n"))
-  }
+  def fingerprint(dir: String): String =
+    IndexCommit.sourceFingerprint(dir, "embeddings.parquet") +
+      ":" + Clustering.paramsTag
 
   private def register(spark: SparkSession, name: String, path: Path): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
@@ -64,7 +53,7 @@ object ClusterIndex {
       s"""CREATE TABLE `$name`
          |  (vec_id BIGINT, cid BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE)
          |USING PARQUET
-         |CLUSTERED BY (cid) INTO $NumBuckets BUCKETS
+         |CLUSTERED BY (cid) SORTED BY (cid, vec_id) INTO $NumBuckets BUCKETS
          |LOCATION '${path.toString}'""".stripMargin)
   }
 

@@ -46,6 +46,12 @@ object Clustering {
   /** q114's bounded training-sample size. */
   private val SampleK = 64
 
+  /** Parameters baked into every persisted assignment — part of
+    * [[ClusterIndex]]'s freshness fingerprint so a param change
+    * invalidates old indexes (q1e6 = the micro-unit quantization).
+    */
+  private[graft] def paramsTag: String = s"lloyd-k$K-i$Iters-q1e6"
+
   /** embeddings quantized to integer micro-units: (vec_id, qv). */
   private def qvecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")

@@ -4,9 +4,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.SparkSession
 
-/** Cross-process commit protocol for the persisted index family
-  * ([[BandIndex]] / [[PostingsIndex]] / [[BloomIndex]] / [[FpIndex]] /
-  * [[ClusterIndex]]).
+/** Cross-process commit protocol + shared filesystem plumbing for the
+  * persisted index family ([[BandIndex]] / [[PostingsIndex]] /
+  * [[BloomIndex]] / [[FpIndex]] / [[ClusterIndex]]).
   *
   * `ensure()` is synchronized within one JVM, but two PROCESSES sharing
   * SPARK_GRAFT_INDEX_DIR could interleave a delete/saveAsTable/sidecar
@@ -14,16 +14,48 @@ import org.apache.spark.sql.SparkSession
   * other's in-progress build. This helper removes that window: the
   * build lands in a process-unique TEMP SIBLING (table + every sidecar
   * + the `_GRAFT_FP` freshness marker), and the only mutation of the
-  * final path is one atomic rename — a reader can observe the old
-  * complete index, no index, or the new complete index, never a half-
-  * built one. If a concurrent builder wins the rename race, the loser
-  * just discards its temp: builds are idempotent (same input → same
-  * index), so the winner's artifact is the same artifact.
-  *
-  * At 100 TB this role is played by a table format's atomic snapshot
-  * commit; the rename is the same contract at this harness's scale.
+  * final path is one delete + atomic rename — a reader OPENING the
+  * index observes the old complete index, no index, or the new
+  * complete index, never a half-built one. (A scan already in flight
+  * against the old files can still lose them to the delete — closing
+  * that needs snapshot isolation, which at 100 TB a table format's
+  * atomic snapshot commit provides; the rename is the same
+  * open-time contract at this harness's scale.) If a concurrent
+  * builder wins the rename race, the loser just discards its temp:
+  * builds are idempotent (same input → same index), so the winner's
+  * artifact is the same artifact.
   */
 object IndexCommit {
+
+  /** Shared index root for every persisted index type. */
+  def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
+
+  private[operators] def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** One table name per (index type prefix, corpus directory). */
+  private[operators] def tableName(prefix: String, dir: String): String =
+    prefix + md5hex(Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+
+  /** File-metadata fingerprint of `dir/file` (file or directory of part
+    * files): name/length/mtime per file — an O(#files) listing, no data
+    * scan, invalidates on any rewrite because mtimes move. Callers
+    * append a PARAMS TAG (algorithm constants / layout version) so an
+    * index built under old parameters reads as stale, never as valid —
+    * the PostingsIndex ":sidecar-v3" discipline.
+    */
+  private[operators] def sourceFingerprint(dir: String, file: String): String = {
+    val root = new java.io.File(s"$dir/$file")
+    def entries(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).flatMap(entries).toSeq
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    md5hex(entries(root).mkString("\n"))
+  }
 
   /** Run `build(tmpName, tmpPath)` — which must write the bucketed
     * table AS `tmpName` at `tmpPath` plus all sidecars INCLUDING
@@ -44,10 +76,14 @@ object IndexCommit {
     deleteTree(path)
     try Files.move(tmpPath, path, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      // a concurrent builder published first; its idempotent build is
-      // byte-equivalent, so losing the race is success with extra steps
-      case _: java.nio.file.FileAlreadyExistsException => deleteTree(tmpPath)
-      case _: java.nio.file.FileSystemException => deleteTree(tmpPath)
+      case e: java.nio.file.FileSystemException =>
+        // only a CONCURRENT PUBLISH is benign (the winner's idempotent
+        // build is byte-equivalent — discard the temp); any other move
+        // failure (no atomic rename on this fs, permissions, partial
+        // delete leaving the target) must surface, or the caller would
+        // register a missing index and silently serve nothing
+        if (Files.exists(path.resolve("_GRAFT_FP"))) deleteTree(tmpPath)
+        else { deleteTree(tmpPath); throw e }
     }
   }
 

@@ -16,19 +16,28 @@ object Interchange {
 
   /** Fresh temp dir for a round-trip write, reclaimed at JVM exit: the
     * returned DataFrame reads the dir lazily (possibly long after this
-    * call), so eager deletion is impossible — a shutdown hook bounds
-    * the accumulation at one dir per invocation per JVM instead of
-    * leaking corpus copies across benchmark/correctness runs forever.
+    * call), so eager deletion is impossible — instead ONE shutdown hook
+    * (registered on first use, not per invocation — Bench/ScaleBench
+    * call these queries dozens of times per JVM) drains a shared queue,
+    * bounding the leak at one dir per invocation per JVM instead of
+    * accumulating corpus copies across runs forever.
     */
-  private def roundtripDir(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
+  private val roundtripDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val reaperInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
       }
-      rm(p.toFile)
+      var p = roundtripDirs.poll()
+      while (p != null) { rm(p.toFile); p = roundtripDirs.poll() }
     }))
+
+  private def roundtripDir(prefix: String): String = {
+    reaperInstalled
+    val p = Files.createTempDirectory(prefix)
+    roundtripDirs.add(p)
     p.toString
   }
 

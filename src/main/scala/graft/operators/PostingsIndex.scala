@@ -42,14 +42,8 @@ object PostingsIndex {
   def indexRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_POSTINGS_DIR", "/tmp/graft-postings-index")
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-
   def tableNameFor(dir: String): String =
-    "graft_postings_" + md5hex(
-      Paths.get(dir).toAbsolutePath.normalize.toString).take(12)
+    IndexCommit.tableName("graft_postings_", dir)
 
   private def indexPath(dir: String): Path =
     Paths.get(indexRoot, tableNameFor(dir))
@@ -135,7 +129,7 @@ object PostingsIndex {
   def buildIndexDocs(spark: SparkSession, docs: DataFrame, name: String,
       path: Path): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    deleteTree(path)
+    IndexCommit.deleteTree(path)
     val p = postingsOfDocs(docs).localCheckpoint(true)
     p.repartition(NumBuckets, col("term"))
       .write.format("parquet")
@@ -200,12 +194,13 @@ object PostingsIndex {
     p.unpersist()
   }
 
-  private def register(spark: SparkSession, name: String, path: Path): Unit = {
+  private[operators] def register(spark: SparkSession, name: String,
+      path: Path): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(
       s"""CREATE TABLE `$name` (term STRING, doc_id BIGINT, tf BIGINT, dl INT)
          |USING PARQUET
-         |CLUSTERED BY (term) INTO $NumBuckets BUCKETS
+         |CLUSTERED BY (term) SORTED BY (term) INTO $NumBuckets BUCKETS
          |LOCATION '${path.toString}'""".stripMargin)
   }
 
@@ -293,12 +288,4 @@ object PostingsIndex {
       .agg(count(lit(1)).as("n_hit"), sum(col("term_micro")).as("bm25_micro"))
   }
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(p.toFile)
-    }
 }

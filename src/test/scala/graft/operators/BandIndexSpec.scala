@@ -133,6 +133,26 @@ class BandIndexSpec extends SparkSpec {
     }
   }
 
+  test("append still works against a re-registered index (sort-spec parity)") {
+    // regression: register() must declare SORTED BY matching the
+    // writer's sortBy — without it the post-restart append path threw
+    // "Specified bucketing does not match that of the existing table",
+    // breaking IngestDedupSink's loop after any JVM restart
+    val name = "graft_bandidx_rereg_test"
+    val path = java.nio.file.Files.createTempDirectory("graft-bandidx-rereg")
+      .resolve("idx")
+    try {
+      BandIndex.buildIndex(spark, docsSlice(0, 200), name, path)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      BandIndex.register(spark, name, path)
+      BandIndex.append(spark, name, docsSlice(200, 230)) // must not throw
+      val p2 = rows(BandIndex.probeIndex(spark, name, docsSlice(230, 256)))
+      assert(p2 == rows(monolithic(spark,
+        col("bucket") < 230, col("bucket") >= 230)),
+        "post-re-register append must behave exactly like a same-session one")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
   test("compaction folds duplicate appends away without changing any answer") {
     val name = "graft_bandidx_compact_test"
     val path = java.nio.file.Files.createTempDirectory("graft-bandidx-compact")

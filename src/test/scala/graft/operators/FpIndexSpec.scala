@@ -178,6 +178,28 @@ class FpIndexSpec extends SparkSpec {
     }
   }
 
+  test("append still works against a re-registered index (sort-spec parity)") {
+    // regression: register() must declare SORTED BY matching the
+    // writer's sortBy — without it the post-restart append path threw
+    // "Specified bucketing does not match that of the existing table"
+    // and the maintenance/streaming loops broke until a full rebuild
+    val name = "graft_fpidx_rereg_test"
+    val path = java.nio.file.Files.createTempDirectory("graft-fpidx-rereg")
+      .resolve("idx")
+    try {
+      FpIndex.buildIndex(spark, docsSlice(0, 200), name, path)
+      val before = rows(FpIndex.probeSpans(spark, name, docsSlice(200, 230)))
+      // simulate a JVM restart: catalog entry gone, files remain, then
+      // re-register through the REAL register() DDL
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      FpIndex.register(spark, name, path)
+      FpIndex.append(spark, name, docsSlice(200, 230)) // must not throw
+      val after = rows(FpIndex.probeSpans(spark, name, docsSlice(230, 256)))
+      assert(before.nonEmpty || after.nonEmpty,
+        "corpus slices must exercise the probe")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
   test("a fresh session re-registers a valid on-disk index without rebuilding") {
     val name = FpIndex.ensure(spark, dir)
     val r1 = q("q107_dup_spans")(spark, dir).collect().length

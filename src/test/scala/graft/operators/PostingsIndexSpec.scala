@@ -50,6 +50,28 @@ class PostingsIndexSpec extends SparkSpec {
     assert(phase1 != q88, "phase 1 scoring corpus must differ from full")
   }
 
+  test("append still works against a re-registered index (sort-spec parity)") {
+    // regression: register() must declare SORTED BY matching the
+    // writer's sortBy — without it the post-restart append path threw
+    // "Specified bucketing does not match that of the existing table",
+    // breaking RetrievalIndexSink's loop after any JVM restart
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "graft_postings_rereg_test"
+    val path = Files.createTempDirectory("graft-postings-rereg").resolve("idx")
+    try {
+      val hist = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "text").filter(col("doc_id") % 2 === 0)
+      PostingsIndex.buildIndexDocs(spark, hist, name, path)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      PostingsIndex.register(spark, name, path)
+      val batch = Seq((999999L, "alpha beta gamma appended batch document"))
+        .toDF("doc_id", "text")
+      PostingsIndex.append(spark, name, path, batch) // must not throw
+      assert(spark.table(name).filter(col("doc_id") === 999999L).count() > 0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
   test("fingerprint drift rebuilds; catalog loss re-registers without rebuild") {
     val tmp = Files.createTempDirectory("graft-postings-fp")
     val corpus = tmp.resolve("corpus")
