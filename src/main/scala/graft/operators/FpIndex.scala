@@ -134,7 +134,9 @@ object FpIndex {
       fp.foreach(Files.writeString(tp.resolve("_GRAFT_FP"), _))
     }
     register(spark, name, path)
-    (before, spark.table(name).count())
+    val after = spark.table(name).count()
+    rows.unpersist()
+    (before, after)
   }
 
   /** Register an existing on-disk index into this session's catalog —
@@ -157,7 +159,15 @@ object FpIndex {
     * `mode("append").bucketBy` validates the spec and writes
     * bucket-id-named files, so probes still read the table bucketed.
     */
-  def append(spark: SparkSession, name: String, admittedDocs: DataFrame): Unit =
+  def append(spark: SparkSession, name: String, admittedDocs: DataFrame): Unit = {
+    // q107/q108's aggregates on the ensure()-built corpus index skip
+    // DISTINCT ("unique rows by construction" — built once, never
+    // appended); an accidental append there would silently inflate
+    // q107's n_hits. Guard the invariant instead of trusting callers.
+    require(!corpusTables.contains(name),
+      s"append() against the ensure()-managed corpus index `$name` — " +
+        "maintenance/streaming appends must target their own index " +
+        "(initIndex/buildIndex under a distinct name)")
     fingerprintRows(admittedDocs)
       .repartition(NumBuckets, col("h"))
       .write.format("parquet")
@@ -165,6 +175,17 @@ object FpIndex {
       .sortBy("h")
       .mode("append")
       .saveAsTable(name)
+  }
+
+  /** Table names ensure() manages as build-once corpus indexes —
+    * [[append]]'s guard set. JVM-local is enough: the guard protects
+    * against in-process caller mistakes; cross-process freshness is
+    * already the `_GRAFT_FP` contract (an appended-to corpus index
+    * would still carry a valid fingerprint, which is exactly why the
+    * mistake needs an in-process guard).
+    */
+  private val corpusTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Ensure the whole-corpus fingerprint index for `dir` exists, is
     * fresh, and is in this session's catalog; returns the table name.
@@ -174,6 +195,7 @@ object FpIndex {
     */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val name = tableNameFor(dir)
+    corpusTables.add(name)
     val path = indexPath(dir)
     val fp = fingerprint(dir)
     val fpFile = path.resolve("_GRAFT_FP")
@@ -229,6 +251,25 @@ object FpIndex {
   def probeSpans(spark: SparkSession, name: String, batchDocs: DataFrame,
       excludeBatchFromHistory: Boolean = false): DataFrame = {
     val bfp = fingerprintRows(batchDocs).localCheckpoint(true)
+    // pin the SMALL spans result (duplicated ranges only), then release
+    // the batch-fingerprint frame — a streaming sink probing every
+    // micro-batch must not accrue batch-sized block-manager state per
+    // batch (the PostingsIndex.append unpersist discipline). Eager
+    // evaluation here also severs the result's dependency on the index
+    // table, so the caller's subsequent append cannot perturb it.
+    val spans = probeSpansPlan(spark, name, bfp, batchDocs,
+      excludeBatchFromHistory).localCheckpoint(true)
+    bfp.unpersist()
+    spans
+  }
+
+  /** The probe's LAZY plan over an already-pinned batch-fingerprint
+    * frame — split out so [[FpIndexSpec]] can pin the bucketed-scan /
+    * exchange shape that [[probeSpans]]'s eager materialization hides.
+    */
+  private[operators] def probeSpansPlan(spark: SparkSession, name: String,
+      bfp: DataFrame, batchDocs: DataFrame,
+      excludeBatchFromHistory: Boolean): DataFrame = {
     val hist = spark.table(name)
     val histLeg0 = bfp.join(
       hist.select(col("h"), col("doc_id").as("hist_id")), Seq("h"))

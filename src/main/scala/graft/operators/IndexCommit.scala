@@ -78,12 +78,19 @@ object IndexCommit {
     catch {
       case e: java.nio.file.FileSystemException =>
         // only a CONCURRENT PUBLISH is benign (the winner's idempotent
-        // build is byte-equivalent — discard the temp); any other move
-        // failure (no atomic rename on this fs, permissions, partial
-        // delete leaving the target) must surface, or the caller would
-        // register a missing index and silently serve nothing
-        if (Files.exists(path.resolve("_GRAFT_FP"))) deleteTree(tmpPath)
-        else { deleteTree(tmpPath); throw e }
+        // build is byte-equivalent — discard the temp). "Target has a
+        // _GRAFT_FP" alone is NOT proof of that: a partial deleteTree
+        // (permissions, open handles) can leave the OLD index with its
+        // OLD fingerprint intact, and swallowing that would silently
+        // serve the stale index. Benign requires the surviving marker
+        // to carry the SAME fingerprint this build was publishing —
+        // only a concurrent builder of the same generation writes that.
+        val ours = tmpPath.resolve("_GRAFT_FP")
+        val theirs = path.resolve("_GRAFT_FP")
+        val benign = Files.exists(theirs) && Files.exists(ours) &&
+          Files.readString(theirs).trim == Files.readString(ours).trim
+        deleteTree(tmpPath)
+        if (!benign) throw e
     }
   }
 

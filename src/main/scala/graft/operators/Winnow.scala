@@ -398,7 +398,13 @@ object Winnow {
     QueryDef(
       "q112_fp_maintenance",
       (s, dir) => {
-        val name = FpIndex.tableNameFor(dir) + "_maint"
+        // pid-suffixed scratch (IndexCommit's temp-sibling discipline):
+        // buildIndex writes directly — not via commitBuild — so two
+        // PROCESSES sharing the index root must not share the scratch
+        // path, or their delete/saveAsTable sequences interleave. Same
+        // process re-runs overwrite their own scratch (idempotent).
+        val name = FpIndex.tableNameFor(dir) + "_maint_" +
+          ProcessHandle.current().pid()
         val path = java.nio.file.Paths.get(FpIndex.indexRoot, name)
         val base = docs(s, dir)
           .select(col("doc_id"), col("text"), col("lang"))
@@ -407,9 +413,10 @@ object Winnow {
           base.filter(col("bucket") >= lo && col("bucket") < hi)
             .select("doc_id", "text")
         FpIndex.buildIndex(s, slice(0, 200), name, path)
+        // probeSpans returns an eagerly-pinned result severed from the
+        // index table, so the append below cannot perturb phase 1
         val p1 = FpIndex.probeSpans(s, name, slice(200, 230))
           .withColumn("batch_no", lit(1))
-          .localCheckpoint(true)
         FpIndex.append(s, name, slice(200, 230))
         val p2 = FpIndex.probeSpans(s, name, slice(230, 256))
           .withColumn("batch_no", lit(2))

@@ -91,11 +91,12 @@ object WinnowIndexSink {
       val alld = docs
         .select(col("doc_id"), trim(col("text")).as("tx"))
         .withColumn("n", length(col("tx")))
+      // probeSpans eagerly pins its (small) result and releases the
+      // batch-fingerprint frame, so the splice below reads only the
+      // stable batch source + the pinned spans — the append cannot
+      // perturb it and no batch-sized state outlives this call
       val out = Winnow.spliceClean(alld, spans)
         .withColumn("batch_id", lit(batchId))
-        // pin the cleaned docs BEFORE the append mutates the table the
-        // probe plan reads (same laziness seam as q112's phase 1)
-        .localCheckpoint(true)
       FpIndex.append(spark, indexName, docs)
       out.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
       val tmp = Paths.get(outDir, s"_LATEST.tmp.$batchId")

@@ -127,7 +127,13 @@ class FpIndexSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val plan = FpIndex.probeSpans(spark, name, docsSlice(230, 256))
+        // the lazy plan form: probeSpans itself eagerly pins its result
+        // (hiding the scan behind a LogicalRDD), so the layout assertion
+        // inspects probeSpansPlan — the exact plan the probe executes
+        val batch = docsSlice(230, 256)
+        val plan = FpIndex.probeSpansPlan(spark, name,
+            FpIndex.fingerprintRows(batch), batch,
+            excludeBatchFromHistory = false)
           .queryExecution.executedPlan
         val scans = plan.collect {
           case f: FileSourceScanExec
