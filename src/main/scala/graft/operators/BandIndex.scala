@@ -59,10 +59,11 @@ import graft.core.Tables
   */
 object BandIndex {
 
-  /** Buckets = the engine's shuffle-partition count at bench scale, so
-    * the batch side shuffles into exactly the index's layout.
+  /** Deployment-tunable ([[IndexCommit.numBuckets]]); default = the
+    * engine's shuffle-partition count at bench scale, so the batch side
+    * shuffles into exactly the index's layout.
     */
-  val NumBuckets = 32
+  def NumBuckets: Int = IndexCommit.numBuckets
 
   def indexRoot: String = IndexCommit.indexRoot
 

@@ -35,8 +35,8 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomIndex {
 
-  /** Buckets = the engine's shuffle-partition count at bench scale. */
-  val NumBuckets = 32
+  /** Deployment-tunable ([[IndexCommit.numBuckets]]). */
+  def NumBuckets: Int = IndexCommit.numBuckets
 
   def indexRoot: String = IndexCommit.indexRoot
 

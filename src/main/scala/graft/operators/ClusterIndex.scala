@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object ClusterIndex {
 
-  /** Buckets = the engine's shuffle-partition count at bench scale. */
-  val NumBuckets = 32
+  /** Deployment-tunable ([[IndexCommit.numBuckets]]). */
+  def NumBuckets: Int = IndexCommit.numBuckets
 
   def indexRoot: String = IndexCommit.indexRoot
 

@@ -52,10 +52,11 @@ import org.apache.spark.sql.functions._
   */
 object FpIndex {
 
-  /** Buckets = the engine's shuffle-partition count at bench scale, so
-    * batch-side shuffles land exactly in the index's layout.
+  /** Deployment-tunable ([[IndexCommit.numBuckets]]); default = the
+    * engine's shuffle-partition count at bench scale, so batch-side
+    * shuffles land exactly in the index's layout.
     */
-  val NumBuckets = 32
+  def NumBuckets: Int = IndexCommit.numBuckets
 
   def indexRoot: String = IndexCommit.indexRoot
 

@@ -31,6 +31,24 @@ object IndexCommit {
   def indexRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "/tmp/graft-band-index")
 
+  /** Deployment-tunable bucket count shared by every persisted index
+    * ([[BandIndex]]/[[PostingsIndex]]/[[BloomIndex]]/[[FpIndex]]/
+    * [[ClusterIndex]]). Default 32 = local[32]'s shuffle-partition
+    * count, so batch-side shuffles land exactly in the index layout; a
+    * 1000-executor deployment sets `SPARK_GRAFT_INDEX_BUCKETS` to its
+    * own parallelism — the primary scaling knob for index fan-in. The
+    * value participates in every index's `_GRAFT_FP` fingerprint (via
+    * [[sourceFingerprint]]), so changing it makes existing indexes read
+    * as STALE — one rebuild under the new layout — never as a
+    * bucket-spec mismatch on append or a silently mis-bucketed probe.
+    * The system property is the in-process test seam; the env var is
+    * the deployment surface.
+    */
+  def numBuckets: Int =
+    sys.props.get("graft.index.buckets")
+      .orElse(sys.env.get("SPARK_GRAFT_INDEX_BUCKETS"))
+      .map(_.trim.toInt).getOrElse(32)
+
   private[operators] def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -45,7 +63,10 @@ object IndexCommit {
     * scan, invalidates on any rewrite because mtimes move. Callers
     * append a PARAMS TAG (algorithm constants / layout version) so an
     * index built under old parameters reads as stale, never as valid —
-    * the PostingsIndex ":sidecar-v3" discipline.
+    * the PostingsIndex ":sidecar-v3" discipline. The bucket count is
+    * tagged HERE, once for all five index types: every fingerprint
+    * derives from this function, so a [[numBuckets]] change stales
+    * every index uniformly.
     */
   private[operators] def sourceFingerprint(dir: String, file: String): String = {
     val root = new java.io.File(s"$dir/$file")
@@ -54,7 +75,7 @@ object IndexCommit {
         Option(f.listFiles()).getOrElse(Array.empty)
           .sortBy(_.getName).flatMap(entries).toSeq
       else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    md5hex(entries(root).mkString("\n"))
+    md5hex(entries(root).mkString("\n")) + s":bk$numBuckets"
   }
 
   /** Run `build(tmpName, tmpPath)` — which must write the bucketed

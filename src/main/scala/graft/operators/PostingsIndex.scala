@@ -37,7 +37,7 @@ import graft.core.Tables
   */
 object PostingsIndex {
 
-  val NumBuckets = 32
+  def NumBuckets: Int = IndexCommit.numBuckets
 
   def indexRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_POSTINGS_DIR", "/tmp/graft-postings-index")
