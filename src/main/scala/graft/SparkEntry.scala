@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Retrieval, Runner, Similarity, SketchExact, TextAnalysis, Waterfall, Winnow}
+import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPipeline, Dedup, Events, Interchange, Labs, Multimodal, RangeJoin, Relational, Retrieval, Runner, Similarity, SketchExact, TextAnalysis, Waterfall, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,14 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, Dedup, Even
   *            can scale with the corpus (the knob's missing half); the
   *            oracle runs the SAME unrolled Lloyd generator over the
   *            sample CTE that q101 runs over the corpus
+  *   q115     the composed end-to-end curation pipeline (capstone):
+  *            ingest → exact dedup → near-dup cluster apply →
+  *            char-span dedup (persisted FpIndex) → benchmark
+  *            decontamination (persisted BloomIndex) → corpus-LM
+  *            quality filter → leakage-safe group split → source-
+  *            weighted epoch mix, one oracle chaining every stage's
+  *            EXISTING oracle text (shared CTE constants, so the
+  *            standalone queries and the pipeline cannot drift)
   */
 object SparkEntry {
 
@@ -169,7 +177,8 @@ object SparkEntry {
       Labs.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Events.defs ++ RangeJoin.defs ++ Analytic.defs ++
       Interchange.defs ++ Curation.defs ++ Retrieval.defs ++
-      SketchExact.defs ++ Clustering.defs ++ Winnow.defs ++ Bpe.defs
+      SketchExact.defs ++ Clustering.defs ++ Winnow.defs ++ Bpe.defs ++
+      CurationPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -182,8 +182,17 @@ object Dedup {
   /** q36's LSH candidate pairs (8 minhashes, 4 bands x 2 rows), shared by
     * the pair query and the clustering query.
     */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandsOf(shingleIndex(s, dir).select("doc_id", "sh"))
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(docs(s, dir))
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text) frame — the
+    * near-dup pair graph of a pipeline stage's SURVIVOR corpus
+    * ([[CurationPipeline]] runs it twice: cluster-apply over the
+    * exact-dedup survivors, leakage-safe split over the filtered
+    * corpus), identical banding to the corpus queries.
+    */
+  private[operators] def minhashPairsOf(d: DataFrame): DataFrame = {
+    val bands = bandsOf(shingleIndexOf(d).select("doc_id", "sh"))
     // renamed-projection self-join, not as("a")/as("b") aliases: aliased
     // conditions can silently mis-bind when the frame is reused across
     // subtrees of a larger plan (observed in BandIndex.probeIndex's
@@ -368,7 +377,7 @@ object Dedup {
     * (pairs + undirected edges), reused by the clusters oracle (with a
     * recursive reach tail) and q59's split-leakage oracle (without).
     */
-  private val pairsCte: String =
+  private[operators] val pairsCte: String =
     """tt AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         generate_series(1, len(t)-2),
@@ -387,8 +396,16 @@ object Dedup {
       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
       |          UNION ALL SELECT d2, d1 FROM pairs)""".stripMargin
 
-  private val clustersCte: String =
-    "WITH RECURSIVE\n" + pairsCte +
+  private val clustersCte: String = clustersCteOver("documents")
+
+  /** The pair-graph + recursive-reach CTE chain over an arbitrary input
+    * relation — the SAME text as [[pairsCte]]/`clustersCte` with only
+    * the source relation substituted (`.replace` on the one constant,
+    * so the standalone oracles and any composed pipeline oracle cannot
+    * drift). Used twice by [[CurationPipeline]]'s q115 oracle.
+    */
+  private[operators] def clustersCteOver(input: String): String =
+    "WITH RECURSIVE\n" + pairsCte.replace("FROM documents", "FROM " + input) +
       """,
         |reach(id, r) AS (
         |  SELECT DISTINCT src, src FROM edges
@@ -399,6 +416,83 @@ object Dedup {
     """
       |SELECT id AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q56's cluster-apply tail — labels + keep-every-representative —
+    * over an arbitrary input relation and projection, appended after a
+    * [[clustersCteOver]] chain. Shared by q56 and q115.
+    */
+  private[operators] def nearDupKeepTail(input: String, cols: String): String =
+    s""",
+       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id
+       |           FROM reach GROUP BY 1)
+       |SELECT $cols
+       |FROM $input d LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id""".stripMargin
+
+  /** q103's group-id CTE (near-dup cluster label, own id when unpaired)
+    * over an arbitrary input relation, appended after a
+    * [[clustersCteOver]] chain. Shared by q103 and q115.
+    */
+  private[operators] def groupSplitGrpCte(input: String): String =
+    s""",
+       |grp AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+       |        FROM $input d LEFT JOIN (
+       |          SELECT id AS doc_id, min(r) AS cluster_id
+       |          FROM reach GROUP BY 1) c USING (doc_id))""".stripMargin
+
+  /** q103's train/eval decision over `group_id` — the hash boundary the
+    * leakage-safe split guarantees by construction. Shared by q103 and
+    * q115.
+    */
+  private[operators] val GroupSplitCase: String =
+    """CASE WHEN CAST('0x' || substr(md5('g:' || CAST(group_id AS VARCHAR)), 1, 2) AS INT) < 204
+      |       THEN 'train' ELSE 'eval' END""".stripMargin
+
+  /** The decontamination-apply CTE chain over an arbitrary corpus
+    * relation (doc_id, lang, text): benchmark shingles from `benchRel`'s
+    * bucket >= 250 docs (the fixed held-out eval suite — it never flows
+    * through the pipeline), corpus shingles from `corpusRel` rows, hit
+    * counts and the per-doc verdict columns in `c`. Shared by q105 and
+    * q115 so the apply semantics cannot drift between the standalone
+    * query and the composed pipeline.
+    */
+  private[operators] def decontamApplyCtes(
+      corpusRel: String, benchRel: String): String =
+    ("""bd AS (SELECT doc_id, lang,
+       |  CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket,
+       |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM BENCHREL),
+       |bsh AS (SELECT doc_id,
+       |         CASE WHEN len(t) >= 3
+       |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |              ELSE [] END AS shs
+       |       FROM bd WHERE bucket >= 250),
+       |ev AS (SELECT DISTINCT unnest(shs) AS sh FROM bsh),
+       |cd AS (SELECT doc_id, lang,
+       |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM CORPUSREL),
+       |csh AS (SELECT doc_id, lang,
+       |         CASE WHEN len(t) >= 3
+       |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |              ELSE [] END AS shs
+       |       FROM cd),
+       |h AS (SELECT doc_id, count(*) AS n_hit
+       |      FROM (SELECT doc_id, unnest(shs) AS sh FROM csh) ex
+       |      JOIN ev USING (sh) GROUP BY 1),
+       |c AS (SELECT s.doc_id, s.lang, len(s.shs) AS n_sh,
+       |        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+       |      FROM csh s LEFT JOIN h ON s.doc_id = h.doc_id)""").stripMargin
+      .replace("BENCHREL", benchRel).replace("CORPUSREL", corpusRel)
+
+  /** The q105/q115 keep predicate: containment < 0.2. */
+  private[operators] val DecontamKeepWhere: String =
+    """NOT (CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
+      |                ELSE 0.0 END >= 0.2)""".stripMargin
+
+  /** The md5 ingest-bucket expression as oracle SQL ([[BandIndex
+    * .ingestBucket]]'s DuckDB twin) — the corpus/benchmark boundary. */
+  private[operators] val BucketSql: String =
+    "CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -578,26 +672,11 @@ object Dedup {
           .select("doc_id", "lang", "n_sh", "n_hit")
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, lang,
-             |  CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket,
-             |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM documents),
-             |sh AS (SELECT doc_id, lang, bucket,
-             |         CASE WHEN len(t) >= 3
-             |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
-             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-             |              ELSE [] END AS shs
-             |       FROM d),
-             |ev AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE bucket >= 250),
-             |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE bucket < 250),
-             |h AS (SELECT doc_id, count(*) AS n_hit FROM ex JOIN ev USING (sh) GROUP BY 1),
-             |c AS (SELECT s.doc_id, s.lang, len(s.shs) AS n_sh,
-             |        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
-             |      FROM sh s LEFT JOIN h ON s.doc_id = h.doc_id
-             |      WHERE s.bucket < 250)
-             |SELECT doc_id, lang, n_sh, n_hit FROM c
-             |WHERE NOT (CASE WHEN n_sh > 0 THEN CAST(n_hit AS DOUBLE)/CAST(n_sh AS DOUBLE)
-             |                ELSE 0.0 END >= 0.2)
-             |ORDER BY doc_id""".stripMargin)),
+      Some("WITH " + decontamApplyCtes(
+        s"(SELECT doc_id, lang, text FROM documents WHERE $BucketSql < 250)",
+        "documents") +
+        "\nSELECT doc_id, lang, n_sh, n_hit FROM c\nWHERE " +
+        DecontamKeepWhere + "\nORDER BY doc_id")),
 
     // ---- the REMEDIATION q59's scaladoc names: a leakage-safe split.
     // Split by near-dup GROUP, not by doc — every doc carries its q39
@@ -628,16 +707,9 @@ object Dedup {
             when(bucket < 204, lit("train")).otherwise(lit("eval")))
           .orderBy("doc_id")
       },
-      Some(clustersCte +
-        """,
-          |grp AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
-          |        FROM documents d LEFT JOIN (
-          |          SELECT id AS doc_id, min(r) AS cluster_id
-          |          FROM reach GROUP BY 1) c USING (doc_id))
-          |SELECT doc_id, group_id,
-          |  CASE WHEN CAST('0x' || substr(md5('g:' || CAST(group_id AS VARCHAR)), 1, 2) AS INT) < 204
-          |       THEN 'train' ELSE 'eval' END AS split
-          |FROM grp ORDER BY doc_id""".stripMargin)),
+      Some(clustersCte + groupSplitGrpCte("documents") +
+        s"\nSELECT doc_id, group_id,\n  $GroupSplitCase AS split" +
+        "\nFROM grp ORDER BY doc_id")),
 
     // ---- dedup APPLICATION: materialize the deduplicated corpus — keep
     // every doc that is its cluster's representative (minimum doc_id)
@@ -659,13 +731,8 @@ object Dedup {
           .orderBy("doc_id")
       },
       Some(clustersCte +
-        """,
-          |labels AS (SELECT id AS doc_id, min(r) AS cluster_id
-          |           FROM reach GROUP BY 1)
-          |SELECT d.doc_id, d.lang, d.n_chars
-          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
-          |WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
-          |ORDER BY d.doc_id""".stripMargin)),
+        nearDupKeepTail("documents", "d.doc_id, d.lang, d.n_chars") +
+        "\nORDER BY d.doc_id")),
 
     // ---- SimHash: 16-bit signature from md5 bits of distinct tokens
     QueryDef(

@@ -45,9 +45,17 @@ object TextAnalysis {
     * (filter apply). See q73's scaladoc for the micro-nat determinism
     * design and the scale shape.
     */
-  private def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame = {
+  private def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame =
+    bigramLmPerDocOf(docs(s, dir))
+
+  /** [[bigramLmPerDoc]] over an arbitrary (doc_id, text) frame — the
+    * corpus LM trained on a pipeline stage's SURVIVOR corpus
+    * ([[CurationPipeline]]'s q115 trains it post-dedup/post-decontam,
+    * on the spliced texts), identical scoring to the corpus queries.
+    */
+  private[operators] def bigramLmPerDocOf(d: DataFrame): DataFrame = {
     val wordRe = "[a-z0-9]+"
-    val words = docs(s, dir)
+    val words = d
       .select(col("doc_id"),
         expr(s"regexp_extract_all(lower(text), '$wordRe', 0)").as("ws"))
     val vocab = words
@@ -77,7 +85,63 @@ object TextAnalysis {
     * with q111 so the scoring the filter ranks on cannot drift from the
     * scoring q73 reports.
     */
-  private val BigramLmCte =
+  private[operators] def bigramLmCteOver(input: String): String =
+    BigramLmCte.replace("FROM documents", "FROM " + input)
+
+  /** q111's filter core over an arbitrary (doc_id, text) corpus: the
+    * scored survivors (doc_id, n_bigrams, lm_micro_nats, avg_mn) at or
+    * above the exact 20th-percentile micro-nat cutoff; unscorable docs
+    * (no bigrams) drop. The Spark twin of [[LmFilterCtes]], shared by
+    * q111 and q115.
+    */
+  private[operators] def lmFilterKeptOf(d: DataFrame): DataFrame = {
+    val scored = bigramLmPerDocOf(d)
+      .filter(col("n_bigrams") > 0)
+      .withColumn("avg_mn", expr("lm_micro_nats div n_bigrams"))
+    val cut = scored.agg(
+      expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY avg_mn)").as("cut"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("avg_mn") >= col("cut"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_micro_nats"),
+        col("avg_mn"))
+  }
+
+  /** q111's scored/cutoff CTE tail (integer micro-nat average, exact
+    * 20th-percentile cutoff) — appended after a [[bigramLmCteOver]]
+    * chain. Shared by q111 and q115.
+    */
+  private[operators] val LmFilterCtes: String =
+    """,
+      |scored AS (
+      |  SELECT doc_id, n_bigrams, lm_micro_nats,
+      |    lm_micro_nats // n_bigrams AS avg_mn
+      |  FROM per_doc WHERE n_bigrams > 0),
+      |cut AS (SELECT quantile_disc(avg_mn, 0.2) AS cut FROM scored)""".stripMargin
+
+  /** q34's near-key fingerprint subquery (md5 of the first-5-token
+    * prefix) over an arbitrary input relation. Shared by q34 and q115's
+    * exact-dedup stage.
+    */
+  private[operators] def exactKeySelectOver(input: String): String =
+    """SELECT doc_id,
+      |        md5(array_to_string(string_split_regex(trim(text), '[ \t\n\f\r]+')[1:5], ' ')) AS key_fp
+      |      FROM documents""".stripMargin
+      .replace("FROM documents", "FROM " + input)
+
+  /** q34's key fingerprint as a Column — the Spark twin of
+    * [[exactKeySelectOver]]. */
+  private[operators] def exactKeyCol: Column =
+    md5(concat_ws(" ", slice(toks, 1, 5)))
+
+  /** q57's deterministic source mixing weight (1..3 from the source id
+    * suffix), Column + oracle forms. Shared by q57 and q115.
+    */
+  private[operators] def sourceWeightCol: Column =
+    substring(col("source"), 4, 10).cast("int") % 3 + 1
+  private[operators] val SourceWeightSql: String =
+    "CAST(substr(source, 4) AS INT) % 3 + 1"
+
+  private[operators] val BigramLmCte =
     """WITH words AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
       |  FROM documents),
@@ -318,17 +382,13 @@ object TextAnalysis {
       "q34_exact_dedup",
       (s, dir) =>
         docs(s, dir)
-          .select(
-            col("doc_id"),
-            md5(concat_ws(" ", slice(toks, 1, 5))).as("key_fp"))
+          .select(col("doc_id"), exactKeyCol.as("key_fp"))
           .groupBy("key_fp")
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
           .orderBy("key_fp"),
-      Some("""SELECT key_fp, count(*) AS n_docs, min(doc_id) AS first_doc
-             |FROM (SELECT doc_id,
-             |        md5(array_to_string(string_split_regex(trim(text), '[ \t\n\f\r]+')[1:5], ' ')) AS key_fp
-             |      FROM documents) t
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some("SELECT key_fp, count(*) AS n_docs, min(doc_id) AS first_doc\n" +
+        "FROM (" + exactKeySelectOver("documents") + ") t\n" +
+        "GROUP BY 1 ORDER BY 1")),
 
     // ---- deterministic hash-split train/eval assignment: the standard
     //      training-data split at 100 TB is a pure per-row hash of the
@@ -397,18 +457,15 @@ object TextAnalysis {
       "q57_source_mix",
       (s, dir) => {
         docs(s, dir)
-          .select(col("doc_id"), col("source"),
-            (substring(col("source"), 4, 10).cast("int") % 3 + 1).as("weight"))
+          .select(col("doc_id"), col("source"), sourceWeightCol.as("weight"))
           .select(col("doc_id"), col("source"), col("weight"),
             explode(sequence(lit(1), col("weight"))).as("epoch"))
           .orderBy("doc_id", "epoch")
       },
-      Some("""SELECT doc_id, source, weight,
-             |  unnest(generate_series(1, weight)) AS epoch
-             |FROM (SELECT doc_id, source,
-             |        CAST(substr(source, 4) AS INT) % 3 + 1 AS weight
-             |      FROM documents) x
-             |ORDER BY doc_id, epoch""".stripMargin)),
+      Some("SELECT doc_id, source, weight,\n" +
+        "  unnest(generate_series(1, weight)) AS epoch\n" +
+        s"FROM (SELECT doc_id, source,\n        $SourceWeightSql AS weight\n" +
+        "      FROM documents) x\nORDER BY doc_id, epoch")),
 
     // ---- document chunking: fixed-size token windows with stride (the
     //      pre-training chunk step — sequence-length-bounded windows
@@ -698,29 +755,13 @@ object TextAnalysis {
      */
     QueryDef(
       "q111_lm_filter_apply",
-      (s, dir) => {
-        val scored = bigramLmPerDoc(s, dir)
-          .filter(col("n_bigrams") > 0)
-          .withColumn("avg_mn", expr("lm_micro_nats div n_bigrams"))
-        val cut = scored.agg(
-          expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY avg_mn)")
-            .as("cut"))
-        scored.crossJoin(broadcast(cut))
-          .filter(col("avg_mn") >= col("cut"))
-          .select(col("doc_id"), col("n_bigrams"), col("lm_micro_nats"),
-            col("avg_mn"))
-          .orderBy("doc_id")
-      },
-      Some(BigramLmCte + """,
-             |scored AS (
-             |  SELECT doc_id, n_bigrams, lm_micro_nats,
-             |    lm_micro_nats // n_bigrams AS avg_mn
-             |  FROM per_doc WHERE n_bigrams > 0),
-             |cut AS (SELECT quantile_disc(avg_mn, 0.2) AS cut FROM scored)
-             |SELECT s.doc_id, s.n_bigrams, s.lm_micro_nats, s.avg_mn
-             |FROM scored s CROSS JOIN cut c
-             |WHERE s.avg_mn >= c.cut
-             |ORDER BY s.doc_id""".stripMargin)),
+      (s, dir) => lmFilterKeptOf(docs(s, dir)).orderBy("doc_id"),
+      Some(BigramLmCte + LmFilterCtes +
+        """
+          |SELECT s.doc_id, s.n_bigrams, s.lm_micro_nats, s.avg_mn
+          |FROM scored s CROSS JOIN cut c
+          |WHERE s.avg_mn >= c.cut
+          |ORDER BY s.doc_id""".stripMargin)),
 
     /* TF-IDF salient-term extraction — top-3 terms per document by
      * tf × smooth-idf (sklearn convention: idf = ln((N+1)/(df+1)) + 1),

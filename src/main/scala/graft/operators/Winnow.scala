@@ -190,6 +190,23 @@ object Winnow {
       .select("doc_id", "span_start", "span_end", "n_hits")
   }
 
+  /** Keep-first foreign-span detection over an arbitrary fingerprint
+    * frame (doc_id, pos, h): ownership = min doc_id per hash, foreign
+    * hits (doc not the owner) islanded into splice ranges
+    * (doc_id, s, e). The q108 detect core, shared with q115 — which
+    * feeds it the persisted index's rows restricted to the pipeline
+    * stage's survivors, so ownership is decided among LIVE docs only.
+    */
+  private[graft] def foreignSpansOf(fp: DataFrame): DataFrame = {
+    val own = fp.groupBy("h").agg(min(col("doc_id")).as("owner"))
+    val fhits = fp.join(own, "h")
+      .filter(col("doc_id") =!= col("owner"))
+      .select("doc_id", "pos")
+    islandSpans(fhits)
+      .select(col("doc_id"), col("span_start").as("s"),
+        col("span_end").as("e"))
+  }
+
   /** Splice span ranges out of each doc's text — the apply half of
     * q108, shared with the streaming [[graft.streaming.WinnowIndexSink]]
     * so batch and stream splice identically. `alld` is (doc_id, tx, n)
@@ -262,6 +279,60 @@ object Winnow {
        |            (a, c) -> (a * $B2 + c) % $M2) AS h
        |        FROM selw s JOIN d USING (doc_id))""".stripMargin
 
+  /** [[SelCte]] over an arbitrary (doc_id, text) input relation — the
+    * winnowed fingerprint set of a pipeline stage's survivor corpus
+    * (q115's char-dedup stage). Same text, only the source substituted,
+    * so the composed oracle cannot drift from q106/q107/q108's.
+    */
+  private[operators] def selCteOver(input: String): String =
+    SelCte.replace("FROM documents", "FROM " + input)
+
+  /** The trimmed-corpus CTE the splice tail reads, over an arbitrary
+    * input relation. Shared by q108 and q115.
+    */
+  private[operators] def alldCteOver(input: String): String =
+    s""",
+       |alld AS (SELECT doc_id, trim(text) AS tx, len(trim(text)) AS n
+       |         FROM $input)""".stripMargin
+
+  /** q108's keep-first span-splice CTE chain (ownership → foreign hits
+    * → islands → spans → kept pieces → cleaned text + stats), reading
+    * CTEs `sel` and `alld`. ONE constant shared by q108 and q115 so the
+    * apply semantics cannot drift; each caller writes its own final
+    * SELECT over `alld`/`stats`/`cleaned`.
+    */
+  private[operators] val SpanApplyCtes: String =
+    s""",
+       |own AS (SELECT h, min(doc_id) AS owner FROM sel GROUP BY h),
+       |fhits AS (SELECT s.doc_id, s.pos FROM sel s JOIN own o USING (h)
+       |          WHERE s.doc_id <> o.owner),
+       |lagged AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $G
+       |    THEN 1 ELSE 0 END AS brk FROM fhits),
+       |isl AS (SELECT doc_id, pos,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM lagged),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${K - 1} AS e
+       |          FROM isl GROUP BY doc_id, island),
+       |pre AS (SELECT doc_id,
+       |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+       |          s - 1 AS ke
+       |        FROM spans),
+       |tail_p AS (SELECT sp.doc_id, max(sp.e) + 1 AS ks, a.n AS ke
+       |           FROM spans sp JOIN alld a USING (doc_id)
+       |           GROUP BY sp.doc_id, a.n),
+       |pieces AS (SELECT * FROM pre UNION ALL SELECT * FROM tail_p),
+       |cleaned AS (SELECT p.doc_id,
+       |              string_agg(substr(a.tx, CAST(p.ks AS INT),
+       |                                CAST(p.ke - p.ks + 1 AS INT)), ''
+       |                         ORDER BY p.ks) AS ct
+       |            FROM pieces p JOIN alld a USING (doc_id)
+       |            WHERE p.ke >= p.ks GROUP BY p.doc_id),
+       |stats AS (SELECT doc_id, count(*) AS n_spans,
+       |            CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+       |          FROM spans GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q106_winnow_fingerprints",
@@ -328,56 +399,18 @@ object Winnow {
         // (min doc_id per h) and the join-back both run exchange-free
         // on the bucketed scan
         val fp = s.table(FpIndex.ensure(s, dir))
-        val own = fp.groupBy("h").agg(min(col("doc_id")).as("owner"))
-        val fhits = fp.join(own, "h")
-          .filter(col("doc_id") =!= col("owner"))
-          .select("doc_id", "pos")
-        val spans = islandSpans(fhits)
-          .select(col("doc_id"), col("span_start").as("s"),
-            col("span_end").as("e"))
-        spliceClean(trimmed(s, dir), spans).orderBy("doc_id")
+        spliceClean(trimmed(s, dir), foreignSpansOf(fp)).orderBy("doc_id")
       },
-      Some(SelCte +
-        s""",
-           |alld AS (SELECT doc_id, trim(text) AS tx, len(trim(text)) AS n
-           |         FROM documents),
-           |own AS (SELECT h, min(doc_id) AS owner FROM sel GROUP BY h),
-           |fhits AS (SELECT s.doc_id, s.pos FROM sel s JOIN own o USING (h)
-           |          WHERE s.doc_id <> o.owner),
-           |lagged AS (SELECT doc_id, pos,
-           |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-           |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $G
-           |    THEN 1 ELSE 0 END AS brk FROM fhits),
-           |isl AS (SELECT doc_id, pos,
-           |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-           |        FROM lagged),
-           |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${K - 1} AS e
-           |          FROM isl GROUP BY doc_id, island),
-           |pre AS (SELECT doc_id,
-           |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
-           |          s - 1 AS ke
-           |        FROM spans),
-           |tail_p AS (SELECT sp.doc_id, max(sp.e) + 1 AS ks, a.n AS ke
-           |           FROM spans sp JOIN alld a USING (doc_id)
-           |           GROUP BY sp.doc_id, a.n),
-           |pieces AS (SELECT * FROM pre UNION ALL SELECT * FROM tail_p),
-           |cleaned AS (SELECT p.doc_id,
-           |              string_agg(substr(a.tx, CAST(p.ks AS INT),
-           |                                CAST(p.ke - p.ks + 1 AS INT)), ''
-           |                         ORDER BY p.ks) AS ct
-           |            FROM pieces p JOIN alld a USING (doc_id)
-           |            WHERE p.ke >= p.ks GROUP BY p.doc_id),
-           |stats AS (SELECT doc_id, count(*) AS n_spans,
-           |            CAST(sum(e - s + 1) AS BIGINT) AS n_removed
-           |          FROM spans GROUP BY doc_id)
-           |SELECT a.doc_id,
-           |  coalesce(st.n_spans, 0) AS n_spans,
-           |  coalesce(st.n_removed, 0) AS n_chars_removed,
-           |  coalesce(c.ct,
-           |    CASE WHEN st.n_spans IS NULL THEN a.tx ELSE '' END) AS clean_text
-           |FROM alld a LEFT JOIN stats st USING (doc_id)
-           |            LEFT JOIN cleaned c USING (doc_id)
-           |ORDER BY a.doc_id""".stripMargin)),
+      Some(SelCte + alldCteOver("documents") + SpanApplyCtes +
+        """
+          |SELECT a.doc_id,
+          |  coalesce(st.n_spans, 0) AS n_spans,
+          |  coalesce(st.n_removed, 0) AS n_chars_removed,
+          |  coalesce(c.ct,
+          |    CASE WHEN st.n_spans IS NULL THEN a.tx ELSE '' END) AS clean_text
+          |FROM alld a LEFT JOIN stats st USING (doc_id)
+          |            LEFT JOIN cleaned c USING (doc_id)
+          |ORDER BY a.doc_id""".stripMargin)),
 
     /* Fingerprint-index MAINTENANCE loop, oracle-gated — q87/q92's
      * proof structure at char granularity: build the fingerprint index

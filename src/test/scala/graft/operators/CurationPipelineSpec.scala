@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** q115, the composed curation capstone: the oracle gate proves the
+  * values; this spec pins the two properties the oracle cannot see —
+  * (a) the run SERVES both persisted indexes (re-registers them into a
+  * bare catalog) and never rebuilds one in-line, and (b) the char-span
+  * stage genuinely engages IN COMPOSITION (a doc whose only defect is a
+  * duplicated span survives every other stage and ships spliced, while
+  * the span's owner ships intact) — proven on an engineered corpus
+  * where the span-sharing pair is NOT an LSH near-dup pair, so only the
+  * winnow stage can see the duplication.
+  */
+class CurationPipelineSpec extends SparkSpec {
+
+  private def run(dir: String): Seq[Row] =
+    graft.SparkEntry.queries("q115_full_curation")(spark, dir)
+      .collect().toSeq
+
+  private def md5bucket(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    Integer.parseInt(
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2), 16)
+  }
+
+  test("q115 reuses both persisted indexes: re-registered, never rebuilt") {
+    val dir = sf0001
+    val fpName = FpIndex.ensure(spark, dir)
+    val blName = BloomIndex.ensure(spark, dir)
+    def fpTime(root: String, name: String) =
+      Files.getLastModifiedTime(Paths.get(root, name).resolve("_GRAFT_FP"))
+    val (m1, m2) =
+      (fpTime(FpIndex.indexRoot, fpName), fpTime(BloomIndex.indexRoot, blName))
+    // simulate a fresh JVM: catalog entries gone, files on disk
+    spark.sql(s"DROP TABLE IF EXISTS `$fpName`")
+    spark.sql(s"DROP TABLE IF EXISTS `$blName`")
+    val out = run(dir)
+    assert(out.nonEmpty)
+    assert(spark.catalog.tableExists(fpName),
+      "q115 must serve char-span dedup from the persisted FpIndex")
+    assert(spark.catalog.tableExists(blName),
+      "q115 must serve decontamination from the persisted BloomIndex")
+    assert(fpTime(FpIndex.indexRoot, fpName) == m1 &&
+        fpTime(BloomIndex.indexRoot, blName) == m2,
+      "a q115 run must never rebuild a persisted index in-line")
+  }
+
+  test("the span stage engages in composition; evidence columns consistent") {
+    // engineered corpus: every doc has its own disjoint vocabulary
+    // (no LSH pairs, no exact-dup keys, uniform LM scores — every
+    // other stage passes everything through), EXCEPT docs A < B which
+    // share one long span. Only the winnow stage can see it: B must
+    // ship spliced, A intact. Train-side membership is arranged by
+    // CONSTRUCTION: ids are picked so every corpus doc's ingest bucket
+    // is < 250 and its own-group split hash is < 204 (train).
+    val corpus = Files.createTempDirectory("graft-q115-span").toString
+    val trainIds = Iterator.from(1)
+      .filter(i => md5bucket(s"en:$i") < 250 && md5bucket(s"g:$i") < 204)
+      .take(30).toSeq
+    val benchIds = Iterator.from(1)
+      .filter(i => md5bucket(s"en:$i") >= 250).take(3).toSeq
+    val span = (1 to 14).map(i => s"zqspan$i").mkString(" ")
+    assert(span.length >= Winnow.K + Winnow.W - 1)
+    def filler(id: Long, part: Int, n: Int): String =
+      (1 to n).map(i => s"w${id}x${part}w$i").mkString(" ")
+    val aId = trainIds.head.toLong
+    val bId = trainIds(14).toLong
+    def text(id: Long): String =
+      if (id == aId || id == bId)
+        s"${filler(id, 1, 60)} $span ${filler(id, 2, 60)}"
+      else s"${filler(id, 1, 40)}"
+    import spark.implicits._
+    (trainIds.map(_.toLong).map(i => (i, text(i), "en", s"src${i % 7}")) ++
+        benchIds.map(_.toLong).map(i =>
+          (i, filler(i, 9, 40), "en", s"src${i % 7}")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpus/documents.parquet")
+    val out = run(corpus)
+    val byDoc = out.groupBy(_.getLong(0))
+    // every train-side doc survives (nothing else filters here)
+    assert(byDoc.keySet == trainIds.map(_.toLong).toSet,
+      s"expected all ${trainIds.size} train docs, got ${byDoc.keySet.size}")
+    def spansOf(id: Long) = byDoc(id).head.getLong(3)
+    def removedOf(id: Long) = byDoc(id).head.getLong(4)
+    assert(spansOf(aId) == 0 && removedOf(aId) == 0,
+      "the span's keep-first owner must ship intact")
+    assert(spansOf(bId) >= 1, "the later doc's duplicated span must be found")
+    assert(removedOf(bId) >= span.length - 2 * (Winnow.K + Winnow.W),
+      s"splice must remove ~the span, removed only ${removedOf(bId)}")
+    // evidence consistency + mix fanout on every row
+    out.foreach { r =>
+      assert((r.getLong(3) == 0) == (r.getLong(4) == 0),
+        "n_spans and n_chars_removed must be zero together")
+    }
+    byDoc.values.foreach { rows =>
+      val w = rows.head.getInt(9)
+      assert(rows.map(_.getInt(10)).sorted == (1 to w).toSeq,
+        "every doc must fan out into epochs 1..weight")
+    }
+    // cleanup the temp corpus's indexes (built once by this run)
+    Seq(FpIndex.tableNameFor(corpus) -> FpIndex.indexRoot,
+        BloomIndex.tableNameFor(corpus) -> BloomIndex.indexRoot,
+        BandIndex.tableNameFor(corpus) -> BandIndex.indexRoot)
+      .foreach { case (n, root) =>
+        spark.sql(s"DROP TABLE IF EXISTS `$n`")
+        IndexCommit.deleteTree(Paths.get(root, n))
+      }
+  }
+}
