@@ -77,7 +77,10 @@ object FpIndex {
   private def fingerprint(dir: String): String =
     IndexCommit.sourceFingerprint(dir, "documents.parquet") +
       s":winnow-k${Winnow.K}-w${Winnow.W}-b${Winnow.B1}-m${Winnow.M1}" +
-      s"-b2${Winnow.B2}-m2${Winnow.M2}-p${Winnow.PosMod}"
+      s"-b2${Winnow.B2}-m2${Winnow.M2}-p${Winnow.PosMod}" +
+      // chunked over-length docs changed which docs contribute rows —
+      // an index built under the exclusion rule must read as stale
+      s"-ch${Winnow.ChunkOverlap}"
 
   /** Winnowed fingerprints of a (doc_id, text) frame, CPU-spread by doc
     * so the per-char winnow parallelizes cluster-wide.

@@ -34,11 +34,11 @@ import graft.core.{QueryDef, Tables}
   * parallel projection chain, spec-pinned to contain no hash-partition
   * exchange (`WinnowSpec`). The min-key encoding packs (hash, position)
   * into one long — h1·2^20 + (2^20−1−p) — so a single integer min gives
-  * "smallest hash, rightmost position" exactly. The encoding bounds doc
-  * length at [[MaxDocLen]] = 2^20−1 chars (~1 MB); longer docs are
-  * EXCLUDED by an enforced filter (mirrored in the oracle) and pass
-  * through q108 unchanged — chunk them first (q55) if they must
-  * participate. An enforced exclusion, never a silent key wraparound.
+  * "smallest hash, rightmost position" exactly. The encoding bounds a
+  * single winnow pass at [[MaxDocLen]] = 2^20−1 chars (~1 MB); longer
+  * docs are CHUNKED with overlapping windows and winnowed per chunk —
+  * an EXACT decomposition, not an approximation (see [[ChunkOverlap]]),
+  * mirrored chunk-for-chunk in the oracle.
   *
   * Hashing is Karp-Rabin polynomial (Karp & Rabin, IBM JRD'87), not
   * md5: the per-position gram hash is the Horner fold
@@ -99,17 +99,35 @@ object Winnow {
   val B2: Long = graft.expressions.WinnowFingerprints.B2
   /** position field width of the packed key: 2^20 positions. */
   val PosMod: Long = graft.expressions.WinnowFingerprints.PosMod
-  /** max doc length the packed (hash, position) key can encode: h1 is
+  /** max chunk length the packed (hash, position) key can encode: h1 is
     * 31 bits, the position field 20 bits (51-bit keys — the round-10
     * md5 packing had only 15 position bits, excluding every doc over
-    * 32 KB from char dedup). Docs longer than this are EXCLUDED from
-    * fingerprinting (enforced, mirrored in the oracle — an explicit
-    * exclusion, never a silent key wraparound) and pass through q108
-    * unchanged; chunk them first (q55) if they must participate. The
-    * ~1 MB bound is also the memory guard: the native expression holds
-    * one code-point array per doc while it winnows.
+    * 32 KB from char dedup). Docs longer than this are CHUNKED
+    * ([[ChunkOverlap]]) and winnowed per chunk — exact, never a silent
+    * key wraparound. The ~1 MB bound is also the memory guard: the
+    * native expression holds one code-point array per chunk while it
+    * winnows.
     */
   val MaxDocLen: Long = graft.expressions.WinnowFingerprints.MaxDocLen
+
+  /** Over-length docs (n > [[MaxDocLen]]) are CHUNKED, winnowed
+    * per-chunk, and their fingerprints re-based to doc offsets. This is
+    * EXACT, not an approximation: a window's selection (min hash,
+    * rightmost tie, over its own W grams) is a pure function of the
+    * window's grams — independent of what surrounds it — so with every
+    * window fully contained in at least one chunk (overlap >= W+K-2
+    * chars; [[ChunkOverlap]] = W+K-1 for slack), the union of per-chunk
+    * selections over complete windows IS the whole-doc winnow set, and
+    * each chunk's selections are a subset of it (no boundary-artifact
+    * fingerprints to filter). Duplicates from windows shared by two
+    * chunks fold with one per-doc-keyed distinct that rides the
+    * already-doc-partitioned frame (no new exchange; spec-pinned).
+    * Chunk-local positions stay under the packed key's 20-bit field,
+    * which is what made whole-doc winnowing impossible past ~1 MB.
+    */
+  val ChunkOverlap: Long = K + W - 1
+  /** chunk start stride: chunks are [[MaxDocLen]] long. */
+  val ChunkStride: Long = MaxDocLen - ChunkOverlap
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -153,15 +171,36 @@ object Winnow {
     */
   private[graft] def fingerprintsOf(docsFrame: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsFrame.sparkSession)
-    docsFrame
-      // shorter docs have no complete window — definitionally no
-      // fingerprint; longer docs exceed the key encoding's position
-      // field ([[MaxDocLen]]) — both bounds mirrored in the oracle
-      .filter(col("n") >= K + W - 1 && col("n") <= MaxDocLen)
-      .select(col("doc_id"),
-        explode_outer(call_function("graft_winnow_fingerprints", col("tx")))
+    def winnowed(chunks: DataFrame): DataFrame = chunks
+      .select(col("doc_id"), col("cs"),
+        explode_outer(call_function("graft_winnow_fingerprints", col("ctx")))
           .as("fp"))
-      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+      .select(col("doc_id"),
+        (col("cs") - 1L + col("fp.pos")).as("pos"), col("fp.h").as("h"))
+    // shorter docs have no complete window — definitionally no
+    // fingerprint (mirrored in the oracle)
+    val base = docsFrame.filter(col("n") >= K + W - 1)
+    // docs within the key encoding's position field: one "chunk" at
+    // offset 1 — the fast path, byte-identical to the pre-chunking form
+    val inRange = winnowed(
+      base.filter(col("n") <= MaxDocLen)
+        .select(col("doc_id"), lit(1L).as("cs"), col("tx").as("ctx")))
+    // over-length docs: overlapping chunks, per-chunk winnow, re-based
+    // positions — EXACT whole-doc selections (see [[ChunkOverlap]]'s
+    // doc); last start <= n - overlap, so coverage reaches the end and
+    // every chunk has at least one complete window. The distinct folds
+    // the shared-window duplicates and rides the caller's doc-keyed
+    // partitioning (subset-satisfied aggregate — no new exchange).
+    val chunked = winnowed(
+      base.filter(col("n") > MaxDocLen)
+        .select(col("doc_id"), col("tx"),
+          explode(sequence(lit(1L),
+            col("n").cast("long") - lit(ChunkOverlap), lit(ChunkStride)))
+            .as("cs"))
+        .select(col("doc_id"), col("cs"),
+          expr(s"substring(tx, cast(cs as int), $MaxDocLen)").as("ctx")))
+      .dropDuplicates("doc_id", "pos")
+    inRange.unionByName(chunked)
   }
 
   /** Merge a sparse (doc_id, pos) hit set into maximal spans — the
@@ -255,29 +294,38 @@ object Winnow {
     * (the q101/q102 discipline).
     */
   private val SelCte =
-    s"""WITH d AS (SELECT doc_id, trim(text) AS tx, len(trim(text)) AS n
-       |           FROM documents WHERE len(trim(text)) >= ${K + W - 1}
-       |             AND len(trim(text)) <= $MaxDocLen),
-       |pos AS (SELECT doc_id, n, unnest(generate_series(1, n - ${K - 1})) AS p FROM d),
-       |g AS (SELECT pos.doc_id, pos.n, pos.p,
+    s"""WITH d0 AS (SELECT doc_id, trim(text) AS tx, len(trim(text)) AS n
+       |            FROM documents WHERE len(trim(text)) >= ${K + W - 1}),
+       |d AS (SELECT doc_id, CAST(1 AS BIGINT) AS cs, tx, n FROM d0
+       |      WHERE n <= $MaxDocLen
+       |      UNION ALL
+       |      SELECT doc_id, CAST(s AS BIGINT) AS cs,
+       |             substr(tx, CAST(s AS INT), $MaxDocLen) AS tx,
+       |             CAST(least($MaxDocLen, n - s + 1) AS BIGINT) AS n
+       |      FROM (SELECT doc_id, tx, n,
+       |              unnest(generate_series(1, n - $ChunkOverlap, $ChunkStride)) AS s
+       |            FROM d0 WHERE n > $MaxDocLen)),
+       |pos AS (SELECT doc_id, cs, n, unnest(generate_series(1, n - ${K - 1})) AS p FROM d),
+       |g AS (SELECT pos.doc_id, pos.cs, pos.n, pos.p,
        |        list_reduce(list_transform(generate_series(pos.p, pos.p + ${K - 1}),
        |          i -> CAST(ascii(substr(d.tx, CAST(i AS INT), 1)) AS BIGINT)),
        |          (a, c) -> (a * $B1 + c) % $M1) AS h1
-       |      FROM pos JOIN d USING (doc_id)),
-       |w AS (SELECT doc_id, n, p,
-       |        min(h1 * $PosMod + (${PosMod - 1} - p)) OVER (PARTITION BY doc_id ORDER BY p
+       |      FROM pos JOIN d USING (doc_id, cs)),
+       |w AS (SELECT doc_id, cs, n, p,
+       |        min(h1 * $PosMod + (${PosMod - 1} - p)) OVER (PARTITION BY doc_id, cs ORDER BY p
        |          ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS wk
        |      FROM g),
-       |selw AS (SELECT DISTINCT doc_id,
+       |selw AS (SELECT DISTINCT doc_id, cs,
        |          CAST(${PosMod - 1} - (wk % $PosMod) AS BIGINT) AS pos,
        |          CAST(wk // $PosMod AS BIGINT) AS h1
        |        FROM w WHERE p <= n - ${K - 1} - ${W - 1}),
-       |sel AS (SELECT s.doc_id, s.pos,
+       |sel0 AS (SELECT s.doc_id, s.cs, s.pos,
        |          s.h1 * 1073741824 + list_reduce(list_transform(
        |            generate_series(s.pos, s.pos + ${K - 1}),
        |            i -> CAST(ascii(substr(d.tx, CAST(i AS INT), 1)) AS BIGINT)),
        |            (a, c) -> (a * $B2 + c) % $M2) AS h
-       |        FROM selw s JOIN d USING (doc_id))""".stripMargin
+       |        FROM selw s JOIN d USING (doc_id, cs)),
+       |sel AS (SELECT DISTINCT doc_id, cs - 1 + pos AS pos, h FROM sel0)""".stripMargin
 
   /** [[SelCte]] over an arbitrary (doc_id, text) input relation — the
     * winnowed fingerprint set of a pipeline stage's survivor corpus

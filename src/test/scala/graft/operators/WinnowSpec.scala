@@ -39,23 +39,28 @@ class WinnowSpec extends SparkSpec {
     * 61-bit match hash.
     */
   private def replay(text: String): Set[(Long, Long)] = {
-    import Winnow.{B1, B2, M1, M2, PosMod}
+    import Winnow.{B1, B2, M1, M2}
     val cps = sqlTrim(text).codePoints().toArray
     val n = cps.length
-    if (n < K + W - 1 || n > Winnow.MaxDocLen) Set.empty
+    if (n < K + W - 1) Set.empty
     else {
+      // unpacked form of the engine's min-key selection — "smallest
+      // hash, rightmost position" — valid at ANY length, so the same
+      // straight-line definition also specifies what chunked winnowing
+      // of a > MaxDocLen doc must produce (chunking is exact)
       val np = n - (K - 1)
-      val keys = (1 to np).map { p =>
-        val h1 = horner(cps, p - 1, K, B1, M1)
-        h1 * PosMod + (PosMod - 1L - p)
-      }
-      (0 until np - (W - 1)).map(j => keys.slice(j, j + W).min)
-        .distinct.map { wk =>
-          val pos = PosMod - 1L - (wk % PosMod)
-          val h1 = wk / PosMod
-          val h2 = horner(cps, pos.toInt - 1, K, B2, M2)
-          (pos, h1 * 1073741824L + h2)
-        }.toSet
+      val h1s = Array.tabulate(np)(i => horner(cps, i, K, B1, M1))
+      (0 until np - (W - 1)).map { j =>
+        var best = j
+        var i = j + 1
+        while (i < j + W) {
+          if (h1s(i) <= h1s(best)) best = i
+          i += 1
+        }
+        best
+      }.distinct.map { bi =>
+        (bi + 1L, h1s(bi) * 1073741824L + horner(cps, bi, K, B2, M2))
+      }.toSet
     }
   }
 
@@ -258,32 +263,68 @@ class WinnowSpec extends SparkSpec {
       "the shared >= w+k-1 suffix must yield a shared hash across docs")
   }
 
-  test("docs beyond MaxDocLen are excluded, not key-wrapped") {
-    // the packed key's position field is 20 bits; a >1M-char doc would
-    // silently decode to wrong (hash, pos) pairs if it entered the
-    // pipeline — the contract is enforced exclusion, and q108 passes
-    // the excluded doc through unchanged
+  test("docs beyond MaxDocLen chunk-winnow exactly; boundary spans found") {
+    // over-length docs are chunked (overlap >= w+k-2) and winnowed per
+    // chunk — EXACT: each window's selection is window-local, so the
+    // union of per-chunk selections over complete windows equals the
+    // whole-doc winnow set. Proven here against the straight-line
+    // replay (which knows nothing about chunks), and the detect/apply
+    // path must find a duplicated span STRADDLING the chunk boundary.
     val dir = {
       val d = File.createTempFile("graft-winnow-long", "")
       d.delete(); d.mkdirs(); d.getAbsolutePath
     }
-    val long = ("the quick brown fox jumps over the lazy dog " * 24000).trim
+    val span = (1 to 30).map(i => s"bspan$i").mkString(" ")
+    // plant the span across the first chunk boundary (chunk 1 ends at
+    // char MaxDocLen): filler to MaxDocLen - 100, span (~200 chars),
+    // filler tail — deterministic, non-repeating filler words so the
+    // only cross-doc duplication is the span
+    def filler(tag: String, chars: Long): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < chars) { sb.append(tag).append(i).append(' '); i += 1 }
+      sb.toString.take(chars.toInt)
+    }
+    val long = (filler("qa", Winnow.MaxDocLen - 100) + " " + span + " " +
+      filler("qb", 64 * 1024)).trim
     assert(long.length > Winnow.MaxDocLen)
+    val partner = (filler("qc", 3000) + " " + span + " " +
+      filler("qd", 3000)).trim
     import spark.implicits._
-    Seq((0L, long, "en", "a"),
-      (1L, "a normal short document that winnows fine and fingerprints", "en", "b"))
+    Seq((0L, long, "en", "a"), (1L, partner, "en", "b"))
       .toDF("doc_id", "text", "lang", "source")
       .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val fps = q("q106_winnow_fingerprints")(spark, dir).collect()
-    assert(!fps.exists(_.getLong(0) == 0L), "long doc must be excluded")
-    assert(fps.exists(_.getLong(0) == 1L), "short doc still fingerprints")
+      .groupBy(_.getLong(0))
+    val longFps = fps(0L).map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(longFps.exists(_._1 > Winnow.MaxDocLen),
+      "re-based fingerprints must extend past the first chunk")
+    assert(fps(0L).length == longFps.size &&
+        longFps.size == longFps.map(_._1).size,
+      "chunk-overlap duplicates must fold to one row per position")
+    assert(longFps == replay(long),
+      "chunked winnowing must equal the whole-doc straight-line replay")
+    assert(fps(1L).map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      replay(partner))
+    // the duplicated span straddles the boundary: q107 must report a
+    // span for the long doc that starts before MaxDocLen and ends after
+    val spans = q("q107_dup_spans")(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.exists { case (s, e) =>
+        s <= Winnow.MaxDocLen && e > Winnow.MaxDocLen },
+      s"no boundary-straddling span in ${spans.toSeq}")
+    // apply: the partner (doc 1, later id) loses the span; the long doc
+    // (owner) ships intact
     val applied = q("q108_span_dedup_apply")(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
-    assert(applied(0L) == ((0L, long)), "excluded doc passes through intact")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(applied(0L) == ((0L, long)), "owner doc must pass through intact")
+    assert(applied(1L)._1 >= 1L && !applied(1L)._2.contains("bspan7 "),
+      "partner doc must ship with the duplicated span spliced out")
   }
 
-  test("q106 plan: the only hash shuffle carries doc-level rows") {
+  test("q106 plan: hash shuffles carry doc-level rows only") {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -293,16 +334,23 @@ class WinnowSpec extends SparkSpec {
         case e: ShuffleExchangeExec
             if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
       }
-      // exactly the CpuSpread doc-level repartition — and it must sit
-      // BELOW the gram fanout (its subtree holds no Generate), so no
-      // exchange ever carries gram- or fingerprint-level rows
-      assert(hashEx.size == 1,
-        s"expected exactly the doc-spread exchange:\n$plan")
-      val fansOut = hashEx.head.collect {
-        case g: org.apache.spark.sql.execution.GenerateExec => g
+      // exactly the two CpuSpread doc-level repartitions (one per
+      // length branch; the length filters push BELOW them, so the
+      // chunk branch's exchange carries only over-length docs — zero
+      // rows on an in-range corpus) — each BELOW the gram fanout (its
+      // subtree holds no Generate), so no exchange ever carries gram-
+      // or fingerprint-level rows. The chunk branch's overlap-dedup
+      // aggregate rides the doc partitioning (subset-satisfied
+      // distribution) — pinned by the exchange count staying 2.
+      assert(hashEx.size == 2,
+        s"expected exactly the two doc-spread exchanges:\n$plan")
+      hashEx.foreach { e =>
+        val fansOut = e.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }
+        assert(fansOut.isEmpty,
+          s"a doc-spread exchange must precede every explode:\n$plan")
       }
-      assert(fansOut.isEmpty,
-        s"the doc-spread exchange must precede the explode:\n$plan")
       val generates = plan.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g
       }
