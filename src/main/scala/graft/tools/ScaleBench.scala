@@ -365,20 +365,29 @@ object ScaleBench {
       (rotDir, sufDir, chnDir)
     }
 
-    // one untimed warm-up then three timed runs reported as the MEDIAN:
-    // a min-of-2 first cut produced non-monotonic curves (single GC/JIT
-    // outliers at one factor masked the shape), and the curve SHAPE
-    // across factors is the whole point of this harness
+    // one untimed warm-up then SPARK_GRAFT_SCALE_REPEATS (default 3)
+    // timed runs reported as the MEDIAN by default: a min-of-2 first cut
+    // produced non-monotonic curves (single GC/JIT outliers at one
+    // factor masked the shape), and the curve SHAPE across factors is
+    // the whole point of this harness. SPARK_GRAFT_SCALE_STAT=min
+    // switches to the minimum — the floor statistic for curving a
+    // HOST-NOISE-dominated family (q26's repeat envelope spans 3.7×:
+    // the median tracks the noise, the min tracks the engine).
+    val repeats = sys.env.get("SPARK_GRAFT_SCALE_REPEATS")
+      .map(_.trim.toInt).getOrElse(3)
+    val useMin = sys.env.get("SPARK_GRAFT_SCALE_STAT").contains("min")
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.catalog.clearCache() // see Bench: stray cache pins checkpoint blocks
       try materialize(fn(spark, dir)) catch { case _: Throwable => return -1.0 }
-      val t = (1 to 3).map { _ =>
+      val t = (1 to repeats).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         try { materialize(fn(spark, dir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      if (t.contains(-1.0)) -1.0 else t.sorted.apply(t.size / 2)
+      if (t.contains(-1.0)) -1.0
+      else if (useMin) t.min
+      else t.sorted.apply(t.size / 2)
     }
 
     // SPARK_GRAFT_SCALE_ONLY=key1,key2 limits the run to those result
