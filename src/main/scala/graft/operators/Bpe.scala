@@ -131,6 +131,138 @@ object Bpe {
       merges: Int): Seq[Row] =
     learn(s, dir, applyLast = false, merges)._1
 
+  /** Unsigned UTF-8 byte order — EXACTLY Spark's binary string ordering
+    * (UTF8String compares bytes), which the distributed loop's
+    * `orderBy(n DESC, a, b)` tie-break uses. Java's `String.compareTo`
+    * differs on astral-vs-BMP code units (surrogates sort low in
+    * UTF-16), so the in-memory trainer must compare bytes, not chars.
+    */
+  private[graft] def utf8Lt(x: String, y: String): Boolean = {
+    val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(bx.length, by.length)
+    var i = 0
+    while (i < n) {
+      val c = (bx(i) & 0xff) - (by(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    bx.length < by.length
+  }
+
+  /** Production-depth merge learning: the corpus is touched ONCE (the
+    * same weighted-vocab aggregate the distributed loop starts from),
+    * then the merge loop runs IN MEMORY with incremental pair-count
+    * maintenance — per step, only words actually containing the chosen
+    * pair are re-scanned, the classic trainer algorithm (Sennrich
+    * ACL'16 §3.2's "indexed" variant). This is the scale path for
+    * 10^3–10^4-merge vocabularies: the distributed loop is exact but
+    * pays one Spark job per merge (driver round-trip ~0.2–0.5 s), so
+    * 10^4 merges cost hours of pure scheduling; here the same chain
+    * costs one corpus pass plus microseconds per merge, flat in depth.
+    *
+    * The vocabulary is bounded and corpus-sublinear (distinct words,
+    * Zipf-capped), which is what makes driver-side learning legitimate
+    * at 100 TB — the identical dimension-collect rule q110 already uses
+    * for its merge table. `maxVocab` bounds memory explicitly for
+    * open-web corpora (top-N words by (cnt DESC, word ASC), the
+    * standard trainer cap — with a cap the chain is exact BPE over the
+    * retained mass); uncapped it is bit-identical to [[learnSteps]]
+    * at every depth: same pair statistic (all adjacent occurrences,
+    * weighted), same leftmost non-overlapping application, same total
+    * order with [[utf8Lt]] matching Spark's binary string sort.
+    * Equality is spec-pinned at depth 50 against the distributed loop
+    * AND the textbook replay (BpeSpec).
+    */
+  private[graft] def trainDeep(s: SparkSession, dir: String, merges: Int,
+      maxVocab: Option[Int] = None): Seq[Row] =
+    trainInMemory(collectVocab(s, dir, maxVocab), merges)
+
+  /** The one corpus pass: weighted distinct-word vocab, optionally
+    * capped, collected to the driver (bounded — the dimension-collect
+    * rule).
+    */
+  private[graft] def collectVocab(s: SparkSession, dir: String,
+      maxVocab: Option[Int] = None): Seq[(String, Long)] = {
+    val base = vocab(s, dir)
+    val capped = maxVocab match {
+      case Some(n) => base.orderBy(col("cnt").desc, col("word")).limit(n)
+      case None => base
+    }
+    capped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** The in-memory incremental merge loop over a weighted vocab. */
+  private[graft] def trainInMemory(vocab0: Seq[(String, Long)],
+      merges: Int): Seq[Row] = {
+    import scala.collection.mutable
+    // words as code-point symbol buffers (the (?s)(.) symbolization)
+    val syms: Array[mutable.ArrayBuffer[String]] = vocab0.map { case (w, _) =>
+      mutable.ArrayBuffer.from(w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))))
+    }.toArray
+    val cnts: Array[Long] = vocab0.map(_._2).toArray
+    val pairCnt = mutable.Map.empty[(String, String), Long]
+    val pairWords = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    def scan(i: Int, sign: Long, touchIndex: Boolean): Unit = {
+      val ss = syms(i)
+      var j = 0
+      while (j < ss.length - 1) {
+        val p = (ss(j), ss(j + 1))
+        val nv = pairCnt.getOrElse(p, 0L) + sign * cnts(i)
+        if (nv == 0L) pairCnt.remove(p) else pairCnt(p) = nv
+        if (touchIndex) {
+          if (sign > 0)
+            pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+          else pairWords.get(p).foreach { ws =>
+            ws -= i; if (ws.isEmpty) pairWords.remove(p)
+          }
+        }
+        j += 1
+      }
+    }
+    syms.indices.foreach(scan(_, 1L, touchIndex = true))
+    val steps = Seq.newBuilder[Row]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        // total order (n DESC, a ASC, b ASC) under binary string order —
+        // one linear scan of the live pair set per step
+        var best: ((String, String), Long) = null
+        pairCnt.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+              (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+                (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((a, b), n) = best
+        steps += Row(step.toLong, a, b, a + b, n)
+        // touch ONLY words containing the pair: remove their pair
+        // contributions, apply the leftmost non-overlapping merge,
+        // re-add — the index stays exact because each affected word is
+        // fully re-scanned
+        val affected = pairWords.getOrElse((a, b), mutable.Set.empty).toArray
+        affected.foreach { i =>
+          scan(i, -1L, touchIndex = true)
+          val ss = syms(i)
+          val out = mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < ss.length) {
+            if (j < ss.length - 1 && ss(j) == a && ss(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += ss(j); j += 1 }
+          }
+          syms(i) = out
+          scan(i, 1L, touchIndex = true)
+        }
+        step += 1
+      }
+    }
+    steps.result()
+  }
+
   private val MergeSchema = StructType(Seq(
     StructField("step", LongType), StructField("left_sym", StringType),
     StructField("right_sym", StringType), StructField("merged", StringType),

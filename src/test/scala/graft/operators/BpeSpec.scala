@@ -139,6 +139,44 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._4).distinct.size == got.size, "merged symbols distinct")
   }
 
+  test("trainDeep equals the distributed loop at depth 50 and the replay at 500") {
+    // the in-memory incremental trainer must be BIT-IDENTICAL to the
+    // distributed per-merge loop (same pair statistic, same leftmost
+    // application, same total order) — any drift at one step changes
+    // every later pick, so depth-50 equality pins the whole algorithm
+    val dist = Bpe.learnSteps(spark, sf0001, 50)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val fast50 = Bpe.trainDeep(spark, sf0001, 50)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(fast50 == dist,
+      "in-memory trainer must equal the distributed loop step-for-step")
+    // production depth: 500 merges against the (quadratic, independent)
+    // textbook replay — exhaustion-safe on a small vocab
+    val (exp, _) = replayLearn(words(sf0001), 500)
+    val fast500 = Bpe.trainDeep(spark, sf0001, 500)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(fast500 == exp)
+    assert(fast500.size > 50, "sf0.001 must sustain a deep chain")
+    // a cap at least as large as the vocab is a no-op (exact BPE)
+    assert(Bpe.trainDeep(spark, sf0001, 50, Some(1000000))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq == dist)
+  }
+
+  test("the trainer's tie-break is Spark's binary string order, not compareTo") {
+    // U+E000 (UTF-8 EE 80 80) sorts BEFORE U+10000 (F0 90 80 80) in
+    // byte order — but AFTER it under Java compareTo (surrogates are
+    // low code units). The comparator must side with Spark.
+    val bmp = ""
+    val astral = new String(Character.toChars(0x10000))
+    assert(Bpe.utf8Lt(bmp, astral) && !Bpe.utf8Lt(astral, bmp))
+    assert(bmp.compareTo(astral) > 0,
+      "fixture must actually distinguish the two orders")
+  }
+
   test("q110 equals the list-based apply per doc, with exact fertility") {
     val (_, tok) = replayLearn(words(sf0001), Bpe.Merges)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
