@@ -88,4 +88,134 @@ object ClusterIndex {
       name
     }
   }
+
+  /** Build a bucketed assignment table from an arbitrary
+    * (vec_id, cid, v, nrm) frame at `path`, registered as `name` — the
+    * sink-managed-index entry ([[graft.streaming.ClusterIndexSink]]),
+    * beside [[ensure]]'s corpus-fingerprinted build.
+    */
+  def buildIndexFrame(spark: SparkSession, frame: org.apache.spark.sql.DataFrame,
+      name: String, path: Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    IndexCommit.deleteTree(path)
+    frame
+      .repartition(NumBuckets, col("cid"))
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "cid")
+      .sortBy("cid", "vec_id")
+      .option("path", path.toString)
+      .saveAsTable(name)
+  }
+
+  /** An EMPTY bucketed assignment index — the cold-start entry for a
+    * continuous vector-ingest stream.
+    */
+  def initIndex(spark: SparkSession, name: String, path: Path): Unit = {
+    import org.apache.spark.sql.types._
+    buildIndexFrame(spark,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("cid", LongType),
+          StructField("v", ArrayType(DoubleType)),
+          StructField("nrm", DoubleType)))),
+      name, path)
+  }
+
+  /** Append admitted rows; the bucketed-append writer validates the
+    * spec (register() declares the matching SORTED BY, the house
+    * restart regression).
+    */
+  def append(spark: SparkSession, name: String,
+      admitted: org.apache.spark.sql.DataFrame): Unit =
+    admitted.select("vec_id", "cid", "v", "nrm")
+      .repartition(NumBuckets, col("cid"))
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "cid")
+      .sortBy("cid", "vec_id")
+      .mode("append")
+      .saveAsTable(name)
+
+  /** SemDeDup's within-cell duplicate threshold (q104's rule) — shared
+    * by the streaming sink and the q116 maintenance loop.
+    */
+  val Tau = 0.3
+
+  /** (vec_id, cid, v, nrm) of a (vec_id, embedding) batch under FROZEN
+    * centroids — the exact q101 assignment rule (integer micro-unit
+    * quantization, exact integer distances, ties on cid). Shared by
+    * [[graft.streaming.ClusterIndexSink]] and q116 so the ingest
+    * assignment cannot drift between batch and stream.
+    */
+  private[graft] def assignBatch(batch: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qv = batch.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("qv"))
+    val asg = Clustering.assign(qv, centroids).select("vec_id", "cid")
+    batch.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .join(asg, "vec_id")
+  }
+
+  /** Verdicts (vec_id, cid, dup_of, kept) of an assigned batch frame
+    * `b` (vec_id, cid, v, nrm) against the index — the probe half of
+    * continuous-ingest SemDeDup, shared VERBATIM by the streaming sink
+    * and the q116 oracle-gated maintenance loop (batch and stream
+    * cannot diverge; the [[Winnow.spliceClean]] discipline at the
+    * vector layer). History contains ONLY admitted representatives, so
+    * an arrival is pruned iff it matches an ADMITTED same-cell vector
+    * (grouped-min reduce — duplicate index rows from a crash-replayed
+    * append can never change a verdict) or an EARLIER (smaller vec_id)
+    * member of its own batch, whatever that member's own verdict (the
+    * q78 within-batch keep-first). The history leg shuffles the BATCH
+    * side only — the index is read bucketed on `cid`.
+    *
+    * `excludeBatchFromHistory` is the replay seam ([[FpIndex
+    * .probeSpans]]): a crashed prior attempt may have appended this
+    * batch's own rows; excluding the batch's ids from the history leg
+    * makes the probe idempotent under replay-after-append.
+    */
+  private[graft] def probeVerdicts(spark: SparkSession,
+      indexName: String, b: org.apache.spark.sql.DataFrame,
+      excludeBatchFromHistory: Boolean): org.apache.spark.sql.DataFrame = {
+    val hist = spark.table(indexName)
+      .select(col("vec_id").as("h_id"), col("cid"),
+        col("v").as("hv"), col("nrm").as("hn"))
+    val pairs0 = b.join(hist, Seq("cid"))
+      .withColumn("cos", aggregate(
+        zip_with(col("v"), col("hv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("hn")))
+      .filter(col("cos") >= Tau)
+    // the replay exclusion operates on the MATCHED PAIRS (already
+    // batch-sized), never on the raw index — an anti join against the
+    // scan side would reshuffle the whole index by vec_id every
+    // micro-batch; here it is an explicit broadcast anti over the
+    // batch-id set (a checkpointed batch has no stats, so the planner
+    // would not broadcast it on its own)
+    val pairs =
+      if (excludeBatchFromHistory)
+        pairs0.join(broadcast(b.select(col("vec_id").as("h_id"))),
+          Seq("h_id"), "left_anti")
+      else pairs0
+    val histDup = pairs.groupBy("vec_id").agg(min(col("h_id")).as("h_dup"))
+    val bSide = b.select(col("vec_id").as("b_id"), col("cid").as("b_cid"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val batchDup = b.join(bSide,
+        col("cid") === col("b_cid") && col("b_id") < col("vec_id"))
+      .withColumn("cos", aggregate(
+        zip_with(col("v"), col("bv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("bn")))
+      .filter(col("cos") >= Tau)
+      .groupBy("vec_id").agg(min(col("b_id")).as("b_dup"))
+    b.select("vec_id", "cid")
+      .join(histDup, Seq("vec_id"), "left")
+      .join(batchDup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        least(col("h_dup"), col("b_dup")).as("dup_of"),
+        (col("h_dup").isNull && col("b_dup").isNull).as("kept"))
+  }
 }

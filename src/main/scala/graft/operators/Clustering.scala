@@ -393,5 +393,122 @@ object Clustering {
            |    FROM e JOIN pr USING (vec_id)) t WHERE rk <= $SampleK),
            |""".stripMargin +
         lloydIterCtes("smp") + ",\n" + AfCte +
-        "\nSELECT vec_id, cid, dist2 FROM af ORDER BY vec_id")))
+        "\nSELECT vec_id, cid, dist2 FROM af ORDER BY vec_id")),
+
+    /* Cluster-assignment-index MAINTENANCE loop — q112's proof
+     * structure (q87/q92's before it) at the VECTOR layer, certifying
+     * the path [[graft.streaming.ClusterIndexSink]] runs per
+     * micro-batch: freeze centroids learned on HISTORY (the
+     * generation's curated artifact — Lloyd on the history slice),
+     * build the bucketed assignment index over history
+     * ([[ClusterIndex.buildIndexFrame]]), probe ingest batch 1 for
+     * within-cell duplicates (admitted-history leg + within-batch
+     * keep-first leg — [[ClusterIndex.probeVerdicts]], the sink's
+     * EXACT code), APPEND the admitted representatives
+     * ([[ClusterIndex.append]]), then probe batch 2 against the grown
+     * index. The DuckDB oracle recomputes each phase monolithically:
+     * phase 2's admissible partner set = history ∪ phase 1's kept rows
+     * EXACTLY because batch 1's admitted vectors were appended — so
+     * the hash gate proves the append path (bucket layout, frozen-
+     * centroid batch assignment, grouped-min verdict reduce), not just
+     * a whole-corpus aggregate. History contains every history vector
+     * (the from-scratch build indexes the full slice); admission
+     * filtering applies from the first INGESTED batch on — the sink's
+     * cold-attach semantics.
+     */
+    QueryDef(
+      "q116_cluster_maintenance",
+      (s, dir) => {
+        // pid-suffixed scratch under the shared index root (q112's
+        // discipline): concurrent processes must not interleave
+        // delete/saveAsTable on one scratch path
+        val name = ClusterIndex.tableNameFor(dir) + "_maint_" +
+          ProcessHandle.current().pid()
+        val path = java.nio.file.Paths.get(ClusterIndex.indexRoot, name)
+        val base = Tables(s, dir, "embeddings")
+          .withColumn("bucket",
+            conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+              .cast("int"))
+        def slice(lo: Int, hi: Int) =
+          base.filter(col("bucket") >= lo && col("bucket") < hi)
+            .select("vec_id", "embedding")
+        val hist = slice(0, 200)
+        // frozen learned cells: Lloyd on history only (bounded driver
+        // state via lloydCentroids' per-iteration checkpoints)
+        val cents = lloydCentroids(
+          hist.select(col("vec_id"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+              .as("qv")),
+          K, Iters)
+        ClusterIndex.buildIndexFrame(s,
+          ClusterIndex.assignBatch(hist, cents), name, path)
+        val b1 = ClusterIndex.assignBatch(slice(200, 230), cents)
+          .localCheckpoint(true)
+        // eagerly pinned BEFORE the append mutates the table (the q112
+        // probe discipline); exclusion on, mirroring the sink's replay
+        // posture — a no-op on this clean run, spec-proven load-bearing
+        val p1 = ClusterIndex.probeVerdicts(s, name, b1,
+            excludeBatchFromHistory = true)
+          .withColumn("batch_no", lit(1))
+          .localCheckpoint(true)
+        ClusterIndex.append(s, name,
+          b1.join(p1.filter(col("kept")).select("vec_id"), "vec_id"))
+        b1.unpersist()
+        val p2 = ClusterIndex.probeVerdicts(s, name,
+            ClusterIndex.assignBatch(slice(230, 256), cents),
+            excludeBatchFromHistory = true)
+          .withColumn("batch_no", lit(2))
+        p1.unionByName(p2)
+          .select("batch_no", "vec_id", "cid", "dup_of", "kept")
+          .orderBy("batch_no", "vec_id")
+      },
+      {
+        val cos = "list_sum(list_transform(generate_series(1, 64), " +
+          "i -> b.v[i]*p.v[i])) / (b.nrm*p.nrm)"
+        Some(ECte + ",\n" +
+          """bk AS (SELECT vec_id,
+            |         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+            |       FROM embeddings),
+            |eh AS (SELECT e.vec_id, e.qv FROM e JOIN bk USING (vec_id)
+            |       WHERE bk.bucket < 200),
+            |""".stripMargin +
+          lloydIterCtes("eh") + ",\n" + AfCte + ",\n" +
+          s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nv AS (SELECT vec_id, v,
+             |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
+             |ab AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm, bk.bucket
+             |       FROM af JOIN nv USING (vec_id) JOIN bk USING (vec_id)),
+             |pr1 AS (SELECT b.vec_id, p.vec_id AS pid
+             |        FROM ab b JOIN ab p ON p.cid = b.cid
+             |          AND (p.bucket < 200
+             |               OR (p.bucket >= 200 AND p.bucket < 230 AND p.vec_id < b.vec_id))
+             |        WHERE b.bucket >= 200 AND b.bucket < 230 AND $cos >= 0.3),
+             |d1 AS (SELECT vec_id, min(pid) AS dup_of FROM pr1 GROUP BY 1),
+             |p1 AS (SELECT 1 AS batch_no, b.vec_id, b.cid, d1.dup_of,
+             |         d1.dup_of IS NULL AS kept
+             |       FROM ab b LEFT JOIN d1 ON d1.vec_id = b.vec_id
+             |       WHERE b.bucket >= 200 AND b.bucket < 230),
+             |k1 AS (SELECT vec_id FROM p1 WHERE kept),
+             |pr2 AS (SELECT b.vec_id, p.vec_id AS pid
+             |        FROM ab b JOIN ab p ON p.cid = b.cid
+             |          AND (p.bucket < 200
+             |               OR (p.bucket >= 230 AND p.vec_id < b.vec_id))
+             |        WHERE b.bucket >= 230 AND $cos >= 0.3
+             |        UNION ALL
+             |        SELECT b.vec_id, p.vec_id
+             |        FROM ab b JOIN ab p ON p.cid = b.cid
+             |          JOIN k1 ON k1.vec_id = p.vec_id
+             |        WHERE b.bucket >= 230 AND $cos >= 0.3),
+             |d2 AS (SELECT vec_id, min(pid) AS dup_of FROM pr2 GROUP BY 1),
+             |p2 AS (SELECT 2 AS batch_no, b.vec_id, b.cid, d2.dup_of,
+             |         d2.dup_of IS NULL AS kept
+             |       FROM ab b LEFT JOIN d2 ON d2.vec_id = b.vec_id
+             |       WHERE b.bucket >= 230)
+             |SELECT batch_no, vec_id, cid, dup_of, kept FROM p1
+             |UNION ALL
+             |SELECT batch_no, vec_id, cid, dup_of, kept FROM p2
+             |ORDER BY batch_no, vec_id""".stripMargin)
+      })
+  )
 }

@@ -77,6 +77,125 @@ class ClusterIndexSpec extends SparkSpec {
     }
   }
 
+  test("q116 phases equal the streaming sink's applyBatch sequence") {
+    // q116 is oracle-gated and runs ClusterIndex.assignBatch /
+    // probeVerdicts / append — the sink's EXACT per-micro-batch code.
+    // Driving the SINK over the same history/batch slices must produce
+    // the identical verdict log, which extends the DuckDB oracle's
+    // reach to the streaming surface by proxy.
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+      .withColumn("bucket",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+          .cast("int"))
+    def slice(lo: Int, hi: Int) =
+      emb.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select("vec_id", "embedding")
+    val cents = Clustering.lloydCentroids(
+      slice(0, 200).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("qv")),
+      8, 2)
+    val name = "graft_clidx_q116_equiv"
+    val root = java.nio.file.Files.createTempDirectory("graft-clidx-q116")
+    ClusterIndex.buildIndexFrame(spark,
+      ClusterIndex.assignBatch(slice(0, 200), cents), name,
+      root.resolve("idx"))
+    val outDir = root.resolve("log").toString
+    import graft.streaming.ClusterIndexSink
+    assert(ClusterIndexSink.applyBatch(slice(200, 230), 0L, name, cents, outDir))
+    assert(ClusterIndexSink.applyBatch(slice(230, 256), 1L, name, cents, outDir))
+    val sink = ClusterIndexSink.verdicts(spark, outDir)
+      .select(col("batch_id") + 1, col("vec_id"), col("cid"), col("dup_of"),
+        col("kept"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val q116 = q("q116_cluster_maintenance")(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toSeq
+    assert(q116.exists(!_._5), "fixture must exercise at least one prune")
+    assert(q116.exists(t => t._1 == 2L && !t._5 &&
+        t._4.exists(d => sink.exists(s => s._1 == 1L && s._2 == d && s._5))),
+      "a batch-2 prune must cite an ADMITTED batch-1 representative " +
+        "(the append path, not just history)")
+    assert(sink == q116)
+  }
+
+  test("q116 probe plan: the history leg reads the index bucketed, batch side shuffles") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+      .withColumn("bucket",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+          .cast("int"))
+    val hist = emb.filter(col("bucket") < 200).select("vec_id", "embedding")
+    val batch = emb.filter(col("bucket") >= 200 && col("bucket") < 230)
+      .select("vec_id", "embedding")
+    val cents = Clustering.lloydCentroids(
+      hist.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("qv")),
+      8, 2)
+    val name = "graft_clidx_q116_plan"
+    val root = java.nio.file.Files.createTempDirectory("graft-clidx-q116p")
+    ClusterIndex.buildIndexFrame(spark,
+      ClusterIndex.assignBatch(hist, cents), name, root.resolve("idx"))
+    val b = ClusterIndex.assignBatch(batch, cents).localCheckpoint(true)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // (a) broadcast disabled so the cid join must sort-merge: the
+      // history side is the bucketed scan with NO exchange; every hash
+      // shuffle carries batch-derived rows (cid repartition of the
+      // batch leg, vec_id verdict join-backs), never the index
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = ClusterIndex.probeVerdicts(spark, name, b,
+        excludeBatchFromHistory = false).queryExecution.executedPlan
+      def scansIndex(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect {
+          case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == name) => f
+        }.nonEmpty
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.exists { j =>
+          val histSide = Seq(j.left, j.right).filter(scansIndex)
+          histSide.nonEmpty && histSide.forall(
+            _.collect { case e: ShuffleExchangeExec => e }.isEmpty) &&
+            histSide.forall(_.collect {
+              case f: FileSourceScanExec
+                  if f.tableIdentifier.exists(_.table == name) => f
+            }.forall(_.bucketedScan))
+        }, s"history leg must be the bucketed scan, exchange-free:\n$plan")
+      // no exchange may carry RAW index rows: an exchange whose subtree
+      // scans the index is legal only past an aggregate boundary (the
+      // verdict reduce shuffles batch-keyed (vec_id, min) rows, never
+      // the index side of the cid join)
+      def rawIndexShuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case e: ShuffleExchangeExec if scansIndex(e.child) &&
+              e.child.collect {
+                case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+              }.isEmpty => e
+        }
+      assert(rawIndexShuffles(plan).isEmpty,
+        s"an exchange carries raw index rows:\n$plan")
+      // (b) production posture (broadcast on, replay exclusion on): the
+      // vec_id anti join broadcasts the small batch-id set, so the
+      // index STILL reaches the cid join unshuffled
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      val planEx = ClusterIndex.probeVerdicts(spark, name, b,
+        excludeBatchFromHistory = true).queryExecution.executedPlan
+      assert(rawIndexShuffles(planEx).isEmpty,
+        s"exclusion must not force a shuffle of raw index rows:\n$planEx")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      b.unpersist()
+    }
+  }
+
   test("a fresh session re-registers a valid on-disk index without rebuilding") {
     val name = ClusterIndex.ensure(spark, dir)
     val r1 = rows("q113_semdedup_indexed")
