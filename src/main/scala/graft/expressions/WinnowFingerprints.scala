@@ -86,7 +86,9 @@ object WinnowFingerprints {
   val B2 = 137L
   /** position field width of the packed key: 2^20 positions. */
   val PosMod = 1048576L
-  /** max doc length the packed key can encode (see Winnow scaladoc). */
+  /** max CHUNK length the packed key can encode — longer docs are
+    * chunked inside [[compute]] (see Winnow scaladoc).
+    */
   val MaxDocLen = PosMod - 1
 
   val OutType: ArrayType = ArrayType(
@@ -105,72 +107,145 @@ object WinnowFingerprints {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
 
-  /** static entry point shared by interpreted + generated code paths. */
+  /** chunk overlap in chars for over-length docs: >= W+K-2 guarantees
+    * every window of the whole doc is fully contained in some chunk
+    * (W+K-1 leaves one char of slack — shared with the oracle CTE).
+    */
+  val ChunkOverlap: Int = K + W - 1
+  /** chunk start stride: chunks are [[MaxDocLen]] code points long. */
+  val ChunkStride: Int = (MaxDocLen - ChunkOverlap).toInt
+
+  /** static entry point shared by interpreted + generated code paths.
+    *
+    * Docs up to [[MaxDocLen]] code points winnow in one pass (the
+    * packed (hash, position) key has a 20-bit position field). LONGER
+    * docs are chunked INSIDE the expression: overlapping [[ChunkStride]]
+    * windows of [[MaxDocLen]] code points, each winnowed with the same
+    * rolling/deque machinery on chunk-local positions, emissions
+    * re-based to doc-global offsets. The decomposition is EXACT, not an
+    * approximation — a window's selection (min hash, rightmost tie) is
+    * a pure function of its own grams, and with overlap >= W+K-2 every
+    * whole-doc window lies fully inside some chunk, so the union of
+    * per-chunk selections over complete windows IS the whole-doc winnow
+    * set. Cross-chunk duplicate emissions (a boundary position selected
+    * by windows on both sides) can only involve CONSECUTIVE chunks (the
+    * windows selecting one position span < 2W+K chars << stride), so a
+    * tiny carry set — the previous chunk's emissions at or past the
+    * current chunk's start, <= ~2W entries — suppresses them and the
+    * output is the exact per-position set union, matching the oracle's
+    * chunked-CTE DISTINCT. Only ONE chunk's code-point array is live at
+    * a time (the overlap is carried by arraycopy), so memory stays
+    * O(MaxDocLen) per doc regardless of doc length — chunking INSIDE
+    * the expression keeps the query plan's one-generate shape (no
+    * chunk-explode, no post-hoc dedup aggregate; a plan-level union of
+    * length-split branches measured 2-3x on q106 via double corpus
+    * scans, and a chunk-starts explode + dedup aggregate cost ~70% on
+    * the same query).
+    */
   def compute(s: UTF8String): ArrayData = {
     val str = s.toString
-    // code points, matching Spark/DuckDB ascii()+substr character
-    // semantics (length() counts code points on both engines)
     val cu = str.length
-    val codes = new Array[Int](cu)
-    var n = 0
-    var ci = 0
-    while (ci < cu) {
+    val out = new ArrayBuffer[Any]()
+    // fast path: whole doc fits one winnow pass (n <= MaxDocLen implies
+    // cu could still exceed it only via surrogate pairs — counted below)
+    val maxLen = MaxDocLen.toInt
+    // code points, matching Spark/DuckDB ascii()+substr character
+    // semantics (length() counts code points on both engines); filled
+    // chunk by chunk — one chunk array live at a time
+    val cap = math.min(cu, maxLen)
+    val codes = new Array[Int](cap)
+    var ci = 0 // UTF-16 cursor into str
+    var n = 0 // code points in the current chunk
+    var base = 0L // global 0-based code-point offset of codes(0)
+    // fill the first chunk
+    while (ci < cu && n < cap) {
       val cp = str.codePointAt(ci)
       codes(n) = cp
       n += 1
       ci += Character.charCount(cp)
     }
-    if (n < K + W - 1 || n > MaxDocLen) return Empty
-
-    val np = n - (K - 1)
-    // deque of candidate positions (1-based), keys increasing; sized 4W
-    // so front-compaction (never more than W live entries) amortizes to
-    // O(1) per push
-    val dqPos = new Array[Int](4 * W)
-    val dqKey = new Array[Long](4 * W)
-    var head = 0
-    var tail = 0 // exclusive
-    val out = new ArrayBuffer[Any]()
-    var lastEmitted = Long.MinValue
-
-    // first gram hash by Horner, then one rolling update per position
-    var h1 = 0L
-    var j = 0
-    while (j < K) { h1 = (h1 * B1 + codes(j)) % M1; j += 1 }
-    var p = 1
-    while (p <= np) {
-      val wk = h1 * PosMod + (PosMod - 1L - p)
-      // monotonic deque push: drop dominated (larger-key) candidates
-      while (tail > head && dqKey(tail - 1) >= wk) tail -= 1
-      // live entries peak at W+1 (the push lands before this position's
-      // expiry runs); the arrays are sized 4W so this front-compaction
-      // fires at most once per ~3W pushes — amortized O(1)
-      if (tail == dqPos.length) {
-        System.arraycopy(dqPos, head, dqPos, 0, tail - head)
-        System.arraycopy(dqKey, head, dqKey, 0, tail - head)
-        tail -= head; head = 0
-      }
-      dqPos(tail) = p; dqKey(tail) = wk; tail += 1
-      // window [p-W+1, p] is complete once p >= W; expire the front
-      if (p >= W) {
-        while (dqPos(head) < p - W + 1) head += 1
-        val sel = dqKey(head)
-        if (sel != lastEmitted) {
-          lastEmitted = sel
-          val selPos = (PosMod - 1L - (sel % PosMod)).toInt
-          var h2 = 0L
-          var t = selPos - 1
-          val end = selPos - 1 + K
-          while (t < end) { h2 = (h2 * B2 + codes(t)) % M2; t += 1 }
-          out += new GenericInternalRow(
-            Array[Any](selPos.toLong, (sel / PosMod) * 1073741824L + h2))
+    if (n < K + W - 1) return Empty
+    var carry = new ArrayBuffer[Long]() // emissions >= next chunk start
+    var done = false
+    while (!done) {
+      val nextBase = base + ChunkStride
+      // winnow codes[0, n): chunk-local positions 1..n-(K-1)
+      val np = n - (K - 1)
+      val dqPos = new Array[Int](4 * W)
+      val dqKey = new Array[Long](4 * W)
+      var head = 0
+      var tail = 0 // exclusive
+      var lastEmitted = Long.MinValue
+      val nextCarry = new ArrayBuffer[Long]()
+      // first gram hash by Horner, then one rolling update per position
+      var h1 = 0L
+      var j = 0
+      while (j < K) { h1 = (h1 * B1 + codes(j)) % M1; j += 1 }
+      var p = 1
+      while (p <= np) {
+        val wk = h1 * PosMod + (PosMod - 1L - p)
+        // monotonic deque push: drop dominated (larger-key) candidates
+        while (tail > head && dqKey(tail - 1) >= wk) tail -= 1
+        // live entries peak at W+1 (the push lands before this
+        // position's expiry runs); the arrays are sized 4W so this
+        // front-compaction fires at most once per ~3W pushes
+        if (tail == dqPos.length) {
+          System.arraycopy(dqPos, head, dqPos, 0, tail - head)
+          System.arraycopy(dqKey, head, dqKey, 0, tail - head)
+          tail -= head; head = 0
         }
+        dqPos(tail) = p; dqKey(tail) = wk; tail += 1
+        // window [p-W+1, p] is complete once p >= W; expire the front
+        if (p >= W) {
+          while (dqPos(head) < p - W + 1) head += 1
+          val sel = dqKey(head)
+          if (sel != lastEmitted) {
+            lastEmitted = sel
+            val selPos = (PosMod - 1L - (sel % PosMod)).toInt
+            val gPos = base + selPos
+            // suppress an emission the PREVIOUS chunk already made for
+            // this global position (same position => same gram => same
+            // hash); the carry set is <= ~2W entries
+            var dup = false
+            var s0 = 0
+            while (!dup && s0 < carry.length) {
+              if (carry(s0) == gPos) dup = true
+              s0 += 1
+            }
+            if (!dup) {
+              var h2 = 0L
+              var t = selPos - 1
+              val end = selPos - 1 + K
+              while (t < end) { h2 = (h2 * B2 + codes(t)) % M2; t += 1 }
+              out += new GenericInternalRow(
+                Array[Any](gPos, (sel / PosMod) * 1073741824L + h2))
+              // carry emissions the NEXT chunk's windows can also select
+              // (its positions start at nextBase + 1); a carry entry can
+              // never reach the chunk after next — stride >> W
+              if (gPos > nextBase) nextCarry += gPos
+            }
+          }
+        }
+        // roll: remove codes(p-1), append codes(p+K-1)
+        if (p < np) {
+          h1 = ((h1 - codes(p - 1) * BK1 % M1 + M1) * B1 + codes(p + K - 1)) % M1
+        }
+        p += 1
       }
-      // roll: remove codes(p-1), append codes(p+K-1)
-      if (p < np) {
-        h1 = ((h1 - codes(p - 1) * BK1 % M1 + M1) * B1 + codes(p + K - 1)) % M1
+      if (ci >= cu) done = true
+      else {
+        // slide: keep the last ChunkOverlap code points, refill the rest
+        System.arraycopy(codes, n - ChunkOverlap, codes, 0, ChunkOverlap)
+        base = base + (n - ChunkOverlap)
+        n = ChunkOverlap
+        while (ci < cu && n < cap) {
+          val cp = str.codePointAt(ci)
+          codes(n) = cp
+          n += 1
+          ci += Character.charCount(cp)
+        }
+        carry = nextCarry
       }
-      p += 1
     }
     new GenericArrayData(out.toArray)
   }

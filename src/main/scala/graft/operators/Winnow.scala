@@ -110,24 +110,25 @@ object Winnow {
     */
   val MaxDocLen: Long = graft.expressions.WinnowFingerprints.MaxDocLen
 
-  /** Over-length docs (n > [[MaxDocLen]]) are CHUNKED, winnowed
-    * per-chunk, and their fingerprints re-based to doc offsets. This is
-    * EXACT, not an approximation: a window's selection (min hash,
-    * rightmost tie, over its own W grams) is a pure function of the
-    * window's grams — independent of what surrounds it — so with every
-    * window fully contained in at least one chunk (overlap >= W+K-2
-    * chars; [[ChunkOverlap]] = W+K-1 for slack), the union of per-chunk
-    * selections over complete windows IS the whole-doc winnow set, and
-    * each chunk's selections are a subset of it (no boundary-artifact
-    * fingerprints to filter). Duplicates from windows shared by two
-    * chunks fold with one per-doc-keyed distinct that rides the
-    * already-doc-partitioned frame (no new exchange; spec-pinned).
+  /** Over-length docs (n > [[MaxDocLen]]) are CHUNKED INSIDE the native
+    * expression, winnowed per-chunk, and their fingerprints re-based to
+    * doc offsets. This is EXACT, not an approximation: a window's
+    * selection (min hash, rightmost tie, over its own W grams) is a
+    * pure function of the window's grams — independent of what
+    * surrounds it — so with every window fully contained in at least
+    * one chunk (overlap >= W+K-2 chars; [[ChunkOverlap]] = W+K-1 for
+    * slack), the union of per-chunk selections over complete windows IS
+    * the whole-doc winnow set, and each chunk's selections are a subset
+    * of it (no boundary-artifact fingerprints to filter). Cross-chunk
+    * duplicate emissions are suppressed in-expression by a tiny carry
+    * set ([[graft.expressions.WinnowFingerprints.compute]]), so the
+    * query plan keeps the in-range path's one-scan one-generate shape.
     * Chunk-local positions stay under the packed key's 20-bit field,
-    * which is what made whole-doc winnowing impossible past ~1 MB.
+    * which is what made a single whole-doc pass impossible past ~1 MB.
     */
-  val ChunkOverlap: Long = K + W - 1
+  val ChunkOverlap: Long = graft.expressions.WinnowFingerprints.ChunkOverlap.toLong
   /** chunk start stride: chunks are [[MaxDocLen]] long. */
-  val ChunkStride: Long = MaxDocLen - ChunkOverlap
+  val ChunkStride: Long = graft.expressions.WinnowFingerprints.ChunkStride.toLong
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -171,36 +172,22 @@ object Winnow {
     */
   private[graft] def fingerprintsOf(docsFrame: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsFrame.sparkSession)
-    def winnowed(chunks: DataFrame): DataFrame = chunks
-      .select(col("doc_id"), col("cs"),
-        explode_outer(call_function("graft_winnow_fingerprints", col("ctx")))
-          .as("fp"))
+    docsFrame
+      // shorter docs have no complete window — definitionally no
+      // fingerprint (mirrored in the oracle). NO upper length bound:
+      // over-length docs chunk INSIDE the native expression (exact
+      // decomposition with cross-chunk duplicate suppression — see
+      // [[graft.expressions.WinnowFingerprints.compute]]), which keeps
+      // the one-scan one-generate plan of the in-range path byte-for-
+      // byte (both plan-level alternatives measured real q106 cost: a
+      // union of length-split branches re-scanned the corpus per
+      // branch, 2-3x; a chunk-starts explode + post-hoc dedup
+      // aggregate added ~70%)
+      .filter(col("n") >= K + W - 1)
       .select(col("doc_id"),
-        (col("cs") - 1L + col("fp.pos")).as("pos"), col("fp.h").as("h"))
-    // shorter docs have no complete window — definitionally no
-    // fingerprint (mirrored in the oracle)
-    val base = docsFrame.filter(col("n") >= K + W - 1)
-    // docs within the key encoding's position field: one "chunk" at
-    // offset 1 — the fast path, byte-identical to the pre-chunking form
-    val inRange = winnowed(
-      base.filter(col("n") <= MaxDocLen)
-        .select(col("doc_id"), lit(1L).as("cs"), col("tx").as("ctx")))
-    // over-length docs: overlapping chunks, per-chunk winnow, re-based
-    // positions — EXACT whole-doc selections (see [[ChunkOverlap]]'s
-    // doc); last start <= n - overlap, so coverage reaches the end and
-    // every chunk has at least one complete window. The distinct folds
-    // the shared-window duplicates and rides the caller's doc-keyed
-    // partitioning (subset-satisfied aggregate — no new exchange).
-    val chunked = winnowed(
-      base.filter(col("n") > MaxDocLen)
-        .select(col("doc_id"), col("tx"),
-          explode(sequence(lit(1L),
-            col("n").cast("long") - lit(ChunkOverlap), lit(ChunkStride)))
-            .as("cs"))
-        .select(col("doc_id"), col("cs"),
-          expr(s"substring(tx, cast(cs as int), $MaxDocLen)").as("ctx")))
-      .dropDuplicates("doc_id", "pos")
-    inRange.unionByName(chunked)
+        explode_outer(call_function("graft_winnow_fingerprints", col("tx")))
+          .as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
   }
 
   /** Merge a sparse (doc_id, pos) hit set into maximal spans — the

@@ -324,6 +324,33 @@ class WinnowSpec extends SparkSpec {
       "partner doc must ship with the duplicated span spliced out")
   }
 
+  test("a three-chunk doc winnows exactly (carry propagates through the middle chunk)") {
+    // two boundaries: the middle chunk both SUPPRESSES against chunk
+    // 1's carry and PRODUCES the carry for chunk 3 — the full
+    // slide/suppress cycle of the in-expression chunking, checked
+    // against the chunk-oblivious straight-line replay. Direct
+    // expression-level test (no parquet round-trip needed).
+    def filler(tag: String, chars: Long): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < chars) { sb.append(tag).append(i).append(' '); i += 1 }
+      sb.toString.take(chars.toInt)
+    }
+    val text = filler("tc", 2 * Winnow.MaxDocLen + 200000)
+    assert(text.length > 2 * Winnow.ChunkStride + (K + W - 1),
+      "fixture must span three chunks")
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val got = Seq(text).toDF("t")
+      .selectExpr("explode(graft_winnow_fingerprints(t)) AS fp")
+      .select("fp.pos", "fp.h").as[(Long, Long)].collect().toSet
+    val exp = replay(text)
+    assert(got.exists(_._1 > 2 * Winnow.ChunkStride),
+      "fingerprints must reach the third chunk")
+    assert(got == exp,
+      s"3-chunk winnow diverged: sizes ${got.size} vs ${exp.size}")
+  }
+
   test("q106 plan: hash shuffles carry doc-level rows only") {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -334,22 +361,22 @@ class WinnowSpec extends SparkSpec {
         case e: ShuffleExchangeExec
             if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
       }
-      // exactly the two CpuSpread doc-level repartitions (one per
-      // length branch; the length filters push BELOW them, so the
-      // chunk branch's exchange carries only over-length docs — zero
-      // rows on an in-range corpus) — each BELOW the gram fanout (its
-      // subtree holds no Generate), so no exchange ever carries gram-
-      // or fingerprint-level rows. The chunk branch's overlap-dedup
-      // aggregate rides the doc partitioning (subset-satisfied
-      // distribution) — pinned by the exchange count staying 2.
-      assert(hashEx.size == 2,
-        s"expected exactly the two doc-spread exchanges:\n$plan")
+      // exactly the one CpuSpread doc-level repartition — ONE branch,
+      // ONE scan (chunking is a conditional chunk-starts explode, not a
+      // union of length-split branches, which re-scanned the corpus per
+      // branch) — sitting BELOW both fanouts (its subtree holds no
+      // Generate), so no exchange ever carries chunk-, gram- or
+      // fingerprint-level rows. The chunk-overlap dedup aggregate rides
+      // the doc partitioning (subset-satisfied distribution) — pinned
+      // by the exchange count staying 1.
+      assert(hashEx.size == 1,
+        s"expected exactly the doc-spread exchange:\n$plan")
       hashEx.foreach { e =>
         val fansOut = e.collect {
           case g: org.apache.spark.sql.execution.GenerateExec => g
         }
         assert(fansOut.isEmpty,
-          s"a doc-spread exchange must precede every explode:\n$plan")
+          s"the doc-spread exchange must precede every explode:\n$plan")
       }
       val generates = plan.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g
