@@ -93,7 +93,17 @@ object ScaleBench {
     "q106_winnow_fingerprints", "q107_dup_spans",
     // span-dedup apply adds the ownership groupBy and the splice
     // join-back on top of q107's shape — same disjoint-replica scaling
-    "q108_span_dedup_apply")
+    "q108_span_dedup_apply",
+    // the composed capstone: every stage's family curves individually
+    // on these replicas (exact dedup ~ q34's shape, near-dup q36/q39,
+    // char spans q106-q108, decontam q95/q99, LM filter q73/q111,
+    // split q103, mix/pack q57/q58) — this curve proves the
+    // COMPOSITION stays sublinear: stage interactions (survivor frames
+    // feeding the next stage, two persisted-index probes, the final
+    // mix) add no superlinear seam. Warm-up pays the per-factor
+    // FpIndex/BloomIndex builds (ensure() is fingerprint-gated, the
+    // q91/q99 treatment), so timed runs measure the warm serving shape
+    "q115_full_curation")
   private val evtQueries = Seq("q60_event_hourly",
     // sessionize/as-of: replication shifts user_id per replica, so N×
     // rows arrive as N× users at the SAME per-user density — the curve
