@@ -45,7 +45,7 @@ object ClusterIndex {
     */
   def fingerprint(dir: String): String =
     IndexCommit.sourceFingerprint(dir, "embeddings.parquet") +
-      ":" + Clustering.paramsTag
+      ":" + Clustering.paramsTag + ":cent-v2"
 
   private def register(spark: SparkSession, name: String, path: Path): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
@@ -75,13 +75,21 @@ object ClusterIndex {
       // build into a temp sibling + atomic publish ([[IndexCommit]]) so
       // a concurrent process never observes a half-built index
       IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
-        Clustering.assignmentWithVectors(spark, dir)
+        val (cents, full) = Clustering.assignmentArtifacts(spark, dir)
+        full
           .repartition(NumBuckets, col("cid"))
           .write.format("parquet")
           .bucketBy(NumBuckets, "cid")
           .sortBy("cid", "vec_id")
           .option("path", tp.toString)
           .saveAsTable(tn)
+        // the frozen learned cells, K rows, as an underscore-prefixed
+        // sidecar (invisible to the table scan — the PostingsIndex
+        // df/meta discipline): q117's probe ranks cells against these
+        // without re-running the Lloyd chain, and the ":cent-v2"
+        // fingerprint tag stales pre-sidecar indexes
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(tp.resolve("_CENTROIDS").toString)
         Files.writeString(tp.resolve("_GRAFT_FP"), fp)
       }
       register(spark, name, path)
@@ -136,6 +144,12 @@ object ClusterIndex {
       .sortBy("cid", "vec_id")
       .mode("append")
       .saveAsTable(name)
+
+  /** The persisted generation centroids ((cid, cv) integer micro-units)
+    * of the ensure()-managed index for `dir` — K rows, broadcastable.
+    */
+  def centroids(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(indexPath(dir).resolve("_CENTROIDS").toString)
 
   /** SemDeDup's within-cell duplicate threshold (q104's rule) — shared
     * by the streaming sink and the q116 maintenance loop.

@@ -102,14 +102,27 @@ object Clustering {
     * chain entirely.
     */
   private[graft] def assignmentWithVectors(s: SparkSession,
-      dir: String): DataFrame = {
-    val asg = lloyd(qvecs(s, dir), K, Iters).select("vec_id", "cid")
+      dir: String): DataFrame = assignmentArtifacts(s, dir)._2
+
+  /** The learned generation artifacts as a pair: the Lloyd CENTROIDS
+    * ((cid, cv) integer micro-units — the frozen cells every later
+    * probe ranks against) and the assignment joined with full-precision
+    * vectors ((vec_id, cid, v, nrm) — q104's input and the frame
+    * [[ClusterIndex]] persists). Split out so the index build can
+    * persist BOTH without running the Lloyd chain twice (q117's probe
+    * needs the centroids to pick cells; the oracle re-derives them
+    * through the same unrolled CTE text, so the sidecar cannot drift).
+    */
+  private[graft] def assignmentArtifacts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val cents = lloydCentroids(qvecs(s, dir), K, Iters)
+    val asg = assign(qvecs(s, dir), cents).select("vec_id", "cid")
     val ev = Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-    asg.join(ev, "vec_id")
+    (cents, asg.join(ev, "vec_id"))
   }
 
   /** SemDeDup's within-cell keep-first prune over a (vec_id, cid, v,
@@ -509,6 +522,87 @@ object Clustering {
              |UNION ALL
              |SELECT batch_no, vec_id, cid, dup_of, kept FROM p2
              |ORDER BY batch_no, vec_id""".stripMargin)
-      })
+      }),
+
+    /* ANN top-k SERVED from the persisted cluster index — the
+     * similarity family's q113: q42 proved the IVF probe shape
+     * (nprobe nearest cells, exact cosine rerank) over FIXED centroid
+     * rows re-assigned in-query; here the cells are the LEARNED
+     * generation artifact. The probe ranks cells against the persisted
+     * `_CENTROIDS` sidecar (K rows, broadcast; written by the same
+     * build that wrote the assignment, and the oracle re-derives them
+     * through q101's unrolled Lloyd CTE text — sidecar drift flips the
+     * hash), then reads candidates from ONLY the probed cells' buckets:
+     * the nprobe cell ids are a bounded dimension-collect (<= Q·nprobe
+     * values) pushed as an IN filter on the bucket column, so the scan
+     * is BUCKET-PRUNED (SelectedBucketsCount < NumBuckets, the q91
+     * postings discipline — spec-pinned) and a top-k search touches
+     * nprobe buckets of the corpus, never the corpus. The only shuffle
+     * carries the candidate rows into the per-query rank window.
+     * Cell-nearness is EXACT integer distance on the micro-unit
+     * vectors (deterministic, ties on cid); the final rerank is the
+     * q40/q42 left-fold cosine with (cos DESC, n_id) ordering.
+     */
+    QueryDef(
+      "q117_ann_indexed",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val idx = s.table(ClusterIndex.ensure(s, dir))
+        val cents = ClusterIndex.centroids(s, dir)
+        val dist2 = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x)
+        val dot = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x)
+        val q = idx.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"),
+            transform(col("v"),
+              x => round(x * lit(1000000.0)).cast("long")).as("qq"))
+        val wq = Window.partitionBy("q_id").orderBy(col("d"), col("cid"))
+        val probes = q.crossJoin(broadcast(cents))
+          .withColumn("d", dist2(col("qq"), col("cv")))
+          .withColumn("crank", row_number().over(wq))
+          .filter(col("crank") <= 2)
+          .select("q_id", "qv", "qn", "cid")
+        // bounded dimension-collect (the q110 merge-table rule): the
+        // probed cell ids as literals, so the IN filter bucket-prunes
+        // the index scan
+        val cellIds = probes.select("cid").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+        idx.filter(col("cid").isInCollection(cellIds))
+          .join(broadcast(probes), Seq("cid"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("q_id", "rank", "n_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      Some(LloydCtes + """
+        |, ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nv AS (SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
+        |qs AS (SELECT nv.vec_id AS q_id, nv.v AS qv, nv.nrm AS qn, e.qv AS qq
+        |       FROM nv JOIN e USING (vec_id) WHERE vec_id < 8),
+        |pc AS (SELECT q_id, qv, qn, cid FROM (
+        |        SELECT qs.q_id, qs.qv, qs.qn, c.cid,
+        |          row_number() OVER (PARTITION BY qs.q_id ORDER BY
+        |            list_sum(list_transform(generate_series(1, 64),
+        |              i -> (qs.qq[i]-c.cv[i])*(qs.qq[i]-c.cv[i]))), c.cid) AS rk
+        |        FROM qs CROSS JOIN c2 c) t WHERE rk <= 2),
+        |asgv AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm
+        |         FROM af JOIN nv USING (vec_id)),
+        |cand AS (SELECT p.q_id, a.vec_id AS n_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> p.qv[i]*a.v[i]))/(p.qn*a.nrm) AS cos
+        |  FROM pc p JOIN asgv a ON a.cid = p.cid AND a.vec_id <> p.q_id)
+        |SELECT q_id, rank, n_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, n_id) AS rank FROM cand) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -53,33 +53,61 @@ object TextAnalysis {
     * ([[CurationPipeline]]'s q115 trains it post-dedup/post-decontam,
     * on the spliced texts), identical scoring to the corpus queries.
     */
-  private[operators] def bigramLmPerDocOf(d: DataFrame): DataFrame = {
-    val wordRe = "[a-z0-9]+"
-    val words = d
-      .select(col("doc_id"),
-        expr(s"regexp_extract_all(lower(text), '$wordRe', 0)").as("ws"))
-    val vocab = words
-      .select(explode(col("ws")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
-    val big = words
+  private[operators] def bigramLmPerDocOf(d: DataFrame): DataFrame =
+    lmScoreAgainst(d, lmModelOf(d))
+
+  /** The corpus bigram LM as a FREEZABLE model: add-1-smoothed counts
+    * (c12 per bigram, c1 per head word, vocab size) — the generation
+    * artifact a continuous curation pipeline trains once on the history
+    * corpus and scores every later batch against
+    * ([[graft.streaming.CurationSink]]), exactly the frozen-centroids
+    * discipline at the language-model layer.
+    */
+  private[graft] case class LmModel(c12: DataFrame, c1: DataFrame,
+      vocab: DataFrame)
+
+  private val LmWordRe = "[a-z0-9]+"
+
+  private[graft] def lmWords(d: DataFrame): DataFrame = d
+    .select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$LmWordRe', 0)").as("ws"))
+
+  private[graft] def lmBigrams(d: DataFrame): DataFrame =
+    lmWords(d)
       .filter(size(col("ws")) >= 2)
       .withColumn("h", slice(col("ws"), lit(1), size(col("ws")) - 1))
       .withColumn("t", slice(col("ws"), lit(2), size(col("ws")) - 1))
       .select(col("doc_id"), explode(arrays_zip(col("h"), col("t"))).as("bg"))
       .select(col("doc_id"), col("bg.h").as("w1"), col("bg.t").as("w2"))
-    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-    big
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+
+  private[graft] def lmModelOf(d: DataFrame): LmModel = {
+    val big = lmBigrams(d)
+    LmModel(
+      big.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+      big.groupBy("w1").agg(count(lit(1)).as("c1")),
+      lmWords(d).select(explode(col("ws")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+  }
+
+  /** Per-doc add-1-smoothed totals of `d` scored against `model`.
+    * In-corpus (model trained on `d` itself — q73/q111/q115) every
+    * scored bigram exists in the model, so the left joins hit and this
+    * is byte-identical to the pre-refactor inner-join form; against a
+    * FROZEN model an unseen bigram scores ln((0+1)/(0+v)) and an unseen
+    * head word contributes c1 = 0 — standard add-1 smoothing, the
+    * streaming contract.
+    */
+  private[graft] def lmScoreAgainst(d: DataFrame, model: LmModel): DataFrame =
+    lmBigrams(d)
+      .join(model.c12, Seq("w1", "w2"), "left")
+      .join(model.c1, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
       .select(col("doc_id"),
-        round(log((col("c12") + 1).cast("double") /
-          (col("c1") + col("v")).cast("double")) * 1e6)
+        round(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6)
           .cast("long").as("mn"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("mn")).as("lm_micro_nats"))
-  }
 
   /** q73's oracle CTE prefix (words .. per_doc) — ONE constant shared
     * with q111 so the scoring the filter ranks on cannot drift from the

@@ -196,6 +196,42 @@ class ClusterIndexSpec extends SparkSpec {
     }
   }
 
+  test("q117 plan: the candidate scan is bucket-pruned to the probed cells") {
+    val name = ClusterIndex.ensure(spark, dir)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("q117_ann_indexed")(spark, dir)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == name) => f
+      }
+      assert(scans.nonEmpty)
+      // the candidate leg reads ONLY the probed cells' buckets — the
+      // bounded cell-id collect pushes an IN filter on the bucket
+      // column, so SelectedBucketsCount < NumBuckets (the q91 postings
+      // bucket-pruning discipline at the vector layer). At most
+      // Q*nprobe = 16 cells exist at all (K = 8), so the pruned scan
+      // must select fewer buckets than the full layout.
+      val pruned = scans.filter(f => f.optionalBucketSet.isDefined &&
+        f.optionalBucketSet.get.cardinality() < ClusterIndex.NumBuckets)
+      assert(pruned.nonEmpty,
+        s"candidate scan must be bucket-pruned below $name's ${ClusterIndex.NumBuckets}:\n$plan")
+      // and the probe side broadcasts onto it — the index never
+      // shuffles to meet the probes
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.exists(j => j.collect {
+          case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == name) &&
+                f.optionalBucketSet.isDefined => f
+        }.nonEmpty),
+        s"probes must broadcast onto the pruned index scan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("a fresh session re-registers a valid on-disk index without rebuilding") {
     val name = ClusterIndex.ensure(spark, dir)
     val r1 = rows("q113_semdedup_indexed")
