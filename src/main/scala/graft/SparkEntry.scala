@@ -169,6 +169,24 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            weighted epoch mix, one oracle chaining every stage's
   *            EXISTING oracle text (shared CTE constants, so the
   *            standalone queries and the pipeline cannot drift)
+  *   q116     cluster-assignment-index MAINTENANCE loop (q112's proof
+  *            structure at the vector layer): frozen history-learned
+  *            centroids, build bucketed assignment, probe batch 1 for
+  *            within-cell dups, append admitted reps, probe batch 2 —
+  *            certifying [[graft.streaming.ClusterIndexSink]]'s path
+  *   q117     ANN top-k SERVED from the persisted ClusterIndex: cells
+  *            ranked against the _CENTROIDS sidecar (broadcast), scan
+  *            bucket-pruned to the nprobe probed cells, exact cosine
+  *            rerank — q42's IVF shape on the learned generation
+  *            artifact, the similarity family's serving path
+  *   q118     the CONTINUOUS curation loop (q112's proof structure over
+  *            the full per-doc verdict stack of
+  *            [[graft.streaming.CurationSink]], whose verdictBatch it
+  *            calls directly): frozen LM + cutoff trained on history,
+  *            splice vs growing FpIndex history, decontam vs the
+  *            stationary BloomIndex, verdict booleans — each phase
+  *            recomputed monolithically by the oracle, phase 2's
+  *            history including batch 1 exactly because it was appended
   */
 object SparkEntry {
 

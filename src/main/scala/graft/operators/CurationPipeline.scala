@@ -198,6 +198,118 @@ object CurationPipeline {
     Seq(s0, s1, s2, s3, s4, s5, s6).mkString("WITH ", ",\n", "\n") + fin
   }
 
+  /* ------------------------------------------------------------------ *
+   * q118 — the CONTINUOUS curation loop, oracle-gated: q112's proof
+   * structure (build → probe → append → probe) applied to the full
+   * per-doc verdict stack [[graft.streaming.CurationSink]] runs per
+   * micro-batch. Phase = the sink's EXACT code
+   * ([[CurationSink.verdictBatch]] — one function shared with the
+   * stream, so certifying this loop certifies the sink): splice spans
+   * owned by history ∪ earlier-in-batch docs (FpIndex probe), shingle
+   * the SPLICED text against the stationary benchmark BloomIndex,
+   * score it against the FROZEN generation LM (trained on history
+   * once, add-1 for unseen bigrams), then append ALL batch
+   * fingerprints so phase 2 splices against phase 1 (presence
+   * ownership is corpus-wide, whatever the verdicts). The DuckDB
+   * oracle recomputes every phase monolithically — frozen model +
+   * cutoff from the history slice, phase-2 history = bucket < 230
+   * exactly because phase 1 was appended — so the hash gates the
+   * artifact freeze (model, cutoff, benchmark), the growing-history
+   * splice, and the verdict booleans in one value. All stage CTEs are
+   * the standalone queries' shared texts ([[Winnow.probeSpanCtes]]/
+   * [[Winnow.spliceTailCtes]]/[[Dedup.benchShingleCtes]]/
+   * [[Dedup.corpusShingleCtes]]/[[TextAnalysis.lmModelCtes]]/
+   * [[TextAnalysis.lmScoreCtes]]) — the q115 drift discipline.
+   * ------------------------------------------------------------------ */
+
+  import graft.streaming.CurationSink
+
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    // pid-suffixed scratch fingerprint index (q112's discipline); the
+    // production FpIndex and the benchmark BloomIndex are read-only
+    val name = FpIndex.tableNameFor(dir) + "_cmaint_" +
+      ProcessHandle.current().pid()
+    val path = java.nio.file.Paths.get(FpIndex.indexRoot, name)
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("bucket", BandIndex.ingestBucket)
+    def slice(lo: Int, hi: Int) =
+      base.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select("doc_id", "text")
+    val hist = slice(0, 200)
+    FpIndex.buildIndex(s, hist, name, path)
+    // the frozen generation artifacts: bigram LM + exact 20th-percentile
+    // cutoff, trained on history ONCE (the sink's artifactsOf verbatim)
+    val art = CurationSink.artifactsOf(hist)
+    val p1 = CurationSink.verdictBatch(s, slice(200, 230), name, dir, art)
+      .withColumn("batch_no", lit(1))
+      // eagerly pinned BEFORE the append mutates the scratch table
+      .localCheckpoint(true)
+    FpIndex.append(s, name, slice(200, 230))
+    val p2 = CurationSink.verdictBatch(s, slice(230, 250), name, dir, art)
+      .withColumn("batch_no", lit(2))
+    p1.unionByName(p2)
+      .select("batch_no", "doc_id", "n_spans", "n_chars_removed", "n_sh",
+        "n_hit", "n_bigrams", "lm_micro_nats", "avg_mn", "contaminated",
+        "kept", "clean_text")
+      .orderBy("batch_no", "doc_id")
+  }
+
+  /** One oracle phase: probe-hit islands → spans → splice → shingle
+    * verdict vs `ev` → frozen-LM score vs hc12/hc1/hv → verdict row.
+    */
+  private def phase118(n: Int, histMax: Int, lo: Int, hi: Int): String =
+    Winnow.probeSpanCtes(n, histMax, lo, hi) + ",\n" +
+      s"""bdoc$n AS (SELECT d.doc_id, d.lang, trim(d.text) AS tx,
+         |            len(trim(d.text)) AS n
+         |          FROM documents d JOIN bk k USING (doc_id)
+         |          WHERE k.bucket >= $lo AND k.bucket < $hi)""".stripMargin +
+      Winnow.spliceTailCtes(s"sp$n", s"bdoc$n", s"_$n") + ",\n" +
+      s"""cln$n AS (SELECT b.doc_id, b.lang,
+         |            coalesce(st.n_spans, 0) AS n_spans,
+         |            coalesce(st.n_removed, 0) AS n_chars_removed,
+         |            coalesce(cl.ct,
+         |              CASE WHEN st.n_spans IS NULL THEN b.tx ELSE '' END) AS text
+         |          FROM bdoc$n b LEFT JOIN stats_$n st USING (doc_id)
+         |                        LEFT JOIN cleaned_$n cl USING (doc_id)),
+         |""".stripMargin +
+      Dedup.corpusShingleCtes(s"cln$n", s"_$n") + ",\n" +
+      TextAnalysis.lmScoreCtes(s"cln$n", s"_$n") + ",\n" +
+      s"""vd$n AS (SELECT $n AS batch_no, c.doc_id, c.n_spans,
+         |           c.n_chars_removed, d.n_sh, d.n_hit, p.n_bigrams,
+         |           p.lm_micro_nats,
+         |           p.lm_micro_nats // p.n_bigrams AS avg_mn,
+         |           (d.n_sh > 0 AND
+         |            CAST(d.n_hit AS DOUBLE) / CAST(d.n_sh AS DOUBLE) >= 0.2)
+         |             AS contaminated,
+         |           (NOT (d.n_sh > 0 AND
+         |                 CAST(d.n_hit AS DOUBLE) / CAST(d.n_sh AS DOUBLE) >= 0.2)
+         |            AND coalesce(p.n_bigrams, 0) > 0
+         |            AND p.lm_micro_nats // p.n_bigrams >= hc.cut) AS kept,
+         |           c.text AS clean_text
+         |         FROM cln$n c JOIN c_$n d USING (doc_id)
+         |                      LEFT JOIN pd_$n p USING (doc_id)
+         |                      CROSS JOIN hcut hc)""".stripMargin
+
+  private def oracle118: String =
+    Winnow.selCteOver("documents") + Winnow.BucketedSelCtes + ",\n" +
+      """hist AS (SELECT d.doc_id, d.text FROM documents d
+        |         JOIN bk k USING (doc_id) WHERE k.bucket < 200),
+        |""".stripMargin +
+      Dedup.benchShingleCtes("documents") + ",\n" +
+      TextAnalysis.lmModelCtes("hist") + ",\n" +
+      TextAnalysis.lmScoreCtes("hist", "_h") + ",\n" +
+      """hcut AS (SELECT CAST(quantile_disc(lm_micro_nats // n_bigrams, 0.2)
+        |           AS BIGINT) AS cut
+        |         FROM pd_h WHERE n_bigrams > 0),
+        |""".stripMargin +
+      phase118(1, 200, 200, 230) + ",\n" + phase118(2, 230, 230, 250) +
+      """
+        |SELECT * FROM vd1 UNION ALL SELECT * FROM vd2
+        |ORDER BY batch_no, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q115_full_curation", (s, dir) => q115(s, dir), Some(oracle)))
+    QueryDef("q115_full_curation", (s, dir) => q115(s, dir), Some(oracle)),
+    QueryDef("q118_curation_maintenance", (s, dir) => q118(s, dir),
+      Some(oracle118)))
 }

@@ -458,6 +458,14 @@ object Dedup {
     */
   private[operators] def decontamApplyCtes(
       corpusRel: String, benchRel: String): String =
+    benchShingleCtes(benchRel) + ",\n" + corpusShingleCtes(corpusRel, "")
+
+  /** The benchmark side of [[decontamApplyCtes]] alone (bd/bsh/ev: the
+    * held-out slice's distinct trigram shingles) — the stationary
+    * artifact a maintenance oracle (q118) instantiates once while the
+    * corpus side runs per phase.
+    */
+  private[operators] def benchShingleCtes(benchRel: String): String =
     ("""bd AS (SELECT doc_id, lang,
        |  CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket,
        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM BENCHREL),
@@ -467,22 +475,34 @@ object Dedup {
        |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
        |              ELSE [] END AS shs
        |       FROM bd WHERE bucket >= 250),
-       |ev AS (SELECT DISTINCT unnest(shs) AS sh FROM bsh),
-       |cd AS (SELECT doc_id, lang,
+       |ev AS (SELECT DISTINCT unnest(shs) AS sh FROM bsh)""").stripMargin
+      .replace("BENCHREL", benchRel)
+
+  /** The corpus side of [[decontamApplyCtes]] (shingles → indexed-hit
+    * count → per-doc verdict columns in `c<sfx>`), CTE names suffixed
+    * so a maintenance oracle can score each phase's spliced batch
+    * against the one `ev`. ("", corpusRel) reproduces q105/q115's
+    * text verbatim — one containment algebra for all three gates.
+    */
+  private[operators] def corpusShingleCtes(
+      corpusRel: String, sfx: String): String =
+    ("""cdSFX AS (SELECT doc_id, lang,
        |  string_split_regex(trim(text), '[ \t\n\f\r]+') AS t FROM CORPUSREL),
-       |csh AS (SELECT doc_id, lang,
+       |cshSFX AS (SELECT doc_id, lang,
        |         CASE WHEN len(t) >= 3
        |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
        |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
        |              ELSE [] END AS shs
-       |       FROM cd),
-       |h AS (SELECT doc_id, count(*) AS n_hit
-       |      FROM (SELECT doc_id, unnest(shs) AS sh FROM csh) ex
+       |       FROM cdSFX),
+       |hSFX AS (SELECT doc_id, count(*) AS n_hit
+       |      FROM (SELECT doc_id, unnest(shs) AS sh FROM cshSFX) ex
        |      JOIN ev USING (sh) GROUP BY 1),
-       |c AS (SELECT s.doc_id, s.lang, len(s.shs) AS n_sh,
+       |cSFX AS (SELECT s.doc_id, s.lang, len(s.shs) AS n_sh,
        |        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
-       |      FROM csh s LEFT JOIN h ON s.doc_id = h.doc_id)""").stripMargin
-      .replace("BENCHREL", benchRel).replace("CORPUSREL", corpusRel)
+       |      FROM cshSFX s LEFT JOIN hSFX h ON s.doc_id = h.doc_id)""").stripMargin
+      .replace("cdSFX", "cd" + sfx).replace("cshSFX", "csh" + sfx)
+      .replace("hSFX", "h" + sfx).replace("cSFX", "c" + sfx)
+      .replace("CORPUSREL", corpusRel)
 
   /** The q105/q115 keep predicate: containment < 0.2. */
   private[operators] val DecontamKeepWhere: String =

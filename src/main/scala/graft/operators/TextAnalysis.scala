@@ -192,6 +192,53 @@ object TextAnalysis {
       |  JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab v
       |  GROUP BY 1)""".stripMargin
 
+  /** The FROZEN-model oracle half of [[lmModelOf]]: add-1 bigram model
+    * counts (hc12/hc1) and vocab size (hv) trained over `histRel` —
+    * the q73 formula verbatim, only the relation and CTE names changed
+    * so a maintenance oracle can train on a history slice and score
+    * batches separately ([[graft.streaming.CurationSink]]'s artifact
+    * discipline, gated by q118).
+    */
+  private[operators] def lmModelCtes(histRel: String): String =
+    s"""hw AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM $histRel),
+       |hv AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(ws) AS w FROM hw)),
+       |hbig AS (
+       |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+       |  FROM (SELECT doc_id,
+       |          unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+       |        FROM hw WHERE len(ws) >= 2)),
+       |hc12 AS (SELECT w1, w2, count(*) AS c12 FROM hbig GROUP BY 1, 2),
+       |hc1 AS (SELECT w1, count(*) AS c1 FROM hbig GROUP BY 1)""".stripMargin
+
+  /** Per-doc add-1 totals of `rel` (doc_id, text) scored against the
+    * [[lmModelCtes]] model — [[lmScoreAgainst]]'s oracle twin: LEFT
+    * joins with coalesce-to-0 counts, so an unseen bigram scores
+    * ln((0+1)/(0+v)), the streaming add-1 contract. CTE names suffixed
+    * per instantiation (history cutoff + one per maintenance phase).
+    */
+  private[operators] def lmScoreCtes(rel: String, sfx: String): String =
+    s"""bw$sfx AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM $rel),
+       |bbig$sfx AS (
+       |  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+       |  FROM (SELECT doc_id,
+       |          unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+       |        FROM bw$sfx WHERE len(ws) >= 2)),
+       |pd$sfx AS (
+       |  SELECT b.doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(CAST(round(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+       |      / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 1000000) AS BIGINT))
+       |      AS BIGINT) AS lm_micro_nats
+       |  FROM bbig$sfx b
+       |  LEFT JOIN hc12 c12 USING (w1, w2) LEFT JOIN hc1 c1 USING (w1)
+       |  CROSS JOIN hv v
+       |  GROUP BY 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting (whitespace tokenizer; the BPE-ish regex

@@ -330,6 +330,85 @@ object Winnow {
        |alld AS (SELECT doc_id, trim(text) AS tx, len(trim(text)) AS n
        |         FROM $input)""".stripMargin
 
+  /** The span-splice tail (kept pieces → cleaned text + stats) over an
+    * arbitrary spans CTE (doc_id, s, e) and doc CTE (doc_id, tx, n),
+    * CTE names suffixed with `sfx` so one oracle can instantiate it per
+    * maintenance phase. With ("spans", "alld", "") this IS the q108
+    * text — [[SpanApplyCtes]] is built from it, so the batch splice the
+    * q118 loop gates and the corpus splice q108/q115 gate share one
+    * algebra by construction.
+    */
+  private[operators] def spliceTailCtes(
+      spansRel: String, docRel: String, sfx: String): String =
+    s""",
+       |pre$sfx AS (SELECT doc_id,
+       |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+       |          s - 1 AS ke
+       |        FROM $spansRel),
+       |tail_p$sfx AS (SELECT sp.doc_id, max(sp.e) + 1 AS ks, a.n AS ke
+       |           FROM $spansRel sp JOIN $docRel a USING (doc_id)
+       |           GROUP BY sp.doc_id, a.n),
+       |pieces$sfx AS (SELECT * FROM pre$sfx UNION ALL SELECT * FROM tail_p$sfx),
+       |cleaned$sfx AS (SELECT p.doc_id,
+       |              string_agg(substr(a.tx, CAST(p.ks AS INT),
+       |                                CAST(p.ke - p.ks + 1 AS INT)), ''
+       |                         ORDER BY p.ks) AS ct
+       |            FROM pieces$sfx p JOIN $docRel a USING (doc_id)
+       |            WHERE p.ke >= p.ks GROUP BY p.doc_id),
+       |stats$sfx AS (SELECT doc_id, count(*) AS n_spans,
+       |            CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+       |          FROM $spansRel GROUP BY doc_id)""".stripMargin
+
+  /** The ingest-bucketed fingerprint CTEs (`bk`: the md5 ingest bucket
+    * of every document — [[BandIndex.ingestBucket]]'s oracle twin;
+    * `sb`: the corpus-wide winnow set joined to its buckets), appended
+    * after [[SelCte]]. Shared by q112 and q118 so the two maintenance
+    * loops slice history/batches identically.
+    */
+  private[operators] val BucketedSelCtes: String =
+    """,
+      |bk AS (SELECT doc_id,
+      |         CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+      |       FROM documents),
+      |sb AS (SELECT s.doc_id, s.pos, s.h, k.bucket
+      |       FROM sel s JOIN bk k USING (doc_id))""".stripMargin
+
+  /** One maintenance phase's foreign-hit islands over `sb`: the
+    * batch-vs-history leg (`hh`), the within-batch keep-first leg
+    * (`bh`), their union, and the gaps-and-islands grouping — the
+    * oracle twin of [[FpIndex.probeSpansPlan]]'s two legs. Shared by
+    * q112 (span aggregate tail) and q118 (splice tail), so the two
+    * loops' probe semantics are one text.
+    */
+  private[operators] def probeHitCtes(
+      n: Int, histMax: Int, lo: Int, hi: Int): String =
+    s"""hh$n AS (SELECT DISTINCT b.doc_id, b.pos FROM sb b
+       |         JOIN sb hs ON hs.h = b.h AND hs.bucket < $histMax
+       |         WHERE b.bucket >= $lo AND b.bucket < $hi),
+       |bh$n AS (SELECT DISTINCT b.doc_id, b.pos FROM sb b
+       |         JOIN sb o ON o.h = b.h AND o.bucket >= $lo
+       |           AND o.bucket < $hi AND o.doc_id < b.doc_id
+       |         WHERE b.bucket >= $lo AND b.bucket < $hi),
+       |fh$n AS (SELECT doc_id, pos FROM hh$n
+       |         UNION SELECT doc_id, pos FROM bh$n),
+       |lg$n AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $G
+       |    THEN 1 ELSE 0 END AS brk FROM fh$n),
+       |il$n AS (SELECT doc_id, pos,
+       |           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |         FROM lg$n)""".stripMargin
+
+  /** [[probeHitCtes]] plus the phase's (doc_id, s, e) span frame —
+    * the input shape [[spliceTailCtes]] consumes (q118's per-phase
+    * probe-then-splice, [[FpIndex.probeSpans]] → [[spliceClean]]).
+    */
+  private[operators] def probeSpanCtes(
+      n: Int, histMax: Int, lo: Int, hi: Int): String =
+    probeHitCtes(n, histMax, lo, hi) + ",\n" +
+      s"""sp$n AS (SELECT doc_id, min(pos) AS s, max(pos) + ${K - 1} AS e
+         |         FROM il$n GROUP BY doc_id, island)""".stripMargin
+
   /** q108's keep-first span-splice CTE chain (ownership → foreign hits
     * → islands → spans → kept pieces → cleaned text + stats), reading
     * CTEs `sel` and `alld`. ONE constant shared by q108 and q115 so the
@@ -349,24 +428,8 @@ object Winnow {
        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |        FROM lagged),
        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${K - 1} AS e
-       |          FROM isl GROUP BY doc_id, island),
-       |pre AS (SELECT doc_id,
-       |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
-       |          s - 1 AS ke
-       |        FROM spans),
-       |tail_p AS (SELECT sp.doc_id, max(sp.e) + 1 AS ks, a.n AS ke
-       |           FROM spans sp JOIN alld a USING (doc_id)
-       |           GROUP BY sp.doc_id, a.n),
-       |pieces AS (SELECT * FROM pre UNION ALL SELECT * FROM tail_p),
-       |cleaned AS (SELECT p.doc_id,
-       |              string_agg(substr(a.tx, CAST(p.ks AS INT),
-       |                                CAST(p.ke - p.ks + 1 AS INT)), ''
-       |                         ORDER BY p.ks) AS ct
-       |            FROM pieces p JOIN alld a USING (doc_id)
-       |            WHERE p.ke >= p.ks GROUP BY p.doc_id),
-       |stats AS (SELECT doc_id, count(*) AS n_spans,
-       |            CAST(sum(e - s + 1) AS BIGINT) AS n_removed
-       |          FROM spans GROUP BY doc_id)""".stripMargin
+       |          FROM isl GROUP BY doc_id, island)""".stripMargin +
+      spliceTailCtes("spans", "alld", "")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -494,33 +557,11 @@ object Winnow {
       },
       {
         def phase(n: Int, histMax: Int, lo: Int, hi: Int): String =
-          s"""hh$n AS (SELECT DISTINCT b.doc_id, b.pos FROM sb b
-             |         JOIN sb hs ON hs.h = b.h AND hs.bucket < $histMax
-             |         WHERE b.bucket >= $lo AND b.bucket < $hi),
-             |bh$n AS (SELECT DISTINCT b.doc_id, b.pos FROM sb b
-             |         JOIN sb o ON o.h = b.h AND o.bucket >= $lo
-             |           AND o.bucket < $hi AND o.doc_id < b.doc_id
-             |         WHERE b.bucket >= $lo AND b.bucket < $hi),
-             |fh$n AS (SELECT doc_id, pos FROM hh$n
-             |         UNION SELECT doc_id, pos FROM bh$n),
-             |lg$n AS (SELECT doc_id, pos,
-             |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-             |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $G
-             |    THEN 1 ELSE 0 END AS brk FROM fh$n),
-             |il$n AS (SELECT doc_id, pos,
-             |           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-             |         FROM lg$n),
-             |p$n AS (SELECT $n AS batch_no, doc_id, min(pos) AS span_start,
-             |          max(pos) + ${K - 1} AS span_end, count(*) AS n_hits
-             |        FROM il$n GROUP BY doc_id, island)""".stripMargin
-        Some(SelCte +
-          """,
-            |bk AS (SELECT doc_id,
-            |         CAST('0x' || substr(md5(coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
-            |       FROM documents),
-            |sb AS (SELECT s.doc_id, s.pos, s.h, k.bucket
-            |       FROM sel s JOIN bk k USING (doc_id)),
-            |""".stripMargin +
+          probeHitCtes(n, histMax, lo, hi) + ",\n" +
+            s"""p$n AS (SELECT $n AS batch_no, doc_id, min(pos) AS span_start,
+               |          max(pos) + ${K - 1} AS span_end, count(*) AS n_hits
+               |        FROM il$n GROUP BY doc_id, island)""".stripMargin
+        Some(SelCte + BucketedSelCtes + ",\n" +
           phase(1, 200, 200, 230) + ",\n" + phase(2, 230, 230, 256) +
           """
             |SELECT * FROM p1 UNION ALL SELECT * FROM p2

@@ -108,6 +108,57 @@ object CurationSink {
             StructField("batch_id", LongType))))
     }
 
+  /** The three per-doc stage verdicts for ONE batch of (doc_id, text)
+    * — splice, decontam, frozen-LM gate — as a lazy frame (no side
+    * effects beyond the probe's own pinning). This is the sink's
+    * ENTIRE verdict computation, called by [[applyBatch]] per
+    * micro-batch and by the oracle-gated maintenance loop
+    * (q118_curation_maintenance) per phase — one function, so the
+    * stream and its batch certification cannot diverge.
+    */
+  def verdictBatch(spark: SparkSession, docs: DataFrame,
+      fpIndexName: String, benchDir: String, art: Artifacts): DataFrame = {
+    // s3: char-span splice vs history + earlier batch docs (the
+    // WinnowIndexSink stage verbatim — probeSpans pins its small
+    // result, so a subsequent append cannot perturb anything here)
+    val spans = FpIndex.probeSpans(spark, fpIndexName, docs,
+        excludeBatchFromHistory = true)
+      .select(col("doc_id"), col("span_start").as("s"),
+        col("span_end").as("e"))
+    val alld = docs
+      .select(col("doc_id"), trim(col("text")).as("tx"))
+      .withColumn("n", length(col("tx")))
+    val cleaned = Winnow.spliceClean(alld, spans)
+    val cleanDocs = cleaned.select(col("doc_id"),
+      col("clean_text").as("text"))
+    // s4: decontam verdict on the SPLICED text (q115's stage order)
+    // against the stationary benchmark index
+    val shingled = cleanDocs
+      .select(col("doc_id"),
+        split(trim(col("text")), graft.core.Ws.Plus).as("t"))
+      .select(col("doc_id"), Dedup.shinglesOf(col("t")).as("shs"))
+    val dec = shingled.select(col("doc_id"),
+        size(col("shs")).cast("long").as("n_sh"))
+      .join(BloomIndex.probeHitsOf(spark, benchDir, shingled),
+        Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+    // s5: LM gate on the spliced text against the FROZEN model
+    val lm = TextAnalysis.lmScoreAgainst(cleanDocs, art.lm)
+      .withColumn("avg_mn", expr("lm_micro_nats div n_bigrams"))
+    cleaned
+      .join(dec, Seq("doc_id"))
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("contaminated", col("n_sh") > 0 &&
+        col("n_hit").cast("double") / col("n_sh").cast("double") >= Theta)
+      .withColumn("kept", !col("contaminated") &&
+        coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+        col("avg_mn") >= art.cutoffMicroNats)
+      .select(col("doc_id"), col("n_spans"), col("n_chars_removed"),
+        col("n_sh"), col("n_hit"), col("n_bigrams"),
+        col("lm_micro_nats"), col("avg_mn"),
+        col("contaminated"), col("kept"), col("clean_text"))
+  }
+
   /** Apply one micro-batch of (doc_id, text); false iff already applied. */
   def applyBatch(batch: DataFrame, batchId: Long, fpIndexName: String,
       benchDir: String, art: Artifacts, outDir: String): Boolean = {
@@ -117,45 +168,7 @@ object CurationSink {
       val spark = batch.sparkSession
       Files.createDirectories(Paths.get(outDir))
       val docs = batch.select("doc_id", "text")
-      // s3: char-span splice vs history + earlier batch docs (the
-      // WinnowIndexSink stage verbatim — probeSpans pins its small
-      // result, so the append below cannot perturb anything here)
-      val spans = FpIndex.probeSpans(spark, fpIndexName, docs,
-          excludeBatchFromHistory = true)
-        .select(col("doc_id"), col("span_start").as("s"),
-          col("span_end").as("e"))
-      val alld = docs
-        .select(col("doc_id"), trim(col("text")).as("tx"))
-        .withColumn("n", length(col("tx")))
-      val cleaned = Winnow.spliceClean(alld, spans)
-      val cleanDocs = cleaned.select(col("doc_id"),
-        col("clean_text").as("text"))
-      // s4: decontam verdict on the SPLICED text (q115's stage order)
-      // against the stationary benchmark index
-      val shingled = cleanDocs
-        .select(col("doc_id"),
-          split(trim(col("text")), graft.core.Ws.Plus).as("t"))
-        .select(col("doc_id"), Dedup.shinglesOf(col("t")).as("shs"))
-      val dec = shingled.select(col("doc_id"),
-          size(col("shs")).cast("long").as("n_sh"))
-        .join(BloomIndex.probeHitsOf(spark, benchDir, shingled),
-          Seq("doc_id"), "left")
-        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-      // s5: LM gate on the spliced text against the FROZEN model
-      val lm = TextAnalysis.lmScoreAgainst(cleanDocs, art.lm)
-        .withColumn("avg_mn", expr("lm_micro_nats div n_bigrams"))
-      val out = cleaned
-        .join(dec, Seq("doc_id"))
-        .join(lm, Seq("doc_id"), "left")
-        .withColumn("contaminated", col("n_sh") > 0 &&
-          col("n_hit").cast("double") / col("n_sh").cast("double") >= Theta)
-        .withColumn("kept", !col("contaminated") &&
-          coalesce(col("n_bigrams"), lit(0L)) > 0 &&
-          col("avg_mn") >= art.cutoffMicroNats)
-        .select(col("doc_id"), col("n_spans"), col("n_chars_removed"),
-          col("n_sh"), col("n_hit"), col("n_bigrams"),
-          col("lm_micro_nats"), col("avg_mn"),
-          col("contaminated"), col("kept"), col("clean_text"))
+      val out = verdictBatch(spark, docs, fpIndexName, benchDir, art)
         .withColumn("batch_id", lit(batchId))
         .localCheckpoint(true)
       // presence ownership is corpus-wide (the q108 contract): ALL batch

@@ -424,12 +424,24 @@ object ScaleBench {
         // benches deliberately do NOT measure (their fixed K makes the
         // pair join quadratic by design; the knob is why that is fine)
         Seq(("q104_semdedup_knob", "__knob__", rotDir)) ++
+        // the ANN-serving knob curve: q117's exact probe shape over
+        // hash cells = 8·factor on the ×factor embedding corpus —
+        // cell size bounded, so candidate + rerank cost must stay
+        // bounded per query as the corpus grows (q117's fixed-K bench
+        // measures the warm persisted probe; this measures the KNOB).
+        // The maintenance loops (q112/q116/q118) are deliberately NOT
+        // curved — their cost is the proof (the q87/q92 adjudication);
+        // their production serving paths are the curves above
+        // (q78/q91/q107-warm/q99/q111, and this one)
+        Seq(("q117_ann_knob", "__annknob__", rotDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)))
         .filter { case (key, _, _) => only.forall(_.contains(key)) }
         .foreach { case (key, q, d) =>
           val fn: (SparkSession, String) => DataFrame =
             if (q == "__knob__")
               (sp, dd) => graft.operators.Clustering.semdedupKnob(sp, dd, 8 * n)
+            else if (q == "__annknob__")
+              (sp, dd) => graft.operators.Clustering.annIndexedKnob(sp, dd, 8 * n)
             else SparkEntry.queries(q)
           val s = time(fn, d)
           results(key) = results.getOrElse(key, Seq.empty) :+ s

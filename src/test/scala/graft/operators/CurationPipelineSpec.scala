@@ -115,4 +115,83 @@ class CurationPipelineSpec extends SparkSpec {
         IndexCommit.deleteTree(Paths.get(root, n))
       }
   }
+
+  // ---- q118, the continuous-curation maintenance loop ----
+
+  private def run118(dir: String): Seq[Row] =
+    graft.SparkEntry.queries("q118_curation_maintenance")(spark, dir)
+      .collect().toSeq
+
+  test("q118 runs on a pid-scoped scratch; production indexes untouched") {
+    val dir = sf0001
+    val fpName = FpIndex.ensure(spark, dir)
+    val blName = BloomIndex.ensure(spark, dir)
+    def fpTime(root: String, name: String) =
+      Files.getLastModifiedTime(Paths.get(root, name).resolve("_GRAFT_FP"))
+    val (m1, m2) =
+      (fpTime(FpIndex.indexRoot, fpName), fpTime(BloomIndex.indexRoot, blName))
+    val out = run118(dir)
+    assert(out.map(_.getInt(0)).toSet == Set(1, 2),
+      "both maintenance phases must emit verdicts")
+    assert(fpTime(FpIndex.indexRoot, fpName) == m1,
+      "q118 must never touch the production FpIndex (scratch only)")
+    assert(fpTime(BloomIndex.indexRoot, blName) == m2,
+      "q118 reads the benchmark BloomIndex, never rebuilds it")
+  }
+
+  test("q118's phase-1 append is load-bearing: phase 2 splices against it") {
+    // engineered corpus: disjoint per-doc vocabulary everywhere, except
+    // one long span shared by exactly one batch-1 doc and one batch-2
+    // doc — ABSENT from history. Phase 1 must keep the span (no owner
+    // in history, none earlier in its batch); phase 2 must splice it,
+    // which is only possible because phase 1's fingerprints were
+    // appended into the scratch history between the probes.
+    val corpus = Files.createTempDirectory("graft-q118-seam").toString
+    def bkt(i: Int) = md5bucket(s"en:$i")
+    val histIds = Iterator.from(1).filter(bkt(_) < 200).take(20).toSeq
+    val b1Id = Iterator.from(1).filter(i =>
+      bkt(i) >= 200 && bkt(i) < 230).next()
+    val b2Id = Iterator.from(1).filter(i =>
+      bkt(i) >= 230 && bkt(i) < 250).next()
+    val benchIds = Iterator.from(1).filter(bkt(_) >= 250).take(2).toSeq
+    val span = (1 to 14).map(i => s"zqseam$i").mkString(" ")
+    assert(span.length >= Winnow.K + Winnow.W - 1)
+    def filler(id: Long, part: Int, n: Int): String =
+      (1 to n).map(i => s"w${id}x${part}w$i").mkString(" ")
+    def batchText(id: Long): String =
+      s"${filler(id, 1, 60)} $span ${filler(id, 2, 60)}"
+    import spark.implicits._
+    (histIds.map(_.toLong).map(i => (i, filler(i, 1, 40), "en", "src0")) ++
+        Seq((b1Id.toLong, batchText(b1Id.toLong), "en", "src0"),
+          (b2Id.toLong, batchText(b2Id.toLong), "en", "src0")) ++
+        benchIds.map(_.toLong).map(i => (i, filler(i, 9, 40), "en", "src0")))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpus/documents.parquet")
+    val out = run118(corpus)
+    val byKey = out.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+    val p1 = byKey((1, b1Id.toLong))
+    val p2 = byKey((2, b2Id.toLong))
+    assert(p1.getLong(2) == 0 && p1.getLong(3) == 0,
+      "phase 1's doc owns the span — history has no owner for it")
+    assert(p2.getLong(2) >= 1 && p2.getLong(3) > 0,
+      "phase 2 must splice the span owned by the APPENDED phase-1 doc")
+    assert(p2.getString(11).length < batchText(b2Id.toLong).trim.length,
+      "phase 2's clean_text must actually shrink")
+    // disjoint vocab: nothing is contaminated; the frozen-LM gate
+    // drops the batch docs (all their bigrams are unseen in history,
+    // and add-1 unseen scores strictly below the in-history cutoff)
+    Seq(p1, p2).foreach { r =>
+      assert(!r.getBoolean(9), "no batch shingle exists in the benchmark")
+      assert(!r.getBoolean(10),
+        "unseen-bigram batch docs must fall below the frozen cutoff")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `${BloomIndex.tableNameFor(corpus)}`")
+    IndexCommit.deleteTree(
+      Paths.get(BloomIndex.indexRoot, BloomIndex.tableNameFor(corpus)))
+    val scratch = FpIndex.tableNameFor(corpus) + "_cmaint_" +
+      ProcessHandle.current().pid()
+    spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+    IndexCommit.deleteTree(Paths.get(FpIndex.indexRoot, scratch))
+  }
 }
