@@ -496,6 +496,8 @@ object Clustering {
         val name = ClusterIndex.tableNameFor(dir) + "_maint_" +
           ProcessHandle.current().pid()
         val path = java.nio.file.Paths.get(ClusterIndex.indexRoot, name)
+        // reclaim dead processes' abandoned scratch trees (q112's rule)
+        IndexCommit.purgeStaleScratch()
         val base = Tables(s, dir, "embeddings")
           .withColumn("bucket",
             conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)

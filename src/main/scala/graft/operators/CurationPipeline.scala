@@ -230,6 +230,8 @@ object CurationPipeline {
     val name = FpIndex.tableNameFor(dir) + "_cmaint_" +
       ProcessHandle.current().pid()
     val path = java.nio.file.Paths.get(FpIndex.indexRoot, name)
+    // reclaim dead processes' abandoned scratch trees (q112's rule)
+    IndexCommit.purgeStaleScratch()
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
       .withColumn("bucket", BandIndex.ingestBucket)

@@ -123,4 +123,42 @@ object IndexCommit {
       }
       rm(p.toFile)
     }
+
+  /** Reclaim ABANDONED pid-scoped trees under the shared index root:
+    * the `_maint_<pid>`/`_cmaint_<pid>` scratch indexes the maintenance
+    * loops build (q112/q116/q118) and the `.build-<pid>` temp siblings
+    * a crashed [[commitBuild]] can leave behind. Without this, every
+    * maintenance-loop PROCESS leaks one scratch tree forever — the S12
+    * old-file purge discipline applied to the index estate. A tree is
+    * abandoned iff its owner pid is not alive on this host (scratch
+    * roots are host-local by construction, so ProcessHandle liveness is
+    * authoritative); the current process's trees and any LIVE process's
+    * trees are never touched, preserving the pid-scoping concurrency
+    * contract. Foreign scratch tables were never in this JVM's catalog,
+    * so deleting the files alone is complete. Returns trees removed.
+    */
+  def purgeStaleScratch(): Int = {
+    val scratchRe = "^.*_c?maint_([0-9]+)$".r
+    val buildRe = "^.*\\.build-([0-9]+)$".r
+    val self = ProcessHandle.current().pid()
+    def abandoned(pid: String): Boolean = {
+      val p = pid.toLong
+      if (p == self) false
+      else {
+        val h = ProcessHandle.of(p)
+        !(h.isPresent && h.get().isAlive)
+      }
+    }
+    Option(new java.io.File(indexRoot).listFiles())
+      .getOrElse(Array.empty)
+      .count { f =>
+        val stale = f.getName match {
+          case scratchRe(pid) => abandoned(pid)
+          case buildRe(pid)   => abandoned(pid)
+          case _              => false
+        }
+        if (stale) deleteTree(f.toPath)
+        stale
+      }
+  }
 }

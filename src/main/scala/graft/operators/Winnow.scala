@@ -537,6 +537,9 @@ object Winnow {
         val name = FpIndex.tableNameFor(dir) + "_maint_" +
           ProcessHandle.current().pid()
         val path = java.nio.file.Paths.get(FpIndex.indexRoot, name)
+        // reclaim dead processes' abandoned scratch trees on entry —
+        // without this every maintenance-loop process leaks one forever
+        IndexCommit.purgeStaleScratch()
         val base = docs(s, dir)
           .select(col("doc_id"), col("text"), col("lang"))
           .withColumn("bucket", BandIndex.ingestBucket)

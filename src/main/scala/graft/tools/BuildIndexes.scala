@@ -28,9 +28,14 @@ object BuildIndexes {
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, f))
 
   /** Build (or freshness-confirm) every persisted index whose source
-    * table exists under `dir`; returns (kind, table name) pairs.
+    * table exists under `dir`; returns (kind, table name) pairs. Also
+    * the natural janitor slot: abandoned pid-scoped scratch trees
+    * (dead maintenance loops, crashed commitBuild temps) are reclaimed
+    * first, so the index root's footprint stays bounded by the LIVE
+    * index set across generations.
     */
-  def buildAll(spark: SparkSession, dir: String): Seq[(String, String)] =
+  def buildAll(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    graft.operators.IndexCommit.purgeStaleScratch()
     (if (has(dir, "documents.parquet")) Seq(
       "band" -> BandIndex.ensure(spark, dir),
       "bloom" -> BloomIndex.ensure(spark, dir),
@@ -40,6 +45,7 @@ object BuildIndexes {
     (if (has(dir, "embeddings.parquet")) Seq(
       "cluster" -> ClusterIndex.ensure(spark, dir))
     else Seq.empty)
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

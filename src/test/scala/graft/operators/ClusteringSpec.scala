@@ -169,4 +169,46 @@ class ClusteringSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan.take(2000))
   }
+
+  test("annIndexedKnob at cells=1 is exact brute-force cosine top-3") {
+    // the scale-curve helper duplicates q117's probe shape inline; this
+    // pins it against first principles so the curve cannot silently
+    // drift from the query it claims to measure. With one cell, every
+    // vector is a candidate for every query, so the probe must return
+    // EXACTLY the brute-force (cos DESC, n_id) top-3 per query.
+    val got = Clustering.annIndexedKnob(spark, sf0001, 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val vecs = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = vecs.keys.filter(_ < 8).toSeq.sorted.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }
+        .take(3).zipWithIndex
+        .map { case ((n, _), i) => (q, i + 1, n) }
+    }
+    assert(got == want, s"got ${got.take(6)}... want ${want.take(6)}...")
+  }
+
+  test("annIndexedKnob candidate work is cell-bounded at cells=8") {
+    // with 8 hash cells and nprobe=2, at most 2 cells' vectors per
+    // query are candidates — the result must still be 3 ranked rows per
+    // query with no self-matches and rank sequences exactly 1..3
+    val rows = Clustering.annIndexedKnob(spark, sf0001, 8).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+      assert(rs.forall(_.getLong(2) != q), s"self-match for query $q")
+    }
+  }
 }
