@@ -1010,32 +1010,20 @@ object Dedup {
     QueryDef(
       "q80_simhash_pairs",
       (s, dir) => {
-        val tok = graft.core.CpuSpread.byKey(
+        graft.functions.GraftFunctions.register(s)
+        // the signature is ONE native expression per doc (SimHashSig —
+        // md5 bytes, no hex round-trip, int[64] votes): computed
+        // map-side with zero row fanout and zero signature exchange.
+        // Two earlier cuts are recorded in its scaladoc: 64 separate
+        // substring+instr string expressions (16.8 s at sf0.1), then
+        // the 64-conditional-sum hash aggregate over exploded token
+        // rows (8.3 s) — the expression removes the explode AND the
+        // 64-long-column aggregate exchange those paid.
+        val sig = graft.core.CpuSpread.byKey(
           docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"),
-            explode(array_distinct(split(trim(lower(col("text"))), Ws.Plus))).as("tok"))
-          .withColumn("h", md5(col("tok")))
-        // parse the 32-hex-digit md5 into four 32-bit integer groups ONCE
-        // per token row (4 substring+conv), then extract all 64 vote bits
-        // with pure integer shifts: bit b lives in hex digit b/4 at
-        // in-digit position 3-(b%4), i.e. group g_(b/32) shifted by
-        // 4*(7 - (b/4)%8) + 3 - b%4. The first cut evaluated 64 separate
-        // substring+instr string expressions per row — the same bits, at
-        // 16× the per-row string work (measured 16.8 s at sf0.1; string
-        // parsing dominated the signature aggregation).
-        val grouped = tok.select(
-          col("doc_id") +: (0 until 4).map(j =>
-            expr(s"cast(conv(substring(h, ${j * 8 + 1}, 8), 16, 10) as bigint)")
-              .as(s"g$j")): _*)
-        val votes = (0 until 64).map { b =>
-          val j = b / 32
-          val shift = 4 * (7 - (b / 4) % 8) + 3 - b % 4
-          sum(expr(s"2 * (shiftright(g$j, $shift) & 1) - 1")).as(s"v$b")
-        }
-        val sig = grouped.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-          .select(col("doc_id"),
-            concat((0 until 64).map(b =>
-              when(col(s"v$b") > 0, "1").otherwise("0")): _*).as("s"))
+            call_function("graft_simhash_sig",
+              trim(lower(col("text")))).as("s"))
         val chunks = capHotKeys(
           sig.select(col("doc_id"), col("s"),
             explode(sequence(lit(0), lit(3))).as("c"))

@@ -59,4 +59,51 @@ class QuantizedSimhashSpec extends SparkSpec {
     assert(got == expected,
       s"q80 != brute force (${got.length} vs ${expected.length} pairs)")
   }
+
+  test("the native signature equals the declarative formula on edge inputs") {
+    // engine-vs-engine: graft_simhash_sig (md5 BYTES, int[64] votes)
+    // against the retired 64-conditional-sum aggregate over exploded
+    // tokens (md5 HEX + conv parsing) — the exact formula q80 ran
+    // before the expression promotion — on inputs the corpus doesn't
+    // exercise: a leading tab surviving trim (leading empty token), an
+    // empty and an all-space doc (single empty token), astral-plane and
+    // combining characters, a doc of one repeated token (distinctness),
+    // and single-char tokens
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "\tleading tab survives trim",
+      2L -> "",
+      3L -> "   ",
+      4L -> "dup dup dup dup",
+      5L -> "😀 emoji é combining",
+      6L -> "a b c \n d \r e \f f",
+      7L -> "MiXeD CaSe TeXt").toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+      call_function("graft_simhash_sig", trim(lower(col("text")))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(lower(col("text"))), "[ \t\n\f\r]+")))
+        .as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val grouped = tok.select(
+      col("doc_id") +: (0 until 4).map(j =>
+        expr(s"cast(conv(substring(h, ${j * 8 + 1}, 8), 16, 10) as bigint)")
+          .as(s"g$j")): _*)
+    val votes = (0 until 64).map { b =>
+      val j = b / 32
+      val shift = 4 * (7 - (b / 4) % 8) + 3 - b % 4
+      sum(expr(s"2 * (shiftright(g$j, $shift) & 1) - 1")).as(s"v$b")
+    }
+    val old = grouped.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(b =>
+          when(col(s"v$b") > 0, "1").otherwise("0")): _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native.keySet == old.keySet)
+    native.keySet.toSeq.sorted.foreach { id =>
+      assert(native(id) == old(id), s"doc $id: ${native(id)} != ${old(id)}")
+    }
+  }
 }
