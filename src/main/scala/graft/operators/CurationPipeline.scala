@@ -250,11 +250,20 @@ object CurationPipeline {
     FpIndex.append(s, name, slice(200, 230))
     val p2 = CurationSink.verdictBatch(s, slice(230, 250), name, dir, art)
       .withColumn("batch_no", lit(2))
-    p1.unionByName(p2)
+    // pin the SMALL verdict result eagerly, then release the
+    // model-sized artifact frames (bigram count table ∝ corpus vocab)
+    // and the phase-1 pin — a lazy return would hold them in the block
+    // manager until the consumer materializes (the FpIndex.compact
+    // unpersist discipline); the sink itself keeps its artifacts pinned
+    // for its LIFETIME by design, but a query run must not
+    val out = p1.unionByName(p2)
       .select("batch_no", "doc_id", "n_spans", "n_chars_removed", "n_sh",
         "n_hit", "n_bigrams", "lm_micro_nats", "avg_mn", "contaminated",
         "kept", "clean_text")
       .orderBy("batch_no", "doc_id")
+      .localCheckpoint(true)
+    Seq(art.lm.c12, art.lm.c1, art.lm.vocab, p1).foreach(_.unpersist())
+    out
   }
 
   /** One oracle phase: probe-hit islands → spans → splice → shingle

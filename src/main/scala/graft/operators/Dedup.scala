@@ -1086,14 +1086,19 @@ object Dedup {
      * that q78 gates. Batch 1's probe is eagerly checkpointed before the
      * append mutates the table (a lazy plan would read the post-append
      * files and see batch 1 as its own history). The scratch index is
-     * rebuilt per run (deterministic name, overwrite) so the query stays
+     * rebuilt per run (pid-scoped name, overwrite) so the query stays
      * idempotent; the PERSISTED production index q78 reads is untouched.
      */
     QueryDef(
       "q87_index_maintenance",
       (s, dir) => {
-        val name = BandIndex.tableNameFor(dir) + "_maint"
+        // pid-suffixed scratch (q112's discipline — two processes must
+        // not interleave delete/saveAsTable on one scratch path), with
+        // dead processes' abandoned trees reclaimed on entry
+        val name = BandIndex.tableNameFor(dir) + "_maint_" +
+          ProcessHandle.current().pid()
         val path = java.nio.file.Paths.get(BandIndex.indexRoot, name)
+        IndexCommit.purgeStaleScratch()
         val base = docs(s, dir)
           .select(col("doc_id"), col("text"), col("lang"))
           .withColumn("bucket", BandIndex.ingestBucket)

@@ -211,8 +211,11 @@ object Retrieval {
     QueryDef(
       "q92_postings_maintenance",
       (s, dir) => {
-        val name = PostingsIndex.tableNameFor(dir) + "_maint"
+        // pid-suffixed scratch (q112's discipline), stale trees purged
+        val name = PostingsIndex.tableNameFor(dir) + "_maint_" +
+          ProcessHandle.current().pid()
         val path = java.nio.file.Paths.get(PostingsIndex.indexRoot, name)
+        IndexCommit.purgeStaleScratch()
         val base = Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("lang"))
           .withColumn("bucket", BandIndex.ingestBucket)
