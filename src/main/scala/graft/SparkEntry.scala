@@ -187,6 +187,13 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            stationary BloomIndex, verdict booleans — each phase
   *            recomputed monolithically by the oracle, phase 2's
   *            history including batch 1 exactly because it was appended
+  *   q119     image-similarity retrieval over REAL decoded features:
+  *            q51's strict PPM decode extended to a 24-dim integer
+  *            channel histogram (one mapPartitions pass), then q40's
+  *            exact retrieval shape — 8 query images broadcast, exact
+  *            int64 dot products, top-3 per query — with the oracle
+  *            re-deriving the histograms from the characters through
+  *            the codec's closed form (multimodal ∘ similarity)
   */
 object SparkEntry {
 

@@ -80,6 +80,41 @@ object MediaCodecs {
       * silent partial decode would poison downstream aggregates.
       */
     def decode(bytes: Array[Byte]): PpmImage = {
+      val (width, height, off) = rasterOf(bytes)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      val px = width * height
+      while (i < px) {
+        sr += bytes(off + 3 * i) & 0xff
+        sg += bytes(off + 3 * i + 1) & 0xff
+        sb += bytes(off + 3 * i + 2) & 0xff
+        i += 1
+      }
+      PpmImage(width, height, sr, sg, sb)
+    }
+
+    /** The q119 feature extractor: strict-parse, then bin every pixel's
+      * channels into a 3·`bins` integer histogram (R bins, then G, then
+      * B) — the exact-integer retrieval feature. Same validation as
+      * [[decode]] (one shared header parser).
+      */
+    def decodeHistogram(bytes: Array[Byte], bins: Int = 8): Array[Long] = {
+      val (width, height, off) = rasterOf(bytes)
+      val div = 256 / bins
+      val h = new Array[Long](3 * bins)
+      var i = 0
+      val px = width * height
+      while (i < px) {
+        h((bytes(off + 3 * i) & 0xff) / div) += 1L
+        h(bins + ((bytes(off + 3 * i + 1) & 0xff) / div)) += 1L
+        h(2 * bins + ((bytes(off + 3 * i + 2) & 0xff) / div)) += 1L
+        i += 1
+      }
+      h
+    }
+
+    /** Shared strict header parse: (width, height, raster offset). */
+    private def rasterOf(bytes: Array[Byte]): (Int, Int, Int) = {
       var pos = 0
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(s"PPM: $msg at byte $pos")
@@ -121,16 +156,7 @@ object MediaCodecs {
       val need = 3L * width * height
       if (bytes.length - pos < need)
         fail(s"raster truncated (${bytes.length - pos} of $need bytes)")
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      var i = 0
-      val px = width * height
-      while (i < px) {
-        sr += bytes(pos + 3 * i) & 0xff
-        sg += bytes(pos + 3 * i + 1) & 0xff
-        sb += bytes(pos + 3 * i + 2) & 0xff
-        i += 1
-      }
-      PpmImage(width, height, sr, sg, sb)
+      (width, height, pos)
     }
   }
 

@@ -184,6 +184,74 @@ object Multimodal {
              |    AS sum_b
              |FROM codes ORDER BY doc_id""".stripMargin)),
 
+    /* Image SIMILARITY retrieval over REAL decoded features — the
+     * multimodal estate composed with the similarity estate (image
+     * near-dup/retrieval is a first-class pretraining-data curation
+     * need: CLIP-style dedup runs exactly this shape with learned
+     * embeddings). The feature extractor is the q51 decode path taken
+     * further: each PPM payload is PARSED (strict P6 grammar) and its
+     * pixels binned into a 24-dim integer channel histogram (8 bins ×
+     * R/G/B) inside one mapPartitions pass — decode + feature-extract
+     * stay map-side and per-partition-amortized, the production codec
+     * contract. Retrieval is q40's exact shape on the integer features:
+     * 8 query images broadcast onto the corpus scan, EXACT int64 dot
+     * products (no floats — cross-engine bit-exact), top-3 per query by
+     * (dot DESC, n_id). The only shuffle carries candidate rows into
+     * the per-query rank window. The oracle re-derives the histograms
+     * from the CHARACTERS through the codec's closed form (pixel r =
+     * code, g = 255−code, b = 7·code mod 256 — q51's minting grammar),
+     * so a decoder drift, a binning drift, and a ranking drift all flip
+     * the hash.
+     */
+    QueryDef(
+      "q119_image_similarity",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val feats = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              (id, MediaCodecs.PpmCodec.decodeHistogram(
+                MediaCodecs.PpmCodec.encode(text)))
+            }
+          }.toDF("media_id", "v")
+        val q = feats.filter(col("media_id") < 8)
+          .select(col("media_id").as("q_id"), col("v").as("qv"))
+        val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x)
+        val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("n_id"))
+        feats.join(broadcast(q), col("media_id") =!= col("q_id"))
+          .select(col("q_id"), col("media_id").as("n_id"), dot.as("dot"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("q_id", "rank", "n_id", "dot")
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH codes AS (
+             |  SELECT doc_id, list_transform(range(1, len(text) + 1),
+             |           i -> unicode(substr(text, i, 1))) AS cs
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |        flatten([
+             |          list_transform(generate_series(0, 7),
+             |            b -> len(list_filter(cs, c -> c // 32 = b))),
+             |          list_transform(generate_series(0, 7),
+             |            b -> len(list_filter(cs, c -> (255 - c) // 32 = b))),
+             |          list_transform(generate_series(0, 7),
+             |            b -> len(list_filter(cs, c -> ((7 * c) % 256) // 32 = b)))
+             |        ]) AS v
+             |      FROM codes),
+             |qs AS (SELECT doc_id AS q_id, v AS qv FROM f WHERE doc_id < 8),
+             |cand AS (SELECT qs.q_id, f.doc_id AS n_id,
+             |           CAST(list_sum(list_transform(generate_series(1, 24),
+             |             i -> qs.qv[i] * f.v[i])) AS BIGINT) AS dot
+             |         FROM qs JOIN f ON f.doc_id <> qs.q_id)
+             |SELECT q_id, rank, n_id, dot FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY dot DESC, n_id) AS rank FROM cand) t
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
     // ---- real WAV decode: text -> RIFF bytes -> chunk walker -> PCM stats
     QueryDef(
       "q52_audio_decode",

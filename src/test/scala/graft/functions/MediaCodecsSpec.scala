@@ -22,6 +22,22 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(img.sumB == (7 * 65) % 256 + (7 * 66) % 256)
   }
 
+  test("PPM histogram bins every pixel channel; shares the strict parser") {
+    // 'A'=65 -> bins r: 65/32=2, g: 190/32=5, b: 199/32=6
+    // 'B'=66 -> bins r: 2, g: 189/32=5, b: 206/32=6
+    // '~'=126 -> bins r: 3, g: 129/32=4, b: (882%256=114)/32=3
+    val h = PpmCodec.decodeHistogram(PpmCodec.encode("AB~"))
+    assert(h.length == 24)
+    assert(h.sum == 9, "every channel of every pixel lands in one bin")
+    assert(h(2) == 2 && h(3) == 1)                    // R
+    assert(h(8 + 5) == 2 && h(8 + 4) == 1)            // G
+    assert(h(16 + 6) == 2 && h(16 + 3) == 1)          // B
+    // the histogram path validates headers exactly like decode
+    intercept[IllegalArgumentException] {
+      PpmCodec.decodeHistogram(ascii("P6\n2 1\n255\n") ++ Array[Byte](1, 2))
+    }
+  }
+
   test("PPM parser handles multi-line comments and arbitrary whitespace") {
     val raster = Array[Byte](1, 2, 3, 4, 5, 6)
     val header = ascii("P6 # trailing\n#another comment\n  2\n#x\n\t1 \n 255 ")
