@@ -239,6 +239,16 @@ object LookupWaterfall {
           .withColumn("leg", lit(3))
           .withColumn("score", lev)
       case _ =>
+        // scan mode keeps the per-row nested loop DELIBERATELY: a
+        // dedup-before-compute rewrite (distinct probes × distinct keys,
+        // then two join-backs — the ratio/blocked shape) was built and
+        // measured in round 12 and REGRESSED both base scale (q26 3.2 →
+        // 5.0 s, q23 0.9 → 1.3 s) and the ×32 floor (unchanged ~21 s):
+        // with the codegen'd threshold-levenshtein the per-row band scan
+        // is cheaper than the added distinct + broadcast join-backs at
+        // every measured factor. The modes that pay real per-pair cost
+        // (ratio's rapidfuzz UDF, blocked's variant explode) already
+        // dedup; scan's per-pair cost is too cheap for dedup to win.
         missPrefix.join(catFuzzy,
             abs(length(col("probe")) - length(col("key"))) <= cfg.fuzzyMaxDist &&
               lev >= 0 && col("key") =!= col("probe"))
