@@ -140,21 +140,28 @@ object IndexCommit {
   def purgeStaleScratch(): Int = {
     val scratchRe = "^.*_c?maint_([0-9]+)$".r
     val buildRe = "^.*\\.build-([0-9]+)$".r
+    // bare `_maint`/`_cmaint` with no pid: the pre-pid-scoping scratch
+    // names — no current code path creates them, so they are orphans by
+    // construction and reclaimed unconditionally
+    val legacyRe = "^.*_c?maint$".r
     val self = ProcessHandle.current().pid()
-    def abandoned(pid: String): Boolean = {
-      val p = pid.toLong
-      if (p == self) false
-      else {
-        val h = ProcessHandle.of(p)
-        !(h.isPresent && h.get().isAlive)
+    def abandoned(pid: String): Boolean =
+      // an unparseable "pid" (hand-made dir) is left alone, like any
+      // other name the patterns don't own
+      pid.toLongOption.exists { p =>
+        if (p == self) false
+        else {
+          val h = ProcessHandle.of(p)
+          !(h.isPresent && h.get().isAlive)
+        }
       }
-    }
     Option(new java.io.File(indexRoot).listFiles())
       .getOrElse(Array.empty)
       .count { f =>
         val stale = f.getName match {
           case scratchRe(pid) => abandoned(pid)
           case buildRe(pid)   => abandoned(pid)
+          case legacyRe()     => true
           case _              => false
         }
         if (stale) deleteTree(f.toPath)

@@ -28,7 +28,12 @@ class IndexCommitSpec extends SparkSpec {
     val deadBuild = root.resolve(s"graft_fp_index_ictest.build-$dead")
     val mine = root.resolve(s"graft_fp_index_ictest_maint_$self")
     val plain = root.resolve("graft_fp_index_ictest_plainindex")
-    val all = Seq(deadMaint, deadCmaint, deadBuild, mine, plain)
+    // the pre-pid-scoping scratch name: orphaned by construction (no
+    // current code path creates it), reclaimed unconditionally
+    val legacy = root.resolve("graft_band_index_ictest_maint")
+    // an unparseable pid (overflow digits) must be SPARED, not crash
+    val weird = root.resolve("graft_fp_index_ictest_maint_99999999999999999999")
+    val all = Seq(deadMaint, deadCmaint, deadBuild, mine, plain, legacy, weird)
     all.foreach { p =>
       Files.createDirectories(p)
       Files.writeString(p.resolve("marker"), "x")
@@ -41,8 +46,11 @@ class IndexCommitSpec extends SparkSpec {
       assert(!Files.exists(deadBuild), "dead pid's .build- sibling must go")
       assert(Files.exists(mine), "the CURRENT process's scratch must survive")
       assert(Files.exists(plain), "a non-scratch index dir must survive")
+      assert(!Files.exists(legacy), "bare pre-pid _maint names are orphans")
+      assert(Files.exists(weird), "an unparseable pid suffix must be spared")
       // idempotent: a second pass finds nothing of ours to remove
-      all.foreach(p => assert(Files.exists(p) == (p == mine || p == plain)))
+      all.foreach(p => assert(Files.exists(p) ==
+        (p == mine || p == plain || p == weird)))
     } finally all.foreach(IndexCommit.deleteTree)
   }
 }
