@@ -96,13 +96,36 @@ object Bench {
       (name, median, if (failed) -1.0 else sortedT.head,
         if (failed) -1.0 else sortedT.last)
     }
-    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // MIN-MERGE IN PLACE (default): the committed bench_out.json is a
+    // per-query min across sessions; three rounds running, a fresh
+    // single-session run overwrote it in the worktree and a human had to
+    // restore the merge by hand. The writer now does the merge itself:
+    // read the existing artifact, keep the better (lower) median per
+    // query, widen the recorded spread, and carry forward queries this
+    // session didn't run (SPARK_GRAFT_ONLY subsets stay safe). Escapes:
+    //   SPARK_GRAFT_BENCH_FRESH=1          — ignore the existing file
+    //   SPARK_GRAFT_BENCH_REPLACE=qNN,qMM  — the engine-changed rule:
+    //     discard those queries' history (an engine change invalidates
+    //     old mins; merging would report the retired engine's number)
+    // A failed run (-1.0) always surfaces: it is never masked by a
+    // historical success for a query that was actually attempted.
+    val fresh = sys.env.get("SPARK_GRAFT_BENCH_FRESH").contains("1")
+    val replace = sys.env.get("SPARK_GRAFT_BENCH_REPLACE")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val (prevQ, prevS) =
+      if (fresh) (Map.empty[String, Double], Map.empty[String, (Double, Double)])
+      else try parsePrev(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(outPath)))
+      catch { case _: Throwable =>
+        (Map.empty[String, Double], Map.empty[String, (Double, Double)]) }
+    val all = minMerge(results, prevQ, prevS, replace)
+    val qs = all.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results
+    val spread = all
       .map { case (k, _, mn, mx) => s"\"" + k + "\":[" + mn + "," + mx + "]" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"order":"$order","sf":"$sfDir","out":"$outPath"}"""
     // the driver captures only a truncated stdout tail, which in past
@@ -113,5 +136,66 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] $outPath write failed: $e") }
     println(json)
     spark.stop()
+  }
+
+  /** The min-merge itself: per ran query, keep the better (lower)
+    * median unless the query is in `replace` (engine-changed rule) or
+    * this session FAILED it (-1.0 always surfaces); widen the spread
+    * when history is kept; carry forward history for queries this
+    * session didn't run. Output sorted by name.
+    */
+  private[graft] def minMerge(
+      results: Seq[(String, Double, Double, Double)],
+      prevQ: Map[String, Double],
+      prevS: Map[String, (Double, Double)],
+      replace: Set[String]): Seq[(String, Double, Double, Double)] = {
+    val ran = results.map { case (k, med, mn, mx) =>
+      val old = if (replace(k)) None else prevQ.get(k).filter(_ >= 0)
+      val merged =
+        if (med < 0) med                       // failure surfaces
+        else old.fold(med)(math.min(_, med))
+      val (smn, smx) = prevS.get(k) match {
+        case Some((omn, omx)) if old.isDefined && med >= 0 =>
+          (math.min(omn, mn), math.max(omx, mx))
+        case _ => (mn, mx)
+      }
+      (k, merged, smn, smx)
+    }
+    val ranKeys = ran.map(_._1).toSet
+    val carried = prevQ.toSeq
+      .filter { case (k, _) => !ranKeys(k) && !replace(k) }
+      .map { case (k, v) =>
+        val (mn, mx) = prevS.getOrElse(k, (v, v))
+        (k, v, mn, mx)
+      }
+    (ran ++ carried).sortBy(_._1)
+  }
+
+  /** Parse a previous bench artifact's "queries" and "spread" objects.
+    * The format is this file's own output — flat name→number and
+    * name→[min,max] maps with no nested braces — so a two-regex scan is
+    * complete. Any malformed file parses to empty (treated as no
+    * history), never an exception: a corrupt artifact must not block a
+    * bench run.
+    */
+  private[graft] def parsePrev(
+      s: String): (Map[String, Double], Map[String, (Double, Double)]) = {
+    def obj(key: String): String = {
+      val i = s.indexOf("\"" + key + "\":{")
+      if (i < 0) return ""
+      val start = s.indexOf('{', i)
+      val end = s.indexOf('}', start)
+      if (end < 0) "" else s.substring(start + 1, end)
+    }
+    val num = "-?[0-9][0-9.eE+-]*"
+    val qRe = ("\"([^\"]+)\":(" + num + ")").r
+    val sRe = ("\"([^\"]+)\":\\[(" + num + "),(" + num + ")\\]").r
+    val qs = qRe.findAllMatchIn(obj("queries"))
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    val sp = sRe.findAllMatchIn(obj("spread"))
+      .flatMap(m => for {
+        a <- m.group(2).toDoubleOption; b <- m.group(3).toDoubleOption
+      } yield m.group(1) -> (a, b)).toMap
+    (qs, sp)
   }
 }

@@ -497,7 +497,7 @@ object Clustering {
           ProcessHandle.current().pid()
         val path = java.nio.file.Paths.get(ClusterIndex.indexRoot, name)
         // reclaim dead processes' abandoned scratch trees (q112's rule)
-        IndexCommit.purgeStaleScratch()
+        IndexCommit.purgeAllScratchRoots()
         val base = Tables(s, dir, "embeddings")
           .withColumn("bucket",
             conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)

@@ -231,7 +231,7 @@ object CurationPipeline {
       ProcessHandle.current().pid()
     val path = java.nio.file.Paths.get(FpIndex.indexRoot, name)
     // reclaim dead processes' abandoned scratch trees (q112's rule)
-    IndexCommit.purgeStaleScratch()
+    IndexCommit.purgeAllScratchRoots()
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
       .withColumn("bucket", BandIndex.ingestBucket)

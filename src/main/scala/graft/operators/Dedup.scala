@@ -1098,7 +1098,7 @@ object Dedup {
         val name = BandIndex.tableNameFor(dir) + "_maint_" +
           ProcessHandle.current().pid()
         val path = java.nio.file.Paths.get(BandIndex.indexRoot, name)
-        IndexCommit.purgeStaleScratch()
+        IndexCommit.purgeAllScratchRoots()
         val base = docs(s, dir)
           .select(col("doc_id"), col("text"), col("lang"))
           .withColumn("bucket", BandIndex.ingestBucket)

@@ -124,7 +124,7 @@ object IndexCommit {
       rm(p.toFile)
     }
 
-  /** Reclaim ABANDONED pid-scoped trees under the shared index root:
+  /** Reclaim ABANDONED pid-scoped trees under an index root:
     * the `_maint_<pid>`/`_cmaint_<pid>` scratch indexes the maintenance
     * loops build (q112/q116/q118) and the `.build-<pid>` temp siblings
     * a crashed [[commitBuild]] can leave behind. Without this, every
@@ -136,15 +136,23 @@ object IndexCommit {
     * trees are never touched, preserving the pid-scoping concurrency
     * contract. Foreign scratch tables were never in this JVM's catalog,
     * so deleting the files alone is complete. Returns trees removed.
+    *
+    * `root` defaults to the shared [[indexRoot]]; the postings family
+    * keeps its own root ([[PostingsIndex.indexRoot]]), so janitor call
+    * sites sweep BOTH — see [[purgeAllScratchRoots]].
     */
-  def purgeStaleScratch(): Int = {
+  def purgeStaleScratch(root: String = indexRoot): Int = {
     val scratchRe = "^.*_c?maint_([0-9]+)$".r
     val buildRe = "^.*\\.build-([0-9]+)$".r
     // bare `_maint`/`_cmaint` with no pid: the pre-pid-scoping scratch
-    // names — no current code path creates them, so they are orphans by
-    // construction and reclaimed unconditionally
+    // names. No CURRENT code path creates them, but an old binary still
+    // running on this host during a mixed-version rollout uses exactly
+    // that name — so reclamation is gated on the tree being cold (mtime
+    // older than [[LegacyIdleMs]]): an in-use scratch is rewritten every
+    // maintenance cycle, an orphan only ever ages.
     val legacyRe = "^.*_c?maint$".r
     val self = ProcessHandle.current().pid()
+    val now = System.currentTimeMillis()
     def abandoned(pid: String): Boolean =
       // an unparseable "pid" (hand-made dir) is left alone, like any
       // other name the patterns don't own
@@ -155,17 +163,35 @@ object IndexCommit {
           !(h.isPresent && h.get().isAlive)
         }
       }
-    Option(new java.io.File(indexRoot).listFiles())
+    Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty)
       .count { f =>
         val stale = f.getName match {
           case scratchRe(pid) => abandoned(pid)
           case buildRe(pid)   => abandoned(pid)
-          case legacyRe()     => true
+          case legacyRe()     => now - f.lastModified() > LegacyIdleMs
           case _              => false
         }
         if (stale) deleteTree(f.toPath)
         stale
       }
+  }
+
+  /** How cold a bare legacy `_maint`/`_cmaint` tree must be before the
+    * janitor reclaims it (system property is the test seam). Chosen far
+    * above any maintenance cycle's write cadence.
+    */
+  private[graft] def LegacyIdleMs: Long =
+    sys.props.get("graft.index.legacy.idle.ms").map(_.toLong)
+      .getOrElse(6L * 3600 * 1000)
+
+  /** Sweep every known index root — the shared [[indexRoot]] and the
+    * postings family's own root. The janitor entry call sites
+    * (BuildIndexes, the q92/q112/q116/q118 maintenance loops) use this
+    * so no root's scratch estate is left to leak.
+    */
+  def purgeAllScratchRoots(): Int = {
+    val roots = Seq(indexRoot, PostingsIndex.indexRoot).distinct
+    roots.map(purgeStaleScratch).sum
   }
 }

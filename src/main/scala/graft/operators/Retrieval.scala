@@ -215,7 +215,7 @@ object Retrieval {
         val name = PostingsIndex.tableNameFor(dir) + "_maint_" +
           ProcessHandle.current().pid()
         val path = java.nio.file.Paths.get(PostingsIndex.indexRoot, name)
-        IndexCommit.purgeStaleScratch()
+        IndexCommit.purgeAllScratchRoots()
         val base = Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"), col("lang"))
           .withColumn("bucket", BandIndex.ingestBucket)

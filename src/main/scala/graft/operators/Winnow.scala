@@ -539,7 +539,7 @@ object Winnow {
         val path = java.nio.file.Paths.get(FpIndex.indexRoot, name)
         // reclaim dead processes' abandoned scratch trees on entry —
         // without this every maintenance-loop process leaks one forever
-        IndexCommit.purgeStaleScratch()
+        IndexCommit.purgeAllScratchRoots()
         val base = docs(s, dir)
           .select(col("doc_id"), col("text"), col("lang"))
           .withColumn("bucket", BandIndex.ingestBucket)

@@ -31,11 +31,12 @@ object BuildIndexes {
     * table exists under `dir`; returns (kind, table name) pairs. Also
     * the natural janitor slot: abandoned pid-scoped scratch trees
     * (dead maintenance loops, crashed commitBuild temps) are reclaimed
-    * first, so the index root's footprint stays bounded by the LIVE
-    * index set across generations.
+    * first across EVERY index root — the shared root and the postings
+    * family's own — so the estate's footprint stays bounded by the
+    * LIVE index set across generations.
     */
   def buildAll(spark: SparkSession, dir: String): Seq[(String, String)] = {
-    graft.operators.IndexCommit.purgeStaleScratch()
+    graft.operators.IndexCommit.purgeAllScratchRoots()
     (if (has(dir, "documents.parquet")) Seq(
       "band" -> BandIndex.ensure(spark, dir),
       "bloom" -> BloomIndex.ensure(spark, dir),

@@ -11,7 +11,11 @@ import graft.SparkSpec
   * without the purge. The contract under test: ABANDONED trees (owner
   * pid not alive on this host) are reclaimed; the current process's
   * trees, live processes' trees, and non-scratch index directories are
-  * never touched.
+  * never touched. Bare legacy `_maint`/`_cmaint` names (pre-pid-scoping)
+  * are reclaimed only once COLD — during a mixed-version rollout an
+  * old binary still actively rewrites that exact name, so a fresh mtime
+  * means in-use, not orphaned. The postings family keeps its own root,
+  * so [[IndexCommit.purgeAllScratchRoots]] must sweep it too.
   */
 class IndexCommitSpec extends SparkSpec {
 
@@ -28,8 +32,9 @@ class IndexCommitSpec extends SparkSpec {
     val deadBuild = root.resolve(s"graft_fp_index_ictest.build-$dead")
     val mine = root.resolve(s"graft_fp_index_ictest_maint_$self")
     val plain = root.resolve("graft_fp_index_ictest_plainindex")
-    // the pre-pid-scoping scratch name: orphaned by construction (no
-    // current code path creates it), reclaimed unconditionally
+    // the pre-pid-scoping scratch name: just created → mtime is FRESH,
+    // so the mixed-version-rollout guard must spare it at the default
+    // idle threshold
     val legacy = root.resolve("graft_band_index_ictest_maint")
     // an unparseable pid (overflow digits) must be SPARED, not crash
     val weird = root.resolve("graft_fp_index_ictest_maint_99999999999999999999")
@@ -46,11 +51,43 @@ class IndexCommitSpec extends SparkSpec {
       assert(!Files.exists(deadBuild), "dead pid's .build- sibling must go")
       assert(Files.exists(mine), "the CURRENT process's scratch must survive")
       assert(Files.exists(plain), "a non-scratch index dir must survive")
-      assert(!Files.exists(legacy), "bare pre-pid _maint names are orphans")
+      assert(Files.exists(legacy),
+        "a FRESH bare legacy _maint tree may belong to a live old binary")
       assert(Files.exists(weird), "an unparseable pid suffix must be spared")
+      // once the legacy tree goes COLD (test seam shrinks the idle
+      // threshold to zero) it is an orphan and gets reclaimed
+      System.setProperty("graft.index.legacy.idle.ms", "0")
+      try {
+        assert(IndexCommit.purgeStaleScratch() >= 1)
+        assert(!Files.exists(legacy), "a COLD bare legacy tree is an orphan")
+      } finally System.clearProperty("graft.index.legacy.idle.ms")
       // idempotent: a second pass finds nothing of ours to remove
       all.foreach(p => assert(Files.exists(p) ==
         (p == mine || p == plain || p == weird)))
+    } finally all.foreach(IndexCommit.deleteTree)
+  }
+
+  test("purgeAllScratchRoots sweeps the postings root too") {
+    val proot = Paths.get(PostingsIndex.indexRoot)
+    Files.createDirectories(proot)
+    val dead = Iterator.iterate(3999999999L)(_ - 7)
+      .find(p => !ProcessHandle.of(p).isPresent).get
+    val deadMaint = proot.resolve(s"graft_postings_ictest_maint_$dead")
+    val deadBuild = proot.resolve(s"graft_postings_ictest.build-$dead")
+    val live = proot.resolve(
+      s"graft_postings_ictest_maint_${ProcessHandle.current().pid()}")
+    val all = Seq(deadMaint, deadBuild, live)
+    all.foreach { p =>
+      Files.createDirectories(p)
+      Files.writeString(p.resolve("marker"), "x")
+    }
+    try {
+      IndexCommit.purgeAllScratchRoots()
+      assert(!Files.exists(deadMaint),
+        "dead pid's postings _maint_ tree must be reclaimed by the sweep")
+      assert(!Files.exists(deadBuild),
+        "dead pid's postings .build- temp must be reclaimed by the sweep")
+      assert(Files.exists(live), "own postings scratch must survive")
     } finally all.foreach(IndexCommit.deleteTree)
   }
 }
