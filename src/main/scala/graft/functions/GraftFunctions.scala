@@ -57,6 +57,10 @@ object GraftFunctions {
       "graft_simhash_sig",
       exprs => graft.expressions.SimHashSig(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_boilerplate_clean",
+      exprs => graft.expressions.BoilerplateClean(exprs.head),
+      "scala_udf")
     spark.udf.register("graft_normalize_text", normalizeText)
     spark.udf.register("graft_normalize_basic", normalizeBasic)
     spark.udf.register("graft_slug_id", slugId)

@@ -902,6 +902,101 @@ object TextAnalysis {
              |        PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rk
              |      FROM scored) r
              |WHERE rk <= 3
-             |ORDER BY doc_id, rk""".stripMargin))
+             |ORDER BY doc_id, rk""".stripMargin)),
+
+    // ---- q120: line-level boilerplate extraction over markup-bearing
+    //      text — the curation stage every real pretraining pipeline
+    //      runs BEFORE dedup/decontam/quality (jusText rule shape;
+    //      Pomikálek 2011). The corpus text is already clean, so the
+    //      query CONSTRUCTS a deterministic HTML-ish fixture per doc
+    //      (title/nav/content/inline-link/shout/code/footer lines) from
+    //      the SAME SQL text both engines evaluate, then runs the
+    //      native expression; the oracle replays the line algebra
+    //      through [[boilerplateCtes]], which interpolates the
+    //      expression's own public threshold constants — rule drift
+    //      flips the hash. Per-row, map-side, codegen'd: the only
+    //      exchange is the output ordering.
+    QueryDef(
+      "q120_boilerplate_extract",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, dir)
+          .withColumn("markup", expr(BoilerplateFixtureSql))
+          .select(col("doc_id"),
+            call_function("graft_boilerplate_clean", col("markup")).as("c"))
+          .select(col("doc_id"), col("c.clean_text"), col("c.n_lines"),
+            col("c.n_kept"), col("c.n_short"), col("c.n_link"),
+            col("c.n_stop"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH bp_m AS (
+             |  SELECT doc_id, $BoilerplateFixtureSql AS markup FROM documents),
+             |${boilerplateCtes("bp_m", "markup", "")}
+             |SELECT doc_id, clean_text, n_lines, n_kept, n_short, n_link, n_stop
+             |FROM bp_docs ORDER BY doc_id""".stripMargin))
   )
+
+  /** q120's markup fixture — ONE SQL text evaluated verbatim by BOTH
+    * engines over `documents` (doc_id, text), so the fixture cannot
+    * drift between the query and its oracle. Seven '\n'-joined lines
+    * per doc chosen to exercise every verdict class: pure-markup title
+    * (strips short), nav + footer link bars (link-dense), a <p> content
+    * line (keeps), a doc_id-varied content slice with an inline anchor
+    * (keeps / drops by the doc's own lengths), a short bold shout
+    * (short), and a stopword-free code line (stop). Restricted to the
+    * SQL dialect intersection: ||, chr(10), substr, upper,
+    * CAST(.. AS STRING/INT) — all identical in Spark and DuckDB.
+    */
+  def BoilerplateFixtureSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title></head>' || chr(10) ||
+      |'<a href="/home">Home</a> | <a href="/about">About us</a> | <a href="/contact">Contact</a>' || chr(10) ||
+      |'<p>' || substr(text, 1, 160) || '</p>' || chr(10) ||
+      |substr(text, 90, 60 + CAST(doc_id % 90 AS INT)) || ' <a href="/ref">see reference ' || CAST(doc_id % 10 AS STRING) || '</a> end.' || chr(10) ||
+      |'<b>' || upper(substr(text, 1, 12)) || '</b>' || chr(10) ||
+      |'var_' || CAST(doc_id % 7 AS STRING) || ' := hash_join(scan_' || CAST(doc_id % 5 AS STRING) || ', probe); emit(out_row); flush_partition_buffers()' || chr(10) ||
+      |'<a href="/privacy">Privacy policy</a> | <a href="/terms">Terms of use</a>'"""
+      .stripMargin.replace("\n", " ")
+
+  /** The q120 line algebra as reusable DuckDB CTE text — the oracle
+    * twin of [[graft.expressions.BoilerplateClean.compute]], generated
+    * from the expression's OWN public constants (thresholds, stopword
+    * list) so the two cannot drift (the q115 shared-CTE discipline).
+    * Input relation `src` must provide (doc_id, `textCol`); emits
+    * `bp_docs$sfx` with (doc_id, clean_text, n_lines, n_kept, n_short,
+    * n_link, n_stop).
+    */
+  def boilerplateCtes(src: String, textCol: String, sfx: String): String = {
+    import graft.expressions.BoilerplateClean._
+    val stopPred = Stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    s"""bp_lines$sfx AS (
+       |  SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS ln
+       |  FROM (SELECT doc_id, string_split($textCol, chr(10)) AS arr FROM $src)),
+       |bp_feat$sfx AS (
+       |  SELECT doc_id, ln,
+       |    trim(regexp_replace(arr[ln], '<[^>]*>', '', 'g')) AS stripped,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      regexp_extract_all(arr[ln], '<a[^>]*>([^<]*)</a>', 1),
+       |      x -> len(x))), 0) AS BIGINT) AS link_len
+       |  FROM bp_lines$sfx),
+       |bp_verdict$sfx AS (
+       |  SELECT doc_id, ln, stripped,
+       |    CASE WHEN len(stripped) < $MinLen THEN 'short'
+       |         WHEN $LinkDen * link_len > $LinkNum * len(stripped) THEN 'link'
+       |         WHEN len(stripped) < $NearLong AND $StopDen * len(list_filter(
+       |               string_split_regex(lower(stripped), '[ \t]+'),
+       |               t -> $stopPred)) <
+       |             len(string_split_regex(stripped, '[ \t]+')) THEN 'stop'
+       |         ELSE 'keep' END AS verdict
+       |  FROM bp_feat$sfx),
+       |bp_docs$sfx AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(CASE WHEN verdict = 'keep' THEN stripped END,
+       |                        chr(10) ORDER BY ln), '') AS clean_text,
+       |    CAST(count(*) AS INT) AS n_lines,
+       |    CAST(count(*) FILTER (WHERE verdict = 'keep') AS INT) AS n_kept,
+       |    CAST(count(*) FILTER (WHERE verdict = 'short') AS INT) AS n_short,
+       |    CAST(count(*) FILTER (WHERE verdict = 'link') AS INT) AS n_link,
+       |    CAST(count(*) FILTER (WHERE verdict = 'stop') AS INT) AS n_stop
+       |  FROM bp_verdict$sfx GROUP BY doc_id)""".stripMargin
+  }
 }
