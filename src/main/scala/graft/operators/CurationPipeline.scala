@@ -70,6 +70,7 @@ object CurationPipeline {
   private def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   private def q115(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     // s0: ingest — the training-corpus side of q53's boundary; the
     // benchmark slice (bucket >= 250) never enters the pipeline
     val s0 = Tables(s, dir, "documents")
@@ -78,12 +79,34 @@ object CurationPipeline {
       .filter(col("bucket") < 250)
       .drop("bucket")
 
+    // s0m: markup-aware ingest (q120). One in five docs ARRIVES as an
+    // HTML-ish page (title/nav/content/footer — the original text is
+    // the page's content line); every doc passes through the
+    // boilerplate extractor, docs reduced to nothing drop here. The
+    // persisted-FpIndex contract this must preserve: extraction
+    // RECOVERS a survivor's original text exactly (boilerplate lines
+    // strip away, the content line is the pre-trimmed original), so
+    // s3's index rows — fingerprinted over original texts — remain the
+    // fingerprints of the stage corpus. Load-bearing at corpus scale:
+    // short-ish stopword-poor docs fail their own content line's
+    // verdict and leave the pipeline before s1.
+    val s0m = pin(s0
+      .withColumn("arriving",
+        when(col("doc_id") % 5 === 0,
+          expr(TextAnalysis.BoilerplateWrapSql)).otherwise(col("text")))
+      .select(col("doc_id"),
+        call_function("graft_boilerplate_clean", col("arriving")).as("c"),
+        col("lang"), col("source"))
+      .select(col("doc_id"), col("c.clean_text").as("text"), col("lang"),
+        col("source"), (col("c.n_lines") - col("c.n_kept")).as("n_bp_dropped"))
+      .filter(length(col("text")) > 0))
+
     // s1: exact near-key dedup, keep-first (q34's key fingerprint)
-    val keyed = s0.select(col("doc_id"),
+    val keyed = s0m.select(col("doc_id"),
       TextAnalysis.exactKeyCol.as("key_fp"))
     val firsts = keyed.groupBy("key_fp")
       .agg(min(col("doc_id")).as("first_doc"))
-    val s1 = pin(s0.join(
+    val s1 = pin(s0m.join(
       keyed.join(firsts, "key_fp")
         .filter(col("doc_id") === col("first_doc"))
         .select("doc_id"),
@@ -137,7 +160,7 @@ object CurationPipeline {
     val s6 = grp.filter(gbucket < 204)
 
     // s7: source-weighted epoch mix (q57) over the final train split
-    s6.select(col("doc_id"), col("lang"), col("source"),
+    s6.select(col("doc_id"), col("lang"), col("source"), col("n_bp_dropped"),
         col("n_spans"), col("n_chars_removed"), col("n_sh"), col("n_hit"),
         col("avg_mn"), col("group_id"),
         TextAnalysis.sourceWeightCol.as("weight"))
@@ -152,15 +175,30 @@ object CurationPipeline {
     val s0 =
       "s0 AS MATERIALIZED (SELECT doc_id, text, lang, source FROM documents\n" +
         s"       WHERE ${Dedup.BucketSql} < 250)"
+    // s0m: markup-aware ingest — the arrival wrap and the line algebra
+    // are the q120 constants verbatim (BoilerplateWrapSql /
+    // boilerplateCtes), so the stage cannot drift from the standalone
+    // query's rule set
+    val s0m =
+      "s0a AS (SELECT doc_id, lang, source,\n" +
+        s"  CASE WHEN doc_id % 5 = 0 THEN ${TextAnalysis.BoilerplateWrapSql}\n" +
+        "       ELSE text END AS arriving FROM s0),\n" +
+        TextAnalysis.boilerplateCtes("s0a", "arriving", "_c") + ",\n" +
+        "s0m AS MATERIALIZED (\n" +
+        "  SELECT a.doc_id, b.clean_text AS text, a.lang, a.source,\n" +
+        "    b.n_lines - b.n_kept AS n_bp_dropped\n" +
+        "  FROM s0a a JOIN bp_docs_c b USING (doc_id)\n" +
+        "  WHERE len(b.clean_text) > 0)"
     val s1 =
-      "s1 AS MATERIALIZED (\n  WITH kf AS (" + TextAnalysis.exactKeySelectOver("s0") + "),\n" +
+      "s1 AS MATERIALIZED (\n  WITH kf AS (" + TextAnalysis.exactKeySelectOver("s0m") + "),\n" +
         "  k AS (SELECT key_fp, min(doc_id) AS first_doc FROM kf GROUP BY 1),\n" +
         "  keep AS (SELECT kf.doc_id FROM kf JOIN k USING (key_fp)\n" +
         "           WHERE kf.doc_id = k.first_doc)\n" +
-        "  SELECT d.* FROM s0 d JOIN keep USING (doc_id))"
+        "  SELECT d.* FROM s0m d JOIN keep USING (doc_id))"
     val s2 =
       "s2 AS MATERIALIZED (\n" + Dedup.clustersCteOver("s1") +
-        Dedup.nearDupKeepTail("s1", "d.doc_id, d.text, d.lang, d.source") +
+        Dedup.nearDupKeepTail("s1",
+          "d.doc_id, d.text, d.lang, d.source, d.n_bp_dropped") +
         ")"
     val s3 =
       "s3 AS MATERIALIZED (\n" + Winnow.selCteOver("s2") + Winnow.alldCteOver("s2") +
@@ -168,7 +206,7 @@ object CurationPipeline {
         """
           |SELECT a.doc_id,
           |  coalesce(c.ct, CASE WHEN st.n_spans IS NULL THEN a.tx ELSE '' END) AS text,
-          |  d2.lang, d2.source,
+          |  d2.lang, d2.source, d2.n_bp_dropped,
           |  coalesce(st.n_spans, 0) AS n_spans,
           |  coalesce(st.n_removed, 0) AS n_chars_removed
           |FROM alld a JOIN s2 d2 USING (doc_id)
@@ -190,12 +228,13 @@ object CurationPipeline {
         "\nSELECT d.*, g.group_id\nFROM s5 d JOIN grp g USING (doc_id)\n" +
         s"WHERE ${Dedup.GroupSplitCase} = 'train')"
     val fin =
-      "SELECT doc_id, lang, source, n_spans, n_chars_removed, n_sh, n_hit,\n" +
+      "SELECT doc_id, lang, source, n_bp_dropped, n_spans, n_chars_removed,\n" +
+        "  n_sh, n_hit,\n" +
         "  avg_mn, group_id, weight,\n" +
         "  unnest(generate_series(1, weight)) AS epoch\n" +
         s"FROM (SELECT *, ${TextAnalysis.SourceWeightSql} AS weight FROM s6) x\n" +
         "ORDER BY doc_id, epoch"
-    Seq(s0, s1, s2, s3, s4, s5, s6).mkString("WITH ", ",\n", "\n") + fin
+    Seq(s0, s0m, s1, s2, s3, s4, s5, s6).mkString("WITH ", ",\n", "\n") + fin
   }
 
   /* ------------------------------------------------------------------ *

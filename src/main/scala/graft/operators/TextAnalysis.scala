@@ -957,6 +957,25 @@ object TextAnalysis {
       |'<a href="/privacy">Privacy policy</a> | <a href="/terms">Terms of use</a>'"""
       .stripMargin.replace("\n", " ")
 
+  /** The capstone's markup ARRIVAL wrap (q115 s0m): one in five docs
+    * reaches ingest as an HTML-ish page — title, nav bar, the doc's
+    * ORIGINAL text as the page's content line, footer. Extraction
+    * strips the boilerplate and recovers the content line EXACTLY
+    * (corpus text is single-line and pre-trimmed, so stripped ≡
+    * original — the property that lets s3 keep serving the PERSISTED
+    * FpIndex, whose fingerprints were computed over the original
+    * texts; [[graft.operators.CurationPipeline]] documents the
+    * contract, CurationPipelineSpec pins it on an engineered corpus).
+    * ONE SQL text for both engines, the [[BoilerplateFixtureSql]]
+    * discipline.
+    */
+  def BoilerplateWrapSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title></head>' || chr(10) ||
+      |'<a href="/home">Home</a> | <a href="/about">About us</a> | <a href="/contact">Contact</a>' || chr(10) ||
+      |'<p>' || text || '</p>' || chr(10) ||
+      |'<a href="/privacy">Privacy policy</a> | <a href="/terms">Terms of use</a>'"""
+      .stripMargin.replace("\n", " ")
+
   /** The q120 line algebra as reusable DuckDB CTE text — the oracle
     * twin of [[graft.expressions.BoilerplateClean.compute]], generated
     * from the expression's OWN public constants (thresholds, stopword

@@ -89,8 +89,8 @@ class CurationPipelineSpec extends SparkSpec {
     // every train-side doc survives (nothing else filters here)
     assert(byDoc.keySet == trainIds.map(_.toLong).toSet,
       s"expected all ${trainIds.size} train docs, got ${byDoc.keySet.size}")
-    def spansOf(id: Long) = byDoc(id).head.getLong(3)
-    def removedOf(id: Long) = byDoc(id).head.getLong(4)
+    def spansOf(id: Long) = byDoc(id).head.getLong(4)
+    def removedOf(id: Long) = byDoc(id).head.getLong(5)
     assert(spansOf(aId) == 0 && removedOf(aId) == 0,
       "the span's keep-first owner must ship intact")
     assert(spansOf(bId) >= 1, "the later doc's duplicated span must be found")
@@ -98,15 +98,68 @@ class CurationPipelineSpec extends SparkSpec {
       s"splice must remove ~the span, removed only ${removedOf(bId)}")
     // evidence consistency + mix fanout on every row
     out.foreach { r =>
-      assert((r.getLong(3) == 0) == (r.getLong(4) == 0),
+      assert((r.getLong(4) == 0) == (r.getLong(5) == 0),
         "n_spans and n_chars_removed must be zero together")
     }
     byDoc.values.foreach { rows =>
-      val w = rows.head.getInt(9)
-      assert(rows.map(_.getInt(10)).sorted == (1 to w).toSeq,
+      val w = rows.head.getInt(10)
+      assert(rows.map(_.getInt(11)).sorted == (1 to w).toSeq,
         "every doc must fan out into epochs 1..weight")
     }
     // cleanup the temp corpus's indexes (built once by this run)
+    Seq(FpIndex.tableNameFor(corpus) -> FpIndex.indexRoot,
+        BloomIndex.tableNameFor(corpus) -> BloomIndex.indexRoot,
+        BandIndex.tableNameFor(corpus) -> BandIndex.indexRoot)
+      .foreach { case (n, root) =>
+        spark.sql(s"DROP TABLE IF EXISTS `$n`")
+        IndexCommit.deleteTree(Paths.get(root, n))
+      }
+  }
+
+  test("s0m markup ingest: extraction recovers originals; gate is load-bearing") {
+    // engineered corpus pinning the persisted-FpIndex contract the
+    // oracle proves only in aggregate: a WRAPPED doc (id % 5 == 0)
+    // must ship with its ORIGINAL text recovered from the markup
+    // (n_bp_dropped = 3 boilerplate lines), an unwrapped doc ships
+    // untouched (n_bp_dropped = 0), and a short stopword-poor doc is
+    // dropped by its own content line's verdict BEFORE s1. Long
+    // disjoint-vocabulary texts keep every later stage pass-through.
+    val corpus = Files.createTempDirectory("graft-q115-bp").toString
+    val ids = Iterator.from(1)
+      .filter(i => md5bucket(s"en:$i") < 250 && md5bucket(s"g:$i") < 204)
+    val wrapped = ids.filter(_ % 5 == 0).next().toLong
+    val bare = ids.filter(_ % 5 != 0).next().toLong
+    val dropped = ids.filter(_ % 5 != 0).next().toLong
+    def filler(id: Long, n: Int): String =
+      (1 to n).map(i => s"v${id}q$i").mkString(" ")
+    val benchId = Iterator.from(1)
+      .filter(i => md5bucket(s"en:$i") >= 250).next().toLong
+    import spark.implicits._
+    Seq(
+      (wrapped, filler(wrapped, 40), "en", "src1"),
+      (bare, filler(bare, 40), "en", "src2"),
+      // 5 tokens ~ 35 chars: >= MinLen, < NearLong, zero stopwords
+      (dropped, filler(dropped, 5), "en", "src3"),
+      // one held-out benchmark doc so the BloomIndex has content
+      (benchId, filler(benchId, 40), "en", "src4"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpus/documents.parquet")
+    val out = run(corpus)
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == Set(wrapped, bare),
+      s"short stopword-poor doc $dropped must drop at ingest; got ${byDoc.keySet}")
+    assert(byDoc(wrapped).head.getInt(3) == 3,
+      "the wrapped doc must record its 3 stripped boilerplate lines")
+    assert(byDoc(bare).head.getInt(3) == 0)
+    // the FpIndex contract: survivors carry byte-identical original
+    // text — proven here by the span stage finding NOTHING to splice
+    // (the index was built over the originals; a rewritten text would
+    // misalign positions and the splice/evidence would light up)
+    out.foreach(r => assert(r.getLong(4) == 0 && r.getLong(5) == 0))
     Seq(FpIndex.tableNameFor(corpus) -> FpIndex.indexRoot,
         BloomIndex.tableNameFor(corpus) -> BloomIndex.indexRoot,
         BandIndex.tableNameFor(corpus) -> BandIndex.indexRoot)
