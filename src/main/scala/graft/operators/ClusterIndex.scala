@@ -97,6 +97,55 @@ object ClusterIndex {
     }
   }
 
+  // ---- the IMAGE-feature assignment index (q121) ----
+
+  def tableNameForImage(dir: String): String =
+    IndexCommit.tableName("graft_cluster_img_", dir)
+
+  /** Freshness = `documents.parquet` metadata (the image corpus is
+    * minted from the documents) + the image pipeline's parameters
+    * (histogram binning, sample size, Lloyd) — the [[fingerprint]]
+    * discipline at the multimodal layer.
+    */
+  def fingerprintImage(dir: String): String =
+    IndexCommit.sourceFingerprint(dir, "documents.parquet") +
+      ":" + Clustering.imageParamsTag
+
+  /** [[ensure]] for the IMAGE corpus: the persisted assignment learned
+    * over REAL decoded PPM features ([[Clustering.imageArtifacts]] —
+    * q114's sample-trained recipe), bucketed by cid with the
+    * `_CENTROIDS` sidecar. q121's within-cell prune self-joins this
+    * table exchange-free exactly like q113 does the embedding index
+    * (ClusterIndexSpec pins the plan for both).
+    */
+  def ensureImage(spark: SparkSession, dir: String): String = synchronized {
+    val name = tableNameForImage(dir)
+    val path = Paths.get(indexRoot, name)
+    val fp = fingerprintImage(dir)
+    val fpFile = path.resolve("_GRAFT_FP")
+    val validOnDisk = Files.exists(fpFile) &&
+      Files.readString(fpFile).trim == fp
+    if (spark.catalog.tableExists(name) && validOnDisk) name
+    else if (validOnDisk) { register(spark, name, path); name }
+    else {
+      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+        val (cents, full) = Clustering.imageArtifacts(spark, dir)
+        full
+          .repartition(NumBuckets, col("cid"))
+          .write.format("parquet")
+          .bucketBy(NumBuckets, "cid")
+          .sortBy("cid", "vec_id")
+          .option("path", tp.toString)
+          .saveAsTable(tn)
+        cents.coalesce(1).write.mode("overwrite")
+          .parquet(tp.resolve("_CENTROIDS").toString)
+        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+      }
+      register(spark, name, path)
+      name
+    }
+  }
+
   /** Build a bucketed assignment table from an arbitrary
     * (vec_id, cid, v, nrm) frame at `path`, registered as `name` — the
     * sink-managed-index entry ([[graft.streaming.ClusterIndexSink]]),

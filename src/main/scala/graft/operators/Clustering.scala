@@ -126,6 +126,60 @@ object Clustering {
     (cents, asg.join(ev, "vec_id"))
   }
 
+  /** Image-index parameters — [[ClusterIndex.ensureImage]]'s
+    * fingerprint tag (8-bin × RGB channel histograms, q114's
+    * sample-trained Lloyd); a change stales persisted image indexes.
+    */
+  private[graft] def imageParamsTag: String =
+    s"img-hist8x3-smp$SampleK-lloyd-k$K-i$Iters"
+
+  /** q119's feature extractor in the index-build shape: every doc's
+    * PPM payload strict-parsed and binned to the 24-dim integer
+    * channel histogram ([[graft.functions.MediaCodecs.PpmCodec
+    * .decodeHistogram]]) in one mapPartitions pass — (vec_id, hist).
+    */
+  private[graft] def imageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          (id, graft.functions.MediaCodecs.PpmCodec.decodeHistogram(
+            graft.functions.MediaCodecs.PpmCodec.encode(text)))
+        }
+      }.toDF("vec_id", "hist")
+  }
+
+  /** The IMAGE generation artifacts — q114's sample-trained recipe
+    * over REAL decoded features (the CLIP-style SemDeDup shape of
+    * Abbas et al. 2023 at this harness's codec): bounded md5-priority
+    * sample, Lloyd on the sample (corpus-independent learning cost),
+    * one broadcast assignment pass over the corpus. Returns
+    * (centroids, (vec_id, cid, v, nrm)) like [[assignmentArtifacts]]
+    * so [[ClusterIndex.ensureImage]] persists both in one chain.
+    * Histogram counts are exact integers, so they serve as the Lloyd
+    * coordinates directly — no micro-unit quantization step.
+    */
+  private[graft] def imageArtifacts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val feats = imageFeatures(s, dir)
+    val q = feats.select(col("vec_id"), col("hist").as("qv"))
+    val smp = q
+      .withColumn("priority", SketchExact.priorityCol(col("vec_id"), lit(1)))
+      .orderBy("priority", "vec_id").limit(SampleK)
+      .select("vec_id", "qv")
+      .localCheckpoint(true)
+    val cents = lloydCentroids(smp, K, Iters)
+    val asg = assign(q, cents).select("vec_id", "cid")
+    val full = feats
+      .select(col("vec_id"),
+        transform(col("hist"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .join(asg, "vec_id")
+    (cents, full)
+  }
+
   /** SemDeDup's within-cell keep-first prune over a (vec_id, cid, v,
     * nrm) frame — shared by q104 (in-query Lloyd) and q113 (persisted
     * [[ClusterIndex]]) so the two queries cannot drift; both run under
@@ -265,14 +319,14 @@ object Clustering {
     * family and the bounded sample `smp` for q114. ONE generator for
     * both so the iteration algebra cannot drift between them.
     */
-  private def lloydIterCtes(src: String): String =
-    s"""dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+  private def lloydIterCtes(src: String, dims: Int = 64): String =
+    s"""dims AS (SELECT unnest(generate_series(1, $dims)) AS i),
        |c0 AS (SELECT vec_id AS cid, qv AS cv FROM $src
        |       ORDER BY vec_id LIMIT 8),
        |a1 AS (SELECT vec_id, cid FROM (
        |        SELECT $src.vec_id, c.cid, row_number() OVER (
        |            PARTITION BY $src.vec_id ORDER BY
-       |            list_sum(list_transform(generate_series(1, 64),
+       |            list_sum(list_transform(generate_series(1, $dims),
        |              i -> ($src.qv[i]-c.cv[i])*($src.qv[i]-c.cv[i]))), c.cid)
        |          AS rk
        |        FROM $src CROSS JOIN c0 c) t WHERE rk = 1),
@@ -287,7 +341,7 @@ object Clustering {
        |a2 AS (SELECT vec_id, cid FROM (
        |        SELECT $src.vec_id, c.cid, row_number() OVER (
        |            PARTITION BY $src.vec_id ORDER BY
-       |            list_sum(list_transform(generate_series(1, 64),
+       |            list_sum(list_transform(generate_series(1, $dims),
        |              i -> ($src.qv[i]-c.cv[i])*($src.qv[i]-c.cv[i]))), c.cid)
        |          AS rk
        |        FROM $src CROSS JOIN c1 c) t WHERE rk = 1),
@@ -303,13 +357,13 @@ object Clustering {
   /** Final assignment of the FULL corpus `e` against the learned c2 —
     * identical text whether c2 was learned from `e` or from a sample.
     */
-  private val AfCte =
-    """af AS (SELECT vec_id, cid, dist2 FROM (
+  private def afCte(dims: Int = 64): String =
+    s"""af AS (SELECT vec_id, cid, dist2 FROM (
       |  SELECT e.vec_id, c.cid,
-      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |    CAST(list_sum(list_transform(generate_series(1, $dims),
       |      i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))) AS BIGINT) AS dist2,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |      list_sum(list_transform(generate_series(1, 64),
+      |      list_sum(list_transform(generate_series(1, $dims),
       |        i -> (e.qv[i]-c.cv[i])*(e.qv[i]-c.cv[i]))), c.cid) AS rk
       |  FROM e CROSS JOIN c2 c) t
       |WHERE rk = 1)""".stripMargin
@@ -319,12 +373,12 @@ object Clustering {
     * q104/q113's prune so the oracles can never drift apart.
     */
   private val LloydCtes =
-    ECte + ",\n" + lloydIterCtes("e") + ",\n" + AfCte
+    ECte + ",\n" + lloydIterCtes("e") + ",\n" + afCte()
 
   /** q104/q113's shared oracle: Lloyd unrolled + within-cell prune. */
-  private val SemDedupOracle: String =
-    LloydCtes + """
-      |, ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def pruneTail(evCte: String, dims: Int): String =
+    s"""
+      |, $evCte,
       |nv AS (SELECT vec_id, v,
       |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
       |asg AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm
@@ -332,12 +386,31 @@ object Clustering {
       |rem AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
       |        FROM asg a JOIN asg b
       |          ON a.cid = b.cid AND a.vec_id < b.vec_id
-      |        WHERE list_sum(list_transform(generate_series(1, 64),
+      |        WHERE list_sum(list_transform(generate_series(1, $dims),
       |                i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3
       |        GROUP BY 1)
       |SELECT g.vec_id, g.cid, r.dup_of, r.dup_of IS NULL AS kept
       |FROM asg g LEFT JOIN rem r ON r.vec_id = g.vec_id
       |ORDER BY g.vec_id""".stripMargin
+
+  /** q114's bounded deterministic training sample (pr, smp) over the
+    * quantized corpus CTE `e` — the md5-priority bottom-[[SampleK]]
+    * window. ONE text for q114 (embeddings) and q121 (image features),
+    * so the sampling rule cannot drift between the modalities.
+    */
+  private def sampleCtes: String =
+    s"""pr AS (SELECT vec_id,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#1'), 1, 15)
+       |      AS BIGINT) AS priority FROM e),
+       |smp AS (SELECT vec_id, qv FROM (
+       |    SELECT e.vec_id, e.qv,
+       |      row_number() OVER (ORDER BY pr.priority, e.vec_id) AS rk
+       |    FROM e JOIN pr USING (vec_id)) t WHERE rk <= $SampleK)""".stripMargin
+
+  private val SemDedupOracle: String =
+    LloydCtes + pruneTail(
+      "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+      64)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -454,16 +527,8 @@ object Clustering {
           .localCheckpoint(true)
         assign(q, lloydCentroids(smp, K, Iters)).orderBy("vec_id")
       },
-      Some(ECte + ",\n" +
-        s"""pr AS (SELECT vec_id,
-           |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#1'), 1, 15)
-           |      AS BIGINT) AS priority FROM e),
-           |smp AS (SELECT vec_id, qv FROM (
-           |    SELECT e.vec_id, e.qv,
-           |      row_number() OVER (ORDER BY pr.priority, e.vec_id) AS rk
-           |    FROM e JOIN pr USING (vec_id)) t WHERE rk <= $SampleK),
-           |""".stripMargin +
-        lloydIterCtes("smp") + ",\n" + AfCte +
+      Some(ECte + ",\n" + sampleCtes + ",\n" +
+        lloydIterCtes("smp") + ",\n" + afCte() +
         "\nSELECT vec_id, cid, dist2 FROM af ORDER BY vec_id")),
 
     /* Cluster-assignment-index MAINTENANCE loop — q112's proof
@@ -546,7 +611,7 @@ object Clustering {
             |eh AS (SELECT e.vec_id, e.qv FROM e JOIN bk USING (vec_id)
             |       WHERE bk.bucket < 200),
             |""".stripMargin +
-          lloydIterCtes("eh") + ",\n" + AfCte + ",\n" +
+          lloydIterCtes("eh") + ",\n" + afCte() + ",\n" +
           s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |nv AS (SELECT vec_id, v,
              |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
@@ -663,6 +728,37 @@ object Clustering {
         |SELECT q_id, rank, n_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY cos DESC, n_id) AS rank FROM cand) t
-        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    /* IMAGE SemDeDup served from the persisted image ClusterIndex —
+     * the multimodal estate composed with the dedup estate (the
+     * CLIP-embedding near-dup prune every multimodal pretraining
+     * pipeline runs; Abbas et al. 2023 §4 runs exactly this shape over
+     * image embeddings). The pieces are all existing machinery joined
+     * end to end: q119's REAL decoded features (PPM strict-parse →
+     * 24-dim integer channel histogram, [[Clustering.imageFeatures]]),
+     * q114's sample-trained cells (bounded md5-priority sample, Lloyd
+     * on the sample — learning cost corpus-independent), the persisted
+     * bucketed assignment + `_CENTROIDS` sidecar
+     * ([[ClusterIndex.ensureImage]] — built once per document-corpus
+     * generation), and q104/q113's within-cell keep-first prune
+     * ([[semdedupFrom]] verbatim: the self-join rides the cid
+     * bucketing with no exchange, ClusterIndexSpec pins the plan).
+     * The oracle re-derives the histograms from the CHARACTERS through
+     * the minting codec's closed form ([[Multimodal.ImageFeatureCtes]]
+     * — the q119 discipline), then runs the SAME sample/Lloyd/prune
+     * CTE generators as q114/q104 at dims=24 — decoder drift, sampling
+     * drift, iteration drift, and prune drift all flip one hash.
+     */
+    QueryDef(
+      "q121_image_semdedup",
+      (s, dir) => semdedupFrom(s.table(ClusterIndex.ensureImage(s, dir))),
+      Some("WITH " + Multimodal.ImageFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM f),\n" +
+        sampleCtes + ",\n" +
+        lloydIterCtes("smp", 24) + ",\n" + afCte(24) +
+        pruneTail(
+          "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)",
+          24)))
   )
 }

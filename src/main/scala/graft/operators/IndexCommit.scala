@@ -64,7 +64,7 @@ object IndexCommit {
     * append a PARAMS TAG (algorithm constants / layout version) so an
     * index built under old parameters reads as stale, never as valid —
     * the PostingsIndex ":sidecar-v3" discipline. The bucket count is
-    * tagged HERE, once for all five index types: every fingerprint
+    * tagged HERE, once for every index type: every fingerprint
     * derives from this function, so a [[numBuckets]] change stales
     * every index uniformly.
     */

@@ -135,6 +135,30 @@ object Multimodal {
     }
   }
 
+  /** The q119 image-feature derivation as oracle CTE text — PPM
+    * pixels re-derived from the CHARACTERS through the minting codec's
+    * closed form (pixel r = code, g = 255-code, b = 7*code mod 256 —
+    * q51's grammar) and binned into the 24-dim channel histogram
+    * `f(doc_id, v)`. ONE text shared by q119 (retrieval) and q121
+    * (SemDeDup via the persisted image ClusterIndex) so the feature
+    * definition cannot drift between the two compositions.
+    */
+  private[operators] val ImageFeatureCtes: String =
+    """codes AS (
+      |  SELECT doc_id, list_transform(range(1, len(text) + 1),
+      |           i -> unicode(substr(text, i, 1))) AS cs
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |        flatten([
+      |          list_transform(generate_series(0, 7),
+      |            b -> len(list_filter(cs, c -> c // 32 = b))),
+      |          list_transform(generate_series(0, 7),
+      |            b -> len(list_filter(cs, c -> (255 - c) // 32 = b))),
+      |          list_transform(generate_series(0, 7),
+      |            b -> len(list_filter(cs, c -> ((7 * c) % 256) // 32 = b)))
+      |        ]) AS v
+      |      FROM codes)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- deterministic frame sampling + per-frame content hash
     QueryDef(
@@ -228,20 +252,7 @@ object Multimodal {
           .select("q_id", "rank", "n_id", "dot")
           .orderBy("q_id", "rank")
       },
-      Some("""WITH codes AS (
-             |  SELECT doc_id, list_transform(range(1, len(text) + 1),
-             |           i -> unicode(substr(text, i, 1))) AS cs
-             |  FROM documents),
-             |f AS (SELECT doc_id,
-             |        flatten([
-             |          list_transform(generate_series(0, 7),
-             |            b -> len(list_filter(cs, c -> c // 32 = b))),
-             |          list_transform(generate_series(0, 7),
-             |            b -> len(list_filter(cs, c -> (255 - c) // 32 = b))),
-             |          list_transform(generate_series(0, 7),
-             |            b -> len(list_filter(cs, c -> ((7 * c) % 256) // 32 = b)))
-             |        ]) AS v
-             |      FROM codes),
+      Some("WITH " + ImageFeatureCtes + """,
              |qs AS (SELECT doc_id AS q_id, v AS qv FROM f WHERE doc_id < 8),
              |cand AS (SELECT qs.q_id, f.doc_id AS n_id,
              |           CAST(list_sum(list_transform(generate_series(1, 24),

@@ -13,7 +13,7 @@ import graft.operators.{BandIndex, BloomIndex, ClusterIndex, FpIndex, PostingsIn
   * full winnow, shingle, postings, and Lloyd passes — hours of work
   * landing on whatever query happens to run first). A production
   * deployment instead runs THIS entry as the last step of the pipeline
-  * that publishes a new corpus generation: all five builds execute
+  * that publishes a new corpus generation: all six builds execute
   * here, atomically published ([[graft.operators.IndexCommit]]), and
   * every subsequent probe from any process is a catalog lookup plus an
   * O(#files) fingerprint check. Idempotent by construction — on a
@@ -41,7 +41,8 @@ object BuildIndexes {
       "band" -> BandIndex.ensure(spark, dir),
       "bloom" -> BloomIndex.ensure(spark, dir),
       "postings" -> PostingsIndex.ensure(spark, dir)._1,
-      "fp" -> FpIndex.ensure(spark, dir))
+      "fp" -> FpIndex.ensure(spark, dir),
+      "cluster_img" -> ClusterIndex.ensureImage(spark, dir))
     else Seq.empty) ++
     (if (has(dir, "embeddings.parquet")) Seq(
       "cluster" -> ClusterIndex.ensure(spark, dir))

@@ -77,6 +77,49 @@ class ClusterIndexSpec extends SparkSpec {
     }
   }
 
+  test("q121 plan: the IMAGE pair join reads its index bucketed, exchange-free") {
+    // the q113 plan discipline at the multimodal layer: q121's
+    // within-cell self-join must ride the image index's cid bucketing
+    ClusterIndex.ensureImage(spark, dir)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = q("q121_image_semdedup")(spark, dir)
+        .queryExecution.executedPlan
+      val name = ClusterIndex.tableNameForImage(dir)
+      def sideBucketedNoShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+          p.collect {
+            case f: FileSourceScanExec
+                if f.tableIdentifier.exists(_.table == name) => f
+          }.forall(_.bucketedScan)
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.exists(j =>
+          sideBucketedNoShuffle(j.left) && sideBucketedNoShuffle(j.right)),
+        s"no exchange-free bucketed image pair join found:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+    }
+  }
+
+  test("q121's image index is served, never rebuilt in-line") {
+    val name = ClusterIndex.ensureImage(spark, dir)
+    val fpPath = java.nio.file.Paths.get(
+      ClusterIndex.indexRoot, name, "_GRAFT_FP")
+    val before = java.nio.file.Files.getLastModifiedTime(fpPath)
+    // simulate a fresh JVM: catalog entry gone, files on disk
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val out = q("q121_image_semdedup")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(spark.catalog.tableExists(name),
+      "the run must re-register the persisted image index")
+    assert(java.nio.file.Files.getLastModifiedTime(fpPath) == before,
+      "a q121 run must never rebuild the image index in-line")
+  }
+
   test("q116 phases equal the streaming sink's applyBatch sequence") {
     // q116 is oracle-gated and runs ClusterIndex.assignBatch /
     // probeVerdicts / append — the sink's EXACT per-micro-batch code.
