@@ -169,6 +169,42 @@ class CurationPipelineSpec extends SparkSpec {
       }
   }
 
+  test("lake-mode stage barriers: snapshots resume, output byte-identical") {
+    val dir = sf0001
+    val baseline = run(dir) // localCheckpoint mode
+    val stageRoot = Files.createTempDirectory("graft-q115-stages").toString
+    System.setProperty("graft.stage.dir", stageRoot)
+    try {
+      val stages = Seq("s0m", "s1", "s2", "s3", "s4", "s5")
+      val first = run(dir)
+      assert(first == baseline,
+        "lake-mode output must be byte-identical to the in-engine mode")
+      stages.foreach(st => assert(
+        Files.exists(Paths.get(stageRoot, st, "_GRAFT_DONE")),
+        s"stage $st must publish a snapshot with its marker"))
+      def mtime(st: String) = Files.getLastModifiedTime(
+        Paths.get(stageRoot, st, "_GRAFT_DONE"))
+      val m1 = stages.map(mtime)
+      // full resume: every stage served from its snapshot, none rewritten
+      val resumed = run(dir)
+      assert(resumed == baseline)
+      assert(stages.map(mtime) == m1,
+        "a fully-resumed run must not rewrite any snapshot")
+      // crash-mid-run resume: the last stage's snapshot is gone (the
+      // crash window); earlier stages must resume untouched, s5 rebuilt
+      IndexCommit.deleteTree(Paths.get(stageRoot, "s5"))
+      val resumed2 = run(dir)
+      assert(resumed2 == baseline,
+        "a mid-stage resume must emit byte-identical q115 output")
+      assert(stages.init.map(mtime) == m1.init,
+        "stages before the crash point must resume, not recompute")
+      assert(Files.exists(Paths.get(stageRoot, "s5", "_GRAFT_DONE")))
+    } finally {
+      System.clearProperty("graft.stage.dir")
+      IndexCommit.deleteTree(Paths.get(stageRoot))
+    }
+  }
+
   // ---- q118, the continuous-curation maintenance loop ----
 
   private def run118(dir: String): Seq[Row] =
