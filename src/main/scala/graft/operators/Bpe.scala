@@ -121,11 +121,11 @@ object Bpe {
   /** Merge learning at an arbitrary depth — production vocabularies run
     * thousands of merges, and nothing in the loop depends on [[Merges]]:
     * each iteration is one vocabulary-sized aggregate regardless of
-    * depth. The q109 ORACLE stays at the 5-step unrolled CTE chain (an
-    * oracle CTE per merge does not scale to 50+), so deep chains are
-    * gated by the textbook-replay golden in BpeSpec instead — the same
-    * split the deflate/HLL queries use (cross-engine oracle where
-    * expressible, independent-implementation golden where not).
+    * depth. The q109 ORACLE stays at the 5-step unrolled CTE chain;
+    * depth is oracle-gated by q122 (a 100-step MATERIALIZED chain over
+    * the trigram units — materialization keeps the plan linear in
+    * depth; inlined, the multi-referenced t/v CTEs explode
+    * exponentially) plus BpeSpec's textbook replay to 500.
     */
   private[graft] def learnSteps(s: SparkSession, dir: String,
       merges: Int): Seq[Row] =
@@ -280,28 +280,72 @@ object Bpe {
     * previously leaned on replace(w, NULL, NULL) nulling the column,
     * which happened to reconcile but was load-bearing by accident.)
     */
-  private val LearnCte: String = {
-    val iters = (1 to Merges).map { i =>
+  private def learnCteOver(wordsCte: String, depth: Int): String = {
+    val iters = (1 to depth).map { i =>
       val j = i - 1
       s"""e$i AS (SELECT cnt, string_split(w, '  ') AS s,
          |          unnest(generate_series(1, len(string_split(w, '  ')) - 1)) AS x
          |        FROM v$j),
          |p$i AS (SELECT s[x] AS a, s[x+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
          |        FROM e$i GROUP BY 1, 2),
-         |t$i AS (SELECT a, b, a || b AS m, n FROM p$i
+         |t$i AS MATERIALIZED (SELECT a, b, a || b AS m, n FROM p$i
          |        ORDER BY n DESC, a, b LIMIT 1),
-         |v$i AS (SELECT trim(replace(' ' || w || ' ',
+         |v$i AS MATERIALIZED (SELECT trim(replace(' ' || w || ' ',
          |          ' ' || coalesce((SELECT a FROM t$i), '') || '  ' || coalesce((SELECT b FROM t$i), '') || ' ',
          |          ' ' || coalesce((SELECT m FROM t$i), '') || ' ')) AS w, cnt FROM v$j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH words AS (SELECT unnest(string_split_regex(lower(trim(text)),
-       |                 '[ \\t\\n\\f\\r]+')) AS word
-       |         FROM documents WHERE trim(text) <> ''),
+    s"""WITH $wordsCte,
        |v0 AS (SELECT rtrim(regexp_replace(word, '(?s)(.)', '\\1  ', 'g')) AS w,
        |         CAST(count(*) AS BIGINT) AS cnt
        |       FROM words WHERE word <> '' GROUP BY 1),
        |$iters""".stripMargin
   }
+
+  /** The q109/q110 whitespace-word vocabulary CTE. */
+  private val WsWordsCte: String =
+    """words AS (SELECT unnest(string_split_regex(lower(trim(text)),
+      |                 '[ \t\n\f\r]+')) AS word
+      |         FROM documents WHERE trim(text) <> '')""".stripMargin
+
+  /** q122's word-TRIGRAM unit vocabulary CTE — adjacent word triples
+    * joined by '_' (thousands of distinct units at realistic symbol
+    * lengths, so the merge space sustains real depth; the whitespace
+    * vocab exhausts at ~90 merges on this corpus). The Spark twin is
+    * [[triVocab]]; docs under three words contribute nothing on both
+    * engines.
+    */
+  private val TriWordsCte: String =
+    """words AS (
+      |  SELECT ws[i] || '_' || ws[i+1] || '_' || ws[i+2] AS word
+      |  FROM (SELECT ws,
+      |          unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+      |        FROM (SELECT string_split_regex(lower(trim(text)),
+      |                '[ \t\n\f\r]+') AS ws
+      |              FROM documents WHERE trim(text) <> '') w0) wi)""".stripMargin
+
+  private val LearnCte: String = learnCteOver(WsWordsCte, Merges)
+
+  /** q122's depth — deep enough that the per-merge-job shape it
+    * replaces would cost minutes of scheduling, shallow enough for the
+    * unrolled oracle chain to stay tractable in DuckDB.
+    */
+  private[graft] val DeepMerges = 100
+
+  /** The trigram-unit weighted vocabulary, collected (bounded — the
+    * dimension-collect rule; units are corpus-sublinear like words).
+    * Shared by q122 and [[graft.tools.BpeDeepBench]].
+    */
+  private[graft] def triVocab(s: SparkSession, dir: String): Seq[(String, Long)] =
+    docs(s, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(split(lower(trim(col("text"))), Ws.Plus).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws('_', ws[i-1], ws[i], ws[i+1]))")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -371,6 +415,34 @@ object Bpe {
            |  CAST(sum(wt.n_bpe) AS BIGINT) * 1000000
            |    // CAST(count(*) AS BIGINT) AS fertility_micro
            |FROM dw JOIN wt USING (word)
-           |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin))
+           |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin)),
+
+    /* BPE at PRODUCTION depth, oracle-gated (the q109 gate stops at 5
+     * merges; BpeSpec's textbook replay proved trainDeep to 500 but
+     * only as a spec). This row drives [[trainDeep]]'s in-memory
+     * incremental trainer through [[DeepMerges]] merges over the
+     * word-TRIGRAM unit vocabulary — the merge space that sustains
+     * real depth (the whitespace vocab exhausts at ~90) — and checks
+     * every one of the 100 (step, pair, count) rows against DuckDB's
+     * unrolled 100-step CTE chain built by the SAME generator as
+     * q109/q110's 5-step chain ([[learnCteOver]] — one text, three
+     * queries, no drift). What the hash gates that the spec replay
+     * could not: the full driver-side loop (vocab collect, incremental
+     * pair-count maintenance, UTF-8 byte-order ties) against an
+     * INDEPENDENT engine at depth, as a per-round driver check.
+     */
+    QueryDef(
+      "q122_bpe_train_deep",
+      (s, dir) => {
+        val steps = trainInMemory(triVocab(s, dir), DeepMerges)
+        s.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(steps).asJava), MergeSchema)
+          .orderBy("step")
+      },
+      Some(learnCteOver(TriWordsCte, DeepMerges) + "\n" +
+        (1 to DeepMerges).map(i =>
+          s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, n AS pair_count FROM t$i")
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY step")))
   )
 }

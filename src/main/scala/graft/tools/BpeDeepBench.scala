@@ -51,16 +51,8 @@ object BpeDeepBench {
     // one untimed warm-up of the scan path
     Bpe.trainDeep(spark, dir, 1)
 
-    def triVocab(): Seq[(String, Long)] =
-      graft.core.Tables(spark, dir, "documents")
-        .filter(trim(col("text")) =!= "")
-        .select(split(lower(trim(col("text"))), graft.core.Ws.Plus).as("ws"))
-        .select(explode(expr(
-          "transform(sequence(1, greatest(size(ws) - 2, 0)), " +
-            "i -> concat_ws('_', ws[i-1], ws[i], ws[i+1]))")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the q122 trigram-unit vocabulary (shared constructor in Bpe)
+    def triVocab(): Seq[(String, Long)] = Bpe.triVocab(spark, dir)
 
     def report(tag: String, v: Seq[(String, Long)], tVocab: Double): Unit = {
       val depths = Seq(100, 200, 300, 400, 500)
