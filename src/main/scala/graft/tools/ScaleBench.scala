@@ -208,6 +208,17 @@ object ScaleBench {
   // star curve is timed here). Result key carries a _chain suffix.
   private val chnQueries = Seq("q48_dedup_clusters_star")
   private val chainB = 1500 // chain docs at x1; diameter scales with N
+  // skew mode: the suffix-replica corpus with a corpus-wide 300-token
+  // BOILERPLATE prefix on half of every replica's docs — the Zipf/
+  // boilerplate shape real web corpora have. The shared prefix dominates
+  // most prefixed docs' minhashes, so its band keys collect O(corpus)
+  // docs at every factor: without the hot-key cap (Dedup.HotKeyCap) pair
+  // generation is quadratic in N on this corpus BY CONSTRUCTION; these
+  // curves prove the cap keeps the family sublinear when the data is
+  // hostile, not just uniform (DedupCapSpec pins the cap-bound property
+  // at the pair level). Result keys carry a _skew suffix.
+  private val skwQueries =
+    Seq("q36_minhash_lsh", "q39_dedup_clusters", "q56_dedup_apply")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -257,6 +268,17 @@ object ScaleBench {
         col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .select("doc_id", "text", "lang", "source", "n_chars")
+
+    // replica k of the SKEWED corpus: the suffix replica plus the shared
+    // (UN-suffixed — corpus-wide) boilerplate prefix on even doc_ids
+    val boiler = (1 to 300).map(i => s"bplate$i").mkString(" ")
+    def skwReplica(k: Int): DataFrame =
+      sufReplica(k)
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0,
+            concat(lit(boiler), lit(" "), col("text")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
 
     def evtReplica(k: Int): DataFrame =
       if (k == 0) events
@@ -348,10 +370,11 @@ object ScaleBench {
         lit("en").as("lang"), lit("chain").as("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
 
-    def gen(n: Int): (String, String, String) = {
+    def gen(n: Int): (String, String, String, String) = {
       val rotDir = s"$workDir/x$n-rot"
       val sufDir = s"$workDir/x$n-suf"
       val chnDir = s"$workDir/x$n-chn"
+      val skwDir = s"$workDir/x$n-skw"
       writeIfAbsent((0 until n).map(rotReplica).reduce(_ unionByName _),
         s"$rotDir/documents.parquet")
       writeIfAbsent((0 until n).map(evtReplica).reduce(_ unionByName _),
@@ -372,7 +395,9 @@ object ScaleBench {
       writeIfAbsent((0 until n).map(sufReplica).reduce(_ unionByName _),
         s"$sufDir/documents.parquet")
       writeIfAbsent(chnDocs(n), s"$chnDir/documents.parquet")
-      (rotDir, sufDir, chnDir)
+      writeIfAbsent((0 until n).map(skwReplica).reduce(_ unionByName _),
+        s"$skwDir/documents.parquet")
+      (rotDir, sufDir, chnDir, skwDir)
     }
 
     // one untimed warm-up then SPARK_GRAFT_SCALE_REPEATS (default 3)
@@ -407,7 +432,7 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     factors.foreach { n =>
-      val (rotDir, sufDir, chnDir) = gen(n)
+      val (rotDir, sufDir, chnDir, skwDir) = gen(n)
       (rotQueries.map(q => (q, q, rotDir)) ++
         evtQueries.map(q => (q, q, rotDir)) ++
         prtQueries.map(q => (q, q, rotDir)) ++
@@ -434,7 +459,8 @@ object ScaleBench {
         // their production serving paths are the curves above
         // (q78/q91/q107-warm/q99/q111, and this one)
         Seq(("q117_ann_knob", "__annknob__", rotDir)) ++
-        chnQueries.map(q => (s"${q}_chain", q, chnDir)))
+        chnQueries.map(q => (s"${q}_chain", q, chnDir)) ++
+        skwQueries.map(q => (s"${q}_skew", q, skwDir)))
         .filter { case (key, _, _) => only.forall(_.contains(key)) }
         .foreach { case (key, q, d) =>
           val fn: (SparkSession, String) => DataFrame =

@@ -58,6 +58,30 @@ class DedupCapSpec extends SparkSpec {
     assert(ok.forall(_._2 == 1L) && ok.length == 6)
   }
 
+  test("boilerplate skew: pair generation is cap-bounded, not quadratic") {
+    // Every doc = the SAME 40-token boilerplate + a tiny unique tail —
+    // the Zipf/boilerplate shape the ScaleBench _skew corpus models. The
+    // shared shingles dominate every doc's minhashes, so the boilerplate
+    // band keys collect (almost) the whole corpus:
+    //  - BELOW the cap (100 docs, freq < 256): the keys survive and the
+    //    candidate pairs are genuinely quadratic — C(100,2)-ish. This is
+    //    the control proving the blow-up is real, not absent.
+    //  - ABOVE the cap (600 docs, freq > 256): capHotKeys drops the hot
+    //    keys, bounding any key's contribution to cap² — the pair count
+    //    must COLLAPSE instead of growing 36× quadratically.
+    val boiler = (1 to 40).map(i => s"bq$i").mkString(" ")
+    def corpus(n: Int) =
+      (1L to n).map(i => (i, s"$boiler tail$i only")).toDF("doc_id", "text")
+    val small = Dedup.minhashPairsOf(corpus(100)).count()
+    assert(small >= 1000L,
+      s"control: below the cap the boilerplate collisions must be quadratic, got $small")
+    val big = Dedup.minhashPairsOf(corpus(600)).count()
+    assert(big <= Dedup.HotKeyCap.toLong * Dedup.HotKeyCap,
+      s"above the cap, any key's pair contribution must be <= cap², got $big")
+    assert(big < small,
+      s"the cap must collapse the boilerplate blow-up ($small -> $big expected down)")
+  }
+
   test("cap is inert at test scale: q35/q36 results unchanged without it") {
     // The default HotKeyCap (256) sits an order of magnitude above the max
     // observed key frequency at sf scales (25 at sf0.1), so the capped
