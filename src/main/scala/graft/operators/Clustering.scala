@@ -393,6 +393,64 @@ object Clustering {
       |FROM asg g LEFT JOIN rem r ON r.vec_id = g.vec_id
       |ORDER BY g.vec_id""".stripMargin
 
+  /** q117's probe over the FROZEN persisted cells — top-`k` neighbors
+    * per query row from the bucketed assignment index. `q` must carry
+    * (q_id, qv double[], qn, qq long[]). The probe ranks cells against
+    * the broadcast K-row centroid sidecar by EXACT integer distance
+    * (ties on cid), collects the probed cell ids (bounded, ≤ Q·nprobe —
+    * the q110 dimension-collect rule) and pushes them as an IN filter
+    * on the bucket column so the candidate scan is BUCKET-PRUNED
+    * (SelectedBucketsCount < NumBuckets, spec-pinned), then reranks by
+    * the exact left-fold cosine with (cos DESC, n_id) ties. Shared
+    * VERBATIM by q117 and [[graft.streaming.AnnServeSink]] — batch
+    * serving and the query stream cannot drift (the
+    * [[ClusterIndex.probeVerdicts]] discipline at the retrieval layer).
+    * A query whose q_id equals a corpus vec_id skips itself.
+    */
+  private[graft] def annProbeFrom(s: SparkSession, indexName: String,
+      cents: DataFrame, q: DataFrame, nprobe: Int = 2,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = s.table(indexName)
+    val d2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val wq = Window.partitionBy("q_id").orderBy(col("d"), col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d", d2(col("qq"), col("cv")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select("q_id", "qv", "qn", "cid")
+    val cellIds = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    idx.filter(col("cid").isInCollection(cellIds))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
+  /** A raw (q_id, embedding) frame lifted to [[annProbeFrom]]'s query
+    * shape — the same double cast, norm fold, and micro-unit
+    * quantization the index build applies ([[qvecs]]'s rule), so an
+    * external query vector and a corpus vector of equal value probe
+    * identically. Shared by [[graft.streaming.AnnServeSink]].
+    */
+  private[graft] def annQueriesOf(batch: DataFrame): DataFrame =
+    batch.select(col("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .withColumn("qn", sqrt(aggregate(
+        transform(col("qv"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("qq", transform(col("qv"),
+        x => round(x * lit(1000000.0)).cast("long")))
+
   /** q114's bounded deterministic training sample (pr, smp) over the
     * quantized corpus CTE `e` — the md5-priority bottom-[[SampleK]]
     * window. ONE text for q114 (embeddings) and q121 (image features),
@@ -671,40 +729,14 @@ object Clustering {
     QueryDef(
       "q117_ann_indexed",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val idx = s.table(ClusterIndex.ensure(s, dir))
-        val cents = ClusterIndex.centroids(s, dir)
-        val dist2 = (a: Column, b: Column) =>
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, x) => acc + x)
-        val dot = (a: Column, b: Column) =>
-          aggregate(zip_with(a, b, (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x)
         val q = idx.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("nrm").as("qn"),
             transform(col("v"),
               x => round(x * lit(1000000.0)).cast("long")).as("qq"))
-        val wq = Window.partitionBy("q_id").orderBy(col("d"), col("cid"))
-        val probes = q.crossJoin(broadcast(cents))
-          .withColumn("d", dist2(col("qq"), col("cv")))
-          .withColumn("crank", row_number().over(wq))
-          .filter(col("crank") <= 2)
-          .select("q_id", "qv", "qn", "cid")
-        // bounded dimension-collect (the q110 merge-table rule): the
-        // probed cell ids as literals, so the IN filter bucket-prunes
-        // the index scan
-        val cellIds = probes.select("cid").distinct()
-          .collect().map(_.getLong(0)).sorted
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-        idx.filter(col("cid").isInCollection(cellIds))
-          .join(broadcast(probes), Seq("cid"))
-          .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-          .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select("q_id", "rank", "n_id", "cos")
+        annProbeFrom(s, ClusterIndex.ensure(s, dir),
+          ClusterIndex.centroids(s, dir), q)
           .orderBy("q_id", "rank")
       },
       Some(LloydCtes + """
