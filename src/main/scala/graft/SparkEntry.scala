@@ -194,6 +194,22 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            int64 dot products, top-3 per query — with the oracle
   *            re-deriving the histograms from the characters through
   *            the codec's closed form (multimodal ∘ similarity)
+  *   q120     line-level boilerplate extraction over markup-bearing
+  *            text (jusText rule shape): one native codegen'd
+  *            expression per doc — split to lines, strip tags,
+  *            integer link-density/stopword/length verdicts, kept
+  *            lines reassembled + evidence counts; the oracle replays
+  *            the line algebra from the expression's own constants;
+  *            also q115's s0m markup-aware ingest stage
+  *   q121     image SemDeDup SERVED from the persisted image
+  *            ClusterIndex: q119's decoded histograms → q114's
+  *            sample-trained cells → bucketed assignment + sidecar →
+  *            q104/q113's within-cell prune, exchange-free
+  *            (multimodal ∘ clustering ∘ dedup)
+  *   q122     BPE at PRODUCTION depth: trainDeep's in-memory
+  *            incremental loop through 100 merges over the trigram
+  *            units, hash-gated by a 100-step MATERIALIZED unrolled
+  *            CTE chain from the same generator as q109/q110
   */
 object SparkEntry {
 
