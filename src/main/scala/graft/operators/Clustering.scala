@@ -781,6 +781,15 @@ object Clustering {
      * — the q119 discipline), then runs the SAME sample/Lloyd/prune
      * CTE generators as q114/q104 at dims=24 — decoder drift, sampling
      * drift, iteration drift, and prune drift all flip one hash.
+     *
+     * Scale adjudication (q104/q113's verbatim): the fixed-K prune is
+     * a BENCH, not a curve — with K fixed, cell size tracks the corpus
+     * and within-cell pairs are quadratic by design (measured once on
+     * rotation replicas: 3.9 → 338 s, 10.9× of linear at ×8, amplified
+     * by rotation-identical histograms). The production regime is
+     * cells ∝ corpus — curved at the prune layer by q104_semdedup_knob
+     * — and the image-SPECIFIC leg, the per-row decode+histogram pass,
+     * is curved as q121_image_features.
      */
     QueryDef(
       "q121_image_semdedup",
