@@ -180,16 +180,19 @@ object Bench {
     */
   private[graft] def parsePrev(
       s: String): (Map[String, Double], Map[String, (Double, Double)]) = {
+    // tolerate python-json spacing ("key": { ... }) as well as this
+    // file's own compact output — past artifacts carry both forms
     def obj(key: String): String = {
-      val i = s.indexOf("\"" + key + "\":{")
-      if (i < 0) return ""
-      val start = s.indexOf('{', i)
-      val end = s.indexOf('}', start)
-      if (end < 0) "" else s.substring(start + 1, end)
+      val m = ("\"" + key + "\"\\s*:\\s*\\{").r.findFirstMatchIn(s)
+      m.fold("") { mm =>
+        val start = s.indexOf('{', mm.start)
+        val end = s.indexOf('}', start)
+        if (end < 0) "" else s.substring(start + 1, end)
+      }
     }
     val num = "-?[0-9][0-9.eE+-]*"
-    val qRe = ("\"([^\"]+)\":(" + num + ")").r
-    val sRe = ("\"([^\"]+)\":\\[(" + num + "),(" + num + ")\\]").r
+    val qRe = ("\"([^\"]+)\"\\s*:\\s*(" + num + ")").r
+    val sRe = ("\"([^\"]+)\"\\s*:\\s*\\[\\s*(" + num + ")\\s*,\\s*(" + num + ")\\s*\\]").r
     val qs = qRe.findAllMatchIn(obj("queries"))
       .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
     val sp = sRe.findAllMatchIn(obj("spread"))
