@@ -84,7 +84,13 @@ object CurationPipeline {
   private def pin(s: SparkSession, fp: String, stage: String)(
       df: => DataFrame): DataFrame =
     stageDir match {
-      case None => df.localCheckpoint(true)
+      case None =>
+        // per-stage call-site tag: all six pins otherwise share one
+        // localCheckpoint line and StageProfile's attribution collapses
+        // into a single bucket (the round-13 profiling blind spot)
+        val sc = s.sparkContext
+        sc.setCallSite(s"q115:$stage localCheckpoint")
+        try df.localCheckpoint(true) finally sc.clearCallSite()
       case Some(root) =>
         val p = Paths.get(root, stage)
         val marker = p.resolve("_GRAFT_DONE")
