@@ -27,9 +27,15 @@ import graft.operators.{BloomIndex, Dedup, FpIndex, TextAnalysis, Winnow}
   * is [[IngestDedupSink]] (band index) and the char layer's presence
   * ownership is exactly the fingerprint append here; leakage-safe
   * split and source mixing are epoch-time corpus operations (q103/q57)
-  * a deployment runs over the ACCUMULATED admitted log, not per batch
-  * — chaining this sink after IngestDedupSink reproduces q115's
-  * admission semantics continuously.
+  * a deployment runs over the ACCUMULATED admitted log, not per batch;
+  * and MARKUP EXTRACTION (q115's s0m) is [[BoilerplateSink]], the
+  * stateless first gate of the ingest quartet — it rewrites text, so
+  * it must run BEFORE any fingerprint-producing stage, which is
+  * exactly why it is its own upstream surface rather than a
+  * verdictBatch step (this sink's splice/append and the production
+  * FpIndex must see ONE text form). Chaining BoilerplateSink →
+  * IngestDedupSink → this sink reproduces q115's full stage order
+  * continuously.
   *
   * Frozen artifacts ([[Artifacts]]): the add-1-smoothed bigram model
   * ([[TextAnalysis.lmModelOf]]) and q111's exact 20th-percentile
