@@ -115,8 +115,8 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val (prevQ, prevS) =
       if (fresh) (Map.empty[String, Double], Map.empty[String, (Double, Double)])
-      else try parsePrev(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(outPath)))
+      else try historyFor(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(outPath)), sfDir)
       catch { case _: Throwable =>
         (Map.empty[String, Double], Map.empty[String, (Double, Double)]) }
     val all = minMerge(results, prevQ, prevS, replace)
@@ -169,6 +169,30 @@ object Bench {
         (k, v, mn, mx)
       }
     (ran ++ carried).sortBy(_._1)
+  }
+
+  /** The min-merge history carried by a prior artifact — PROVENANCE
+    * GATED: the artifact records which corpus ("sf") it was measured
+    * on; a prior run against a DIFFERENT scale factor at the same out
+    * path must not min-merge — the historical min would be a different
+    * workload's number and any engine slowdown on the current corpus
+    * would stay masked behind it. A mismatched or absent "sf" (the
+    * pre-provenance artifact format) parses to empty history, the same
+    * treatment a corrupt file gets. "order" is deliberately NOT gated:
+    * the SPARK_GRAFT_ORDER diagnostic reruns the SAME queries on the
+    * SAME corpus, so its mins are genuine floors of the same
+    * measurement and merging them is the diagnostic's purpose.
+    */
+  private[graft] def historyFor(txt: String, sfDir: String)
+      : (Map[String, Double], Map[String, (Double, Double)]) = {
+    val sfRe = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+    val prevSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+    if (!prevSf.contains(sfDir)) {
+      if (prevSf.isDefined) System.err.println(
+        s"[bench] prior artifact is for sf=${prevSf.get}, current run " +
+          s"is sf=$sfDir — treating history as empty (no min-merge)")
+      (Map.empty[String, Double], Map.empty[String, (Double, Double)])
+    } else parsePrev(txt)
   }
 
   /** Parse a previous bench artifact's "queries" and "spread" objects.

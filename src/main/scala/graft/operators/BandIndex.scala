@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -142,15 +142,12 @@ object BandIndex {
     * (rows before, after).
     */
   def compact(spark: SparkSession, name: String, path: Path): (Long, Long) = {
-    val fp = {
-      val f = path.resolve("_GRAFT_FP")
-      if (Files.exists(f)) Some(Files.readString(f)) else None
-    }
+    val fp = IndexCommit.readFp(path)
     val before = spark.table(name).count()
     val rows = spark.table(name).distinct().localCheckpoint(true)
     IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
       writeIndexRows(spark, rows, tn, tp)
-      fp.foreach(Files.writeString(tp.resolve("_GRAFT_FP"), _))
+      fp.foreach(IndexCommit.writeFp(tp, _))
     }
     register(spark, name, path)
     (before, spark.table(name).count())
@@ -194,9 +191,7 @@ object BandIndex {
     val name = tableNameFor(dir)
     val path = indexPath(dir)
     val fp = fingerprint(dir)
-    val fpFile = path.resolve("_GRAFT_FP")
-    val validOnDisk = Files.exists(fpFile) &&
-      Files.readString(fpFile).trim == fp
+    val validOnDisk = IndexCommit.fpValid(path, fp)
     if (spark.catalog.tableExists(name) && validOnDisk) name
     else if (validOnDisk) { register(spark, name, path); name }
     else {
@@ -207,7 +202,7 @@ object BandIndex {
       // a concurrent process never observes a half-built index
       IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
         buildIndex(spark, hist, tn, tp)
-        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+        IndexCommit.writeFp(tp, fp)
       }
       register(spark, name, path)
       name

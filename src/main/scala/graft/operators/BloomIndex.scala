@@ -1,6 +1,8 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
+
+import graft.core.Lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,9 +71,7 @@ object BloomIndex {
     val name = tableNameFor(dir)
     val path = indexPath(dir)
     val fp = BandIndex.fingerprint(dir)
-    val fpFile = path.resolve("_GRAFT_FP")
-    val validOnDisk = Files.exists(fpFile) &&
-      Files.readString(fpFile).trim == fp
+    val validOnDisk = IndexCommit.fpValid(path, fp)
     if (spark.catalog.tableExists(name) && validOnDisk) name
     else if (validOnDisk) { register(spark, name, path); name }
     else {
@@ -94,8 +94,8 @@ object BloomIndex {
           .bloomFilter("sh", math.max(n, 1L), 0.01)
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
-        Files.write(tp.resolve("_BLOOM"), bos.toByteArray)
-        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+        Lake.writeBytes(tp.resolve("_BLOOM").toString, bos.toByteArray)
+        IndexCommit.writeFp(tp, fp)
       }
       register(spark, name, path)
       name
@@ -109,7 +109,7 @@ object BloomIndex {
     val key = (name, fp)
     bloomCache.getOrElse(key, synchronized {
       bloomCache.getOrElse(key, {
-        val bytes = Files.readAllBytes(indexPath(dir).resolve("_BLOOM"))
+        val bytes = Lake.readBytes(indexPath(dir).resolve("_BLOOM").toString)
         val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
         bloomCache = bloomCache + (key -> bf)
         bf

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -66,9 +66,7 @@ object ClusterIndex {
     val name = tableNameFor(dir)
     val path = indexPath(dir)
     val fp = fingerprint(dir)
-    val fpFile = path.resolve("_GRAFT_FP")
-    val validOnDisk = Files.exists(fpFile) &&
-      Files.readString(fpFile).trim == fp
+    val validOnDisk = IndexCommit.fpValid(path, fp)
     if (spark.catalog.tableExists(name) && validOnDisk) name
     else if (validOnDisk) { register(spark, name, path); name }
     else {
@@ -90,7 +88,7 @@ object ClusterIndex {
         // fingerprint tag stales pre-sidecar indexes
         cents.coalesce(1).write.mode("overwrite")
           .parquet(tp.resolve("_CENTROIDS").toString)
-        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+        IndexCommit.writeFp(tp, fp)
       }
       register(spark, name, path)
       name
@@ -122,9 +120,7 @@ object ClusterIndex {
     val name = tableNameForImage(dir)
     val path = Paths.get(indexRoot, name)
     val fp = fingerprintImage(dir)
-    val fpFile = path.resolve("_GRAFT_FP")
-    val validOnDisk = Files.exists(fpFile) &&
-      Files.readString(fpFile).trim == fp
+    val validOnDisk = IndexCommit.fpValid(path, fp)
     if (spark.catalog.tableExists(name) && validOnDisk) name
     else if (validOnDisk) { register(spark, name, path); name }
     else {
@@ -139,7 +135,7 @@ object ClusterIndex {
           .saveAsTable(tn)
         cents.coalesce(1).write.mode("overwrite")
           .parquet(tp.resolve("_CENTROIDS").toString)
-        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+        IndexCommit.writeFp(tp, fp)
       }
       register(spark, name, path)
       name

@@ -319,7 +319,7 @@ object Clustering {
     * family and the bounded sample `smp` for q114. ONE generator for
     * both so the iteration algebra cannot drift between them.
     */
-  private def lloydIterCtes(src: String, dims: Int = 64): String =
+  private[operators] def lloydIterCtes(src: String, dims: Int = 64): String =
     s"""dims AS (SELECT unnest(generate_series(1, $dims)) AS i),
        |c0 AS (SELECT vec_id AS cid, qv AS cv FROM $src
        |       ORDER BY vec_id LIMIT 8),
@@ -357,7 +357,7 @@ object Clustering {
   /** Final assignment of the FULL corpus `e` against the learned c2 —
     * identical text whether c2 was learned from `e` or from a sample.
     */
-  private def afCte(dims: Int = 64): String =
+  private[operators] def afCte(dims: Int = 64): String =
     s"""af AS (SELECT vec_id, cid, dist2 FROM (
       |  SELECT e.vec_id, c.cid,
       |    CAST(list_sum(list_transform(generate_series(1, $dims),
@@ -456,7 +456,7 @@ object Clustering {
     * window. ONE text for q114 (embeddings) and q121 (image features),
     * so the sampling rule cannot drift between the modalities.
     */
-  private def sampleCtes: String =
+  private[operators] def sampleCtes: String =
     s"""pr AS (SELECT vec_id,
        |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#1'), 1, 15)
        |      AS BIGINT) AS priority FROM e),

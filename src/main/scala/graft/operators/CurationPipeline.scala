@@ -1,11 +1,9 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{Lake, QueryDef, Tables}
 
 /** q115 — the composed end-to-end LLM-training-data curation pipeline:
   * every cleaning stage the engine provides, chained over ONE corpus in
@@ -81,7 +79,7 @@ object CurationPipeline {
     *    the resume genuinely load-bearing — untouched snapshots are
     *    not rewritten).
     */
-  private def pin(s: SparkSession, fp: String, stage: String)(
+  private def pin(s: SparkSession, fp: String, qtag: String, stage: String)(
       df: => DataFrame): DataFrame =
     stageDir match {
       case None =>
@@ -89,37 +87,35 @@ object CurationPipeline {
         // localCheckpoint line and StageProfile's attribution collapses
         // into a single bucket (the round-13 profiling blind spot)
         val sc = s.sparkContext
-        sc.setCallSite(s"q115:$stage localCheckpoint")
+        sc.setCallSite(s"$qtag:$stage localCheckpoint")
         try df.localCheckpoint(true) finally sc.clearCallSite()
       case Some(root) =>
-        val p = Paths.get(root, stage)
-        val marker = p.resolve("_GRAFT_DONE")
-        val dataDir = p.resolve("data")
-        val fresh = Files.exists(marker) &&
-          Files.readString(marker).trim == fp
+        val p = s"$root/$stage"
+        val marker = s"$p/_GRAFT_DONE"
+        val dataDir = s"$p/data"
+        val fresh = Lake.exists(marker) &&
+          Lake.readString(marker).trim == fp
         if (!fresh) {
-          val tmp = Paths.get(
-            p.toString + ".build-" + ProcessHandle.current().pid())
-          IndexCommit.deleteTree(tmp)
-          Files.createDirectories(tmp)
-          df.write.mode("overwrite").parquet(tmp.resolve("data").toString)
+          val tmp = p + ".build-" + ProcessHandle.current().pid()
+          Lake.deleteTree(tmp)
+          Lake.mkdirs(tmp)
+          df.write.mode("overwrite").parquet(s"$tmp/data")
           // marker written LAST: a half-written snapshot reads as
           // absent, never as valid
-          Files.writeString(tmp.resolve("_GRAFT_DONE"), fp)
-          IndexCommit.deleteTree(p)
-          try Files.move(tmp, p,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case e: java.nio.file.FileSystemException =>
-              // lost a concurrent publish race: benign only if the
-              // winner wrote the same generation (IndexCommit's rule)
-              val benign = Files.exists(marker) &&
-                Files.readString(marker).trim == fp
-              IndexCommit.deleteTree(tmp)
-              if (!benign) throw e
+          Lake.writeString(s"$tmp/_GRAFT_DONE", fp)
+          Lake.deleteTree(p)
+          if (!Lake.publishDir(tmp, p)) {
+            // lost a concurrent publish race: benign only if the
+            // winner wrote the same generation (IndexCommit's rule)
+            val benign = Lake.exists(marker) &&
+              Lake.readString(marker).trim == fp
+            Lake.deleteTree(tmp)
+            if (!benign) throw new java.io.IOException(
+              s"stage snapshot publish of $tmp as $p failed and the " +
+                "surviving snapshot is not this generation")
           }
         }
-        s.read.parquet(dataDir.toString)
+        s.read.parquet(dataDir)
     }
 
   /** Lake-mode root for q115's stage snapshots; unset = in-engine
@@ -131,11 +127,55 @@ object CurationPipeline {
     sys.props.get("graft.stage.dir")
       .orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))
 
-  private def q115(s: SparkSession, dir: String): DataFrame = {
+  /** The fingerprint lake-mode snapshots are keyed on: corpus metadata
+    * PLUS a STAGE-RULES TAG — the md5 of this pipeline's own chained
+    * oracle text, which is generated from the very constants every
+    * stage runs under (BoilerplateClean thresholds, shingle/band
+    * parameters, the decontam ratio, the LM cutoff, the split
+    * fraction, source weights). Resuming is only sound when the
+    * snapshot was built under the SAME rules as the resuming run; a
+    * corpus fingerprint alone would happily resume across a rule
+    * change and serve stage output the new rules never produced (the
+    * `sourceFingerprint` "callers append a PARAMS TAG" discipline,
+    * here derived rather than hand-maintained — a drifted constant
+    * cannot be forgotten because the oracle text embeds it).
+    */
+  private def lakeFp(dir: String, oracleText: String): String =
+    IndexCommit.sourceFingerprint(dir, "documents.parquet") +
+      ":" + IndexCommit.md5hex(oracleText).take(12) + ":lake-v2"
+
+  private[operators] def lakeFingerprint(dir: String): String =
+    lakeFp(dir, oracle)
+
+  private[operators] def lakeFingerprintImage(dir: String): String =
+    lakeFp(dir, oracle123)
+
+  /** The composed curation chain — q115 (text corpus) and, with
+    * `withImages`, q123 (MIXED text+image corpus: every third doc
+    * carries an image attachment, and an attachment-level dedup stage
+    * s2i joins its keep-decisions back into the doc-level verdict
+    * stack between the text near-dup stage and the span stage). ONE
+    * body for both so the text stages cannot drift between the two
+    * capstones; `withImages=false` is exactly the round-13 q115 chain.
+    */
+  private def chain(s: SparkSession, dir: String,
+      withImages: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val corpusFp = IndexCommit.sourceFingerprint(dir, "documents.parquet")
+    // entering lake mode: reclaim `.build-<pid>` temp siblings a
+    // CRASHED prior run left under the stage root (the janitor's
+    // dead-pid rule) — without this, every crash-resume cycle leaks
+    // one temp tree, in exactly the scenario lake mode exists for
+    stageDir.foreach(root => IndexCommit.purgeStaleScratch(root))
+    val corpusFp =
+      if (withImages) lakeFingerprintImage(dir) else lakeFingerprint(dir)
+    // distinct snapshot names per chain variant ("m" prefix): the two
+    // pipelines' stage frames differ from s2i on, and their
+    // fingerprints differ (each hashes its own oracle), so sharing
+    // names would thrash
+    val qtag = if (withImages) "q123" else "q115"
+    val pfx = if (withImages) "m" else ""
     def pinStage(stage: String)(df: => DataFrame): DataFrame =
-      pin(s, corpusFp, stage)(df)
+      pin(s, corpusFp, qtag, pfx + stage)(df)
     // s0: ingest — the training-corpus side of q53's boundary; the
     // benchmark slice (bucket >= 250) never enters the pipeline
     val s0 = Tables(s, dir, "documents")
@@ -184,13 +224,39 @@ object CurationPipeline {
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .drop("label"))
 
+    // s2i (q123 only): image-ATTACHMENT dedup (q121's within-cell
+    // prune from the PERSISTED image ClusterIndex). Every third doc
+    // arrives with an image attachment (the q121 minting — vec_id ≡
+    // doc_id); attachment verdicts are computed CORPUS-WIDE over all
+    // attachment-bearing docs in the index — deliberately wider than
+    // the stage's survivor set, because the image modality's estate is
+    // per corpus GENERATION: an arrival whose image near-duplicates an
+    // already-indexed image is pruned whatever happened to the other
+    // doc's TEXT, and an image matching a benchmark-slice doc's image
+    // is eval leakage through the second modality — exactly what a
+    // multimodal pretraining run must drop. The plan rides the index's
+    // cid bucketing: the %3 filter pushes into the bucketed scan, the
+    // within-cell self-join stays exchange-free (q113's shape,
+    // MultimodalCurationSpec pins read-never-rebuilt), and the
+    // doc-level join-back is one narrow equi-join.
+    val base = if (!withImages) s2 else {
+      val imgVerdicts = Clustering.semdedupFrom(
+        s.table(ClusterIndex.ensureImage(s, dir))
+          .filter(col("vec_id") % 3 === 0))
+        .select(col("vec_id").as("doc_id"), col("kept").as("img_kept"))
+      pinStage("s2i")(s2.join(imgVerdicts, Seq("doc_id"), "left")
+        .filter(col("img_kept").isNull || col("img_kept"))
+        .withColumn("has_image", col("img_kept").isNotNull)
+        .drop("img_kept"))
+    }
+
     // s3: char-span dedup apply (q108) from the PERSISTED FpIndex,
     // ownership decided among the stage's survivors only
     val fp = s.table(FpIndex.ensure(s, dir))
-      .join(s2.select("doc_id"), "doc_id")
-    val alld = s2.select(col("doc_id"), trim(col("text")).as("tx"))
+      .join(base.select("doc_id"), "doc_id")
+    val alld = base.select(col("doc_id"), trim(col("text")).as("tx"))
       .withColumn("n", length(col("tx")))
-    val s3 = pinStage("s3")(s2.drop("text")
+    val s3 = pinStage("s3")(base.drop("text")
       .join(Winnow.spliceClean(alld, Winnow.foreignSpansOf(fp)), "doc_id")
       .withColumnRenamed("clean_text", "text"))
 
@@ -225,18 +291,26 @@ object CurationPipeline {
     val s6 = grp.filter(gbucket < 204)
 
     // s7: source-weighted epoch mix (q57) over the final train split
-    s6.select(col("doc_id"), col("lang"), col("source"), col("n_bp_dropped"),
-        col("n_spans"), col("n_chars_removed"), col("n_sh"), col("n_hit"),
-        col("avg_mn"), col("group_id"),
-        TextAnalysis.sourceWeightCol.as("weight"))
+    val evidence =
+      Seq(col("doc_id"), col("lang"), col("source"), col("n_bp_dropped")) ++
+        (if (withImages) Seq(col("has_image")) else Seq.empty) ++
+        Seq(col("n_spans"), col("n_chars_removed"), col("n_sh"), col("n_hit"),
+          col("avg_mn"), col("group_id"),
+          TextAnalysis.sourceWeightCol.as("weight"))
+    s6.select(evidence: _*)
       .withColumn("epoch", explode(sequence(lit(1), col("weight"))))
       .orderBy("doc_id", "epoch")
   }
 
   /** The chained oracle: one nested-CTE block per stage, each body the
     * standalone query's oracle text over the previous stage's CTE.
+    * `withImages` splices in the s2i attachment-dedup block — the q121
+    * oracle's EXACT generators ([[Multimodal.ImageFeatureCtes]] /
+    * [[Clustering.sampleCtes]] / [[Clustering.lloydIterCtes]] /
+    * [[Clustering.afCte]] at dims=24) restricted to attachment-bearing
+    * docs, so the image stage cannot drift from the standalone query.
     */
-  private def oracle: String = {
+  private def oracleFor(withImages: Boolean): String = {
     val s0 =
       "s0 AS MATERIALIZED (SELECT doc_id, text, lang, source FROM documents\n" +
         s"       WHERE ${Dedup.BucketSql} < 250)"
@@ -265,16 +339,45 @@ object CurationPipeline {
         Dedup.nearDupKeepTail("s1",
           "d.doc_id, d.text, d.lang, d.source, d.n_bp_dropped") +
         ")"
+    // s2i: the q121 image chain nested — features/sample/Lloyd/assign
+    // over the FULL document corpus (what ClusterIndex.ensureImage
+    // persists), within-cell keep-first prune restricted to the
+    // attachment-bearing docs (vec_id % 3 = 0), verdicts joined back
+    // to the stage's doc-level survivor set
+    val s2i =
+      "s2i AS MATERIALIZED (\n  WITH " + Multimodal.ImageFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM f),\n" +
+        Clustering.sampleCtes + ",\n" +
+        Clustering.lloydIterCtes("smp", 24) + ",\n" +
+        Clustering.afCte(24) + ",\n" +
+        """iev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v
+          |        FROM e WHERE vec_id % 3 = 0),
+          |inv AS (SELECT vec_id, v,
+          |          sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM iev),
+          |iasg AS (SELECT af.vec_id, af.cid, inv.v, inv.nrm
+          |         FROM af JOIN inv USING (vec_id)),
+          |irem AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+          |         FROM iasg a JOIN iasg b
+          |           ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |         WHERE list_sum(list_transform(generate_series(1, 24),
+          |                 i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3
+          |         GROUP BY 1)
+          |  SELECT d.*, (d.doc_id % 3 = 0) AS has_image
+          |  FROM s2 d LEFT JOIN irem r ON r.vec_id = d.doc_id
+          |  WHERE d.doc_id % 3 <> 0 OR r.dup_of IS NULL)""".stripMargin
+    val s3base = if (withImages) "s2i" else "s2"
+    val s3img = if (withImages) ", d2.has_image" else ""
     val s3 =
-      "s3 AS MATERIALIZED (\n" + Winnow.selCteOver("s2") + Winnow.alldCteOver("s2") +
+      "s3 AS MATERIALIZED (\n" + Winnow.selCteOver(s3base) +
+        Winnow.alldCteOver(s3base) +
         Winnow.SpanApplyCtes +
-        """
+        s"""
           |SELECT a.doc_id,
           |  coalesce(c.ct, CASE WHEN st.n_spans IS NULL THEN a.tx ELSE '' END) AS text,
-          |  d2.lang, d2.source, d2.n_bp_dropped,
+          |  d2.lang, d2.source, d2.n_bp_dropped$s3img,
           |  coalesce(st.n_spans, 0) AS n_spans,
           |  coalesce(st.n_removed, 0) AS n_chars_removed
-          |FROM alld a JOIN s2 d2 USING (doc_id)
+          |FROM alld a JOIN $s3base d2 USING (doc_id)
           |LEFT JOIN stats st USING (doc_id)
           |LEFT JOIN cleaned c USING (doc_id))""".stripMargin
     val s4 =
@@ -292,15 +395,23 @@ object CurationPipeline {
         Dedup.groupSplitGrpCte("s5") +
         "\nSELECT d.*, g.group_id\nFROM s5 d JOIN grp g USING (doc_id)\n" +
         s"WHERE ${Dedup.GroupSplitCase} = 'train')"
+    val finImg = if (withImages) "has_image, " else ""
     val fin =
-      "SELECT doc_id, lang, source, n_bp_dropped, n_spans, n_chars_removed,\n" +
+      s"SELECT doc_id, lang, source, n_bp_dropped, $finImg" +
+        "n_spans, n_chars_removed,\n" +
         "  n_sh, n_hit,\n" +
         "  avg_mn, group_id, weight,\n" +
         "  unnest(generate_series(1, weight)) AS epoch\n" +
         s"FROM (SELECT *, ${TextAnalysis.SourceWeightSql} AS weight FROM s6) x\n" +
         "ORDER BY doc_id, epoch"
-    Seq(s0, s0m, s1, s2, s3, s4, s5, s6).mkString("WITH ", ",\n", "\n") + fin
+    val stages =
+      if (withImages) Seq(s0, s0m, s1, s2, s2i, s3, s4, s5, s6)
+      else Seq(s0, s0m, s1, s2, s3, s4, s5, s6)
+    stages.mkString("WITH ", ",\n", "\n") + fin
   }
+
+  private def oracle: String = oracleFor(withImages = false)
+  private def oracle123: String = oracleFor(withImages = true)
 
   /* ------------------------------------------------------------------ *
    * q118 — the CONTINUOUS curation loop, oracle-gated: q112's proof
@@ -424,7 +535,31 @@ object CurationPipeline {
         |ORDER BY batch_no, doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q115_full_curation", (s, dir) => q115(s, dir), Some(oracle)),
+    QueryDef("q115_full_curation",
+      (s, dir) => chain(s, dir, withImages = false), Some(oracle)),
+    /* q123 — the MULTIMODAL capstone: the same corpus curated as a
+     * mixed text+image collection. Every third doc carries an image
+     * attachment (q121's minting — the attachment payload is the PPM
+     * render of the doc, vec_id ≡ doc_id), and the chain dedups BOTH
+     * modalities before mixing: the text stages are q115's verbatim
+     * (one shared `chain` body — they cannot drift), and stage s2i
+     * prunes docs whose attachment near-duplicates an earlier-indexed
+     * image, served from the PERSISTED image ClusterIndex
+     * ([[ClusterIndex.ensureImage]] — built once per corpus
+     * generation, read here; MultimodalCurationSpec pins both indexes
+     * read-never-rebuilt and the exchange-free within-cell join).
+     * This is the Abbas et al. 2023 §4 SemDeDup placement inside a
+     * full curation run: interleaved documents with image attachments,
+     * attachment-level keep-decisions joining back to doc-level
+     * verdicts, LAION-style corpus-wide image dedup (an attachment
+     * matching ANY indexed image is pruned — including benchmark-slice
+     * images, which is eval-leakage decontamination through the second
+     * modality). The oracle chains q115's stage CTEs with the q121
+     * image CTE generators — both estates' shared-constant drift
+     * discipline in one hash.
+     */
+    QueryDef("q123_multimodal_curation",
+      (s, dir) => chain(s, dir, withImages = true), Some(oracle123)),
     QueryDef("q118_curation_maintenance", (s, dir) => q118(s, dir),
       Some(oracle118)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -121,10 +121,7 @@ object FpIndex {
     * Returns (rows before, after).
     */
   def compact(spark: SparkSession, name: String, path: Path): (Long, Long) = {
-    val fp = {
-      val f = path.resolve("_GRAFT_FP")
-      if (Files.exists(f)) Some(Files.readString(f)) else None
-    }
+    val fp = IndexCommit.readFp(path)
     val before = spark.table(name).count()
     val rows = spark.table(name).distinct().localCheckpoint(true)
     IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
@@ -135,7 +132,7 @@ object FpIndex {
         .sortBy("h")
         .option("path", tp.toString)
         .saveAsTable(tn)
-      fp.foreach(Files.writeString(tp.resolve("_GRAFT_FP"), _))
+      fp.foreach(IndexCommit.writeFp(tp, _))
     }
     register(spark, name, path)
     val after = spark.table(name).count()
@@ -202,9 +199,7 @@ object FpIndex {
     corpusTables.add(name)
     val path = indexPath(dir)
     val fp = fingerprint(dir)
-    val fpFile = path.resolve("_GRAFT_FP")
-    val validOnDisk = Files.exists(fpFile) &&
-      Files.readString(fpFile).trim == fp
+    val validOnDisk = IndexCommit.fpValid(path, fp)
     if (spark.catalog.tableExists(name) && validOnDisk) name
     else if (validOnDisk) { register(spark, name, path); name }
     else {
@@ -214,7 +209,7 @@ object FpIndex {
         buildIndex(spark,
           graft.core.Tables(spark, dir, "documents").select("doc_id", "text"),
           tn, tp)
-        Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+        IndexCommit.writeFp(tp, fp)
       }
       register(spark, name, path)
       name

@@ -1,8 +1,10 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.SparkSession
+
+import graft.core.Lake
 
 /** Cross-process commit protocol + shared filesystem plumbing for the
   * persisted index family ([[BandIndex]] / [[PostingsIndex]] /
@@ -24,6 +26,16 @@ import org.apache.spark.sql.SparkSession
   * builder wins the rename race, the loser just discards its temp:
   * builds are idempotent (same input → same index), so the winner's
   * artifact is the same artifact.
+  *
+  * All marker and publish I/O goes through [[graft.core.Lake]]
+  * (Hadoop `FileSystem`), so the same protocol runs against `file://`,
+  * HDFS, and object stores — see Lake's per-store portability
+  * contract (on stores without atomic rename, correctness rests on
+  * the marker-written-LAST rule, which this protocol already keeps).
+  * The scratch JANITOR ([[purgeStaleScratch]]) deliberately stays on
+  * `java.io` primitives: scratch trees are host-local by construction
+  * (their liveness test is a local `ProcessHandle` check), so a
+  * remote-filesystem janitor would be meaningless.
   */
 object IndexCommit {
 
@@ -69,14 +81,29 @@ object IndexCommit {
     * every index uniformly.
     */
   private[operators] def sourceFingerprint(dir: String, file: String): String = {
-    val root = new java.io.File(s"$dir/$file")
-    def entries(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .sortBy(_.getName).flatMap(entries).toSeq
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    md5hex(entries(root).mkString("\n")) + s":bk$numBuckets"
+    val entries = Lake.fileEntries(s"$dir/$file")
+      .map { case (n, len, mtime) => s"$n:$len:$mtime" }
+    md5hex(entries.mkString("\n")) + s":bk$numBuckets"
   }
+
+  /** The `_GRAFT_FP` freshness marker of the artifact at `path`, if
+    * complete (marker written LAST — a missing marker means "no
+    * artifact", whatever files exist).
+    */
+  private[graft] def readFp(path: Path): Option[String] = {
+    val f = s"${path.toString}/_GRAFT_FP"
+    if (Lake.exists(f)) Some(Lake.readString(f).trim) else None
+  }
+
+  /** True iff the artifact at `path` is complete AND was built from
+    * exactly the `fp` generation.
+    */
+  private[graft] def fpValid(path: Path, fp: String): Boolean =
+    readFp(path).contains(fp.trim)
+
+  /** Write the freshness marker — the build's LAST write. */
+  private[graft] def writeFp(path: Path, fp: String): Unit =
+    Lake.writeString(s"${path.toString}/_GRAFT_FP", fp)
 
   /** Run `build(tmpName, tmpPath)` — which must write the bucketed
     * table AS `tmpName` at `tmpPath` plus all sidecars INCLUDING
@@ -95,34 +122,26 @@ object IndexCommit {
     // catalog entry leaves the files for the rename
     spark.sql(s"DROP TABLE IF EXISTS `$tmpName`")
     deleteTree(path)
-    try Files.move(tmpPath, path, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.nio.file.FileSystemException =>
-        // only a CONCURRENT PUBLISH is benign (the winner's idempotent
-        // build is byte-equivalent — discard the temp). "Target has a
-        // _GRAFT_FP" alone is NOT proof of that: a partial deleteTree
-        // (permissions, open handles) can leave the OLD index with its
-        // OLD fingerprint intact, and swallowing that would silently
-        // serve the stale index. Benign requires the surviving marker
-        // to carry the SAME fingerprint this build was publishing —
-        // only a concurrent builder of the same generation writes that.
-        val ours = tmpPath.resolve("_GRAFT_FP")
-        val theirs = path.resolve("_GRAFT_FP")
-        val benign = Files.exists(theirs) && Files.exists(ours) &&
-          Files.readString(theirs).trim == Files.readString(ours).trim
-        deleteTree(tmpPath)
-        if (!benign) throw e
+    if (!Lake.publishDir(tmpPath.toString, path.toString)) {
+      // only a CONCURRENT PUBLISH is benign (the winner's idempotent
+      // build is byte-equivalent — discard the temp). "Target has a
+      // _GRAFT_FP" alone is NOT proof of that: a partial deleteTree
+      // (permissions, open handles) can leave the OLD index with its
+      // OLD fingerprint intact, and swallowing that would silently
+      // serve the stale index. Benign requires the surviving marker
+      // to carry the SAME fingerprint this build was publishing —
+      // only a concurrent builder of the same generation writes that.
+      val ours = readFp(tmpPath)
+      val benign = ours.isDefined && readFp(path) == ours
+      deleteTree(tmpPath)
+      if (!benign) throw new java.io.IOException(
+        s"publish of $tmpPath as $path failed and the surviving target " +
+          "is not a concurrent build of the same generation")
     }
   }
 
   private[operators] def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(p.toFile)
-    }
+    Lake.deleteTree(p.toString)
 
   /** Reclaim ABANDONED pid-scoped trees under an index root:
     * the `_maint_<pid>`/`_cmaint_<pid>` scratch indexes the maintenance
@@ -149,7 +168,13 @@ object IndexCommit {
     // running on this host during a mixed-version rollout uses exactly
     // that name — so reclamation is gated on the tree being cold (mtime
     // older than [[LegacyIdleMs]]): an in-use scratch is rewritten every
-    // maintenance cycle, an orphan only ever ages.
+    // maintenance cycle, an orphan only ever ages. Coldness is judged
+    // on the MAXIMUM mtime across the whole tree, not the root
+    // directory's: POSIX only bumps a directory's mtime when direct
+    // children are added or removed, so a live writer rewriting files
+    // inside nested subdirectories (partitioned parquet output) need
+    // never touch the root's timestamp — root-mtime gating could
+    // reclaim an in-use scratch mid-write.
     val legacyRe = "^.*_c?maint$".r
     val self = ProcessHandle.current().pid()
     val now = System.currentTimeMillis()
@@ -169,12 +194,22 @@ object IndexCommit {
         val stale = f.getName match {
           case scratchRe(pid) => abandoned(pid)
           case buildRe(pid)   => abandoned(pid)
-          case legacyRe()     => now - f.lastModified() > LegacyIdleMs
+          case legacyRe()     => now - treeMaxMtime(f) > LegacyIdleMs
           case _              => false
         }
         if (stale) deleteTree(f.toPath)
         stale
       }
+  }
+
+  /** The newest mtime anywhere in the tree rooted at `f` — the signal
+    * that a tree is still being written, wherever in it the writer is
+    * working. O(#files), same cost class as [[sourceFingerprint]]'s
+    * listing; legacy trees are rare (mixed-version rollouts only).
+    */
+  private[operators] def treeMaxMtime(f: java.io.File): Long = {
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+    kids.foldLeft(f.lastModified())((m, k) => math.max(m, treeMaxMtime(k)))
   }
 
   /** How cold a bare legacy `_maint`/`_cmaint` tree must be before the

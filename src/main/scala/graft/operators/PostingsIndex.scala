@@ -1,11 +1,11 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Lake, Tables}
 
 /** Persisted, BUCKETED inverted index for BM25 — the [[BandIndex]]
   * pattern applied to lexical retrieval.
@@ -93,15 +93,15 @@ object PostingsIndex {
 
   /** Committed sidecar version; -1 before any build. */
   def sidecarVersion(path: Path): Long = {
-    val p = sidecarPointer(path)
-    if (Files.exists(p)) Files.readString(p).trim.toLong else -1L
+    val p = sidecarPointer(path).toString
+    if (Lake.exists(p)) Lake.readString(p).trim.toLong else -1L
   }
 
   private def sidecarDir(path: Path, v: Long): Path =
     path.resolve("_sidecar").resolve(s"v=$v")
 
   private def readMeta(path: Path, v: Long): (Long, Long) = {
-    val m = Files.readString(sidecarDir(path, v).resolve("META")).trim
+    val m = Lake.readString(sidecarDir(path, v).resolve("META").toString).trim
       .split(" ").map(_.toLong)
     (m(0), m(1))
   }
@@ -109,17 +109,15 @@ object PostingsIndex {
   private def writeSidecar(spark: SparkSession, path: Path, v: Long,
       dfreq: DataFrame, n: Long, sumDl: Long): Unit = {
     val dir = sidecarDir(path, v)
-    Files.createDirectories(dir)
+    Lake.mkdirs(dir.toString)
     dfreq.write.mode("overwrite").parquet(dir.resolve("dfreq").toString)
-    Files.writeString(dir.resolve("META"), s"$n $sumDl")
+    Lake.writeString(dir.resolve("META").toString, s"$n $sumDl")
     // advance the pointer only forward; a replay rewriting an old slot
     // with identical content must not rewind it
     if (v > sidecarVersion(path)) {
       val tmp = path.resolve("_sidecar").resolve(s"_LATEST.tmp.$v")
-      Files.writeString(tmp, v.toString)
-      Files.move(tmp, sidecarPointer(path),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Lake.writeString(tmp.toString, v.toString)
+      Lake.overwriteRename(tmp.toString, sidecarPointer(path).toString)
     }
   }
 
@@ -216,9 +214,7 @@ object PostingsIndex {
       // the layout tag makes an on-disk index from an older sidecar
       // layout read as stale (rebuild), not as a read error
       val fp = BandIndex.fingerprint(dir) + ":sidecar-v3"
-      val fpFile = path.resolve("_GRAFT_FP")
-      val validOnDisk = Files.exists(fpFile) &&
-        Files.readString(fpFile).trim == fp
+      val validOnDisk = IndexCommit.fpValid(path, fp)
       if (!validOnDisk) {
         // build into a temp sibling + atomic publish ([[IndexCommit]]):
         // postings table AND sidecar v=0 land together, the rename is
@@ -226,7 +222,7 @@ object PostingsIndex {
         // half-built index
         IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
           buildIndex(spark, dir, tn, tp)
-          Files.writeString(tp.resolve("_GRAFT_FP"), fp)
+          IndexCommit.writeFp(tp, fp)
         }
         register(spark, name, path)
       } else if (!spark.catalog.tableExists(name)) {

@@ -37,7 +37,7 @@ object Retrieval {
     * same tokenizer as the corpus. Terms absent from the corpus simply
     * produce no postings (contribute 0), the standard BM25 convention.
     */
-  private val QueryTerms: Seq[(Long, String)] = Seq(
+  private[graft] val QueryTerms: Seq[(Long, String)] = Seq(
     1L -> "hash", 1L -> "join",
     2L -> "window", 2L -> "agg", 2L -> "stream",
     3L -> "vector", 3L -> "scan", 3L -> "filter")
@@ -143,7 +143,7 @@ object Retrieval {
   /** q88/q91's shared ranking tail over a (q_id, doc_id, n_hit,
     * bm25_micro) scores frame.
     */
-  private def top5(scores: DataFrame): DataFrame = {
+  private[graft] def top5(scores: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(col("bm25_micro").desc, col("doc_id"))
     scores

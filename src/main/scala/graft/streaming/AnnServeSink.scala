@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -42,44 +40,34 @@ object AnnServeSink {
     StructField("q_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** All committed results (q_id, rank, n_id, cos, batch_id). */
-  def results(spark: SparkSession, dir: String): DataFrame =
-    latestVersion(dir) match {
-      case Some(v) =>
-        val dirs = Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
-          .filter(_ <= v).sorted
-          .map(i => s"$dir/v=$i")
-        spark.read.parquet(dirs.toIndexedSeq: _*)
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("q_id", LongType),
-            StructField("rank", IntegerType),
-            StructField("n_id", LongType),
-            StructField("cos", DoubleType),
-            StructField("batch_id", LongType))))
-    }
+  def results(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = VersionedPointer.committedDirs(dir)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q_id", LongType),
+          StructField("rank", IntegerType),
+          StructField("n_id", LongType),
+          StructField("cos", DoubleType),
+          StructField("batch_id", LongType))))
+  }
 
   /** Answer one micro-batch of (q_id, embedding) against the persisted
-    * index for `corpusDir`; false iff already served.
+    * index for `corpusDir`; false iff already served. `epoch` is the
+    * checkpoint-lineage guard ([[VersionedPointer.alreadyServed]] —
+    * a checkpoint reset fails fast instead of silently no-opping
+    * served answers); attach() always passes it, direct calls may not.
     */
   def applyBatch(batch: DataFrame, batchId: Long, corpusDir: String,
-      outDir: String): Boolean = {
-    val already = latestVersion(outDir).exists(_ >= batchId)
-    if (already) false
+      outDir: String, epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(outDir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(outDir))
+      graft.core.Lake.mkdirs(outDir)
       val name = ClusterIndex.ensure(spark, corpusDir)
       val topk = Clustering.annProbeFrom(spark, name,
           ClusterIndex.centroids(spark, corpusDir),
@@ -90,22 +78,21 @@ object AnnServeSink {
       // coalesce(1): batch-sized (≤ k rows per query), a decision log
       topk.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/v=$batchId")
-      val tmp = Paths.get(outDir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(outDir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(outDir, batchId, epoch)
       true
     }
   }
 
   /** Attach the server to a (q_id, embedding) query stream. */
   def attach(queries: DataFrame, corpusDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     queries.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, corpusDir, outDir); ()
+        applyBatch(batch, batchId, corpusDir, outDir, Some(epoch)); ()
       }
       .start()
+  }
 }

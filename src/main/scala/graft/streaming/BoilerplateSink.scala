@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -36,50 +34,39 @@ object BoilerplateSink {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** All committed verdicts (doc_id, clean_text, n_lines, n_kept,
     * n_short, n_link, n_stop, admit, batch_id).
     */
-  def decisions(spark: SparkSession, dir: String): DataFrame =
-    latestVersion(dir) match {
-      case Some(v) =>
-        val dirs = Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
-          .filter(_ <= v).sorted
-          .map(i => s"$dir/v=$i")
-        spark.read.parquet(dirs.toIndexedSeq: _*)
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("clean_text", StringType),
-            StructField("n_lines", IntegerType),
-            StructField("n_kept", IntegerType),
-            StructField("n_short", IntegerType),
-            StructField("n_link", IntegerType),
-            StructField("n_stop", IntegerType),
-            StructField("admit", BooleanType),
-            StructField("batch_id", LongType))))
-    }
+  def decisions(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = VersionedPointer.committedDirs(dir)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("clean_text", StringType),
+          StructField("n_lines", IntegerType),
+          StructField("n_kept", IntegerType),
+          StructField("n_short", IntegerType),
+          StructField("n_link", IntegerType),
+          StructField("n_stop", IntegerType),
+          StructField("admit", BooleanType),
+          StructField("batch_id", LongType))))
+  }
 
   /** Extract one micro-batch of (doc_id, text); false iff already
-    * applied.
+    * applied. `epoch` is the checkpoint-lineage guard
+    * ([[VersionedPointer.alreadyServed]]); attach() always passes it.
     */
-  def applyBatch(batch: DataFrame, batchId: Long, outDir: String): Boolean = {
-    val already = latestVersion(outDir).exists(_ >= batchId)
-    if (already) false
+  def applyBatch(batch: DataFrame, batchId: Long, outDir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(outDir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
       graft.functions.GraftFunctions.register(spark)
-      Files.createDirectories(Paths.get(outDir))
+      graft.core.Lake.mkdirs(outDir)
       val verdicts = batch.select(docSchema.fieldNames.map(col): _*)
         .select(col("doc_id"),
           call_function("graft_boilerplate_clean", col("text")).as("c"))
@@ -92,22 +79,21 @@ object BoilerplateSink {
       // coalesce(1): batch-sized decision log (one row per batch doc)
       verdicts.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/v=$batchId")
-      val tmp = Paths.get(outDir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(outDir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(outDir, batchId, epoch)
       true
     }
   }
 
   /** Attach the gate to a (doc_id, text) ingest stream. */
   def attach(docs: DataFrame, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, outDir); ()
+        applyBatch(batch, batchId, outDir, Some(epoch)); ()
       }
       .start()
+  }
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -48,12 +46,7 @@ object ClusterIndexSink {
   /** SemDeDup's within-cell duplicate threshold (q104's rule). */
   val Tau: Double = ClusterIndex.Tau
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** All committed verdicts (vec_id, cid, dup_of, kept, batch_id) up to
     * the pointer.
@@ -62,7 +55,7 @@ object ClusterIndexSink {
     latestVersion(dir) match {
       case Some(v) =>
         val dirs = (0L to v).map(i => s"$dir/v=$i")
-          .filter(d => Files.exists(Paths.get(d)))
+          .filter(graft.core.Lake.exists)
         spark.read.parquet(dirs: _*)
       case None =>
         import org.apache.spark.sql.types._
@@ -96,12 +89,12 @@ object ClusterIndexSink {
 
   /** Apply one micro-batch; false iff already applied. */
   def applyBatch(batch: DataFrame, batchId: Long, indexName: String,
-      centroids: DataFrame, outDir: String): Boolean = {
-    val already = latestVersion(outDir).exists(_ >= batchId)
-    if (already) false
+      centroids: DataFrame, outDir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(outDir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(outDir))
+      graft.core.Lake.mkdirs(outDir)
       val b = ClusterIndex.assignBatch(batch, centroids).localCheckpoint(true)
       // exclusion on: a crashed previous attempt may have appended this
       // batch's own rows (the WinnowIndexSink replay seam, by vec_id)
@@ -114,10 +107,7 @@ object ClusterIndexSink {
       out.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
       b.unpersist()
       out.unpersist()
-      val tmp = Paths.get(outDir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(outDir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(outDir, batchId, epoch)
       true
     }
   }
@@ -129,12 +119,14 @@ object ClusterIndexSink {
     * micro-units — q114's sample-trained output in production).
     */
   def attach(vecs: DataFrame, indexName: String, centroids: DataFrame,
-      outDir: String, checkpointDir: String): StreamingQuery =
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, indexName, centroids, outDir); ()
+        applyBatch(batch, batchId, indexName, centroids, outDir, Some(epoch)); ()
       }
       .start()
+  }
 }

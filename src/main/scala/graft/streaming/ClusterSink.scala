@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -46,12 +44,7 @@ object ClusterSink {
     StructField("vec_id", LongType),
     StructField("qv", ArrayType(LongType))))
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** Current state (cid, s, n, cv); None before the first batch. */
   def state(spark: SparkSession, dir: String): Option[DataFrame] =
@@ -62,12 +55,12 @@ object ClusterSink {
     state(spark, dir).map(_.select("cid", "cv"))
 
   /** Apply one micro-batch; false iff skipped as already applied. */
-  def applyBatch(batch: DataFrame, batchId: Long, dir: String): Boolean = {
-    val already = latestVersion(dir).exists(_ >= batchId)
-    if (already) false
+  def applyBatch(batch: DataFrame, batchId: Long, dir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(dir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(dir))
+      graft.core.Lake.mkdirs(dir)
       val vecs = batch.select(vecSchema.fieldNames.map(col): _*)
         .localCheckpoint(true)
       val prior = state(spark, dir).getOrElse {
@@ -108,10 +101,7 @@ object ClusterSink {
         .orderBy("cid")
       // coalesce(1): bounded state — the frame is exactly K centroid rows
       next.coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$batchId")
-      val tmp = Paths.get(dir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(dir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(dir, batchId, epoch)
       true
     }
   }
@@ -122,12 +112,14 @@ object ClusterSink {
 
   /** Attach the sink to a (vec_id, qv) embedding ingest stream. */
   def attach(vecs: DataFrame, stateDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, stateDir); ()
+        applyBatch(batch, batchId, stateDir, Some(epoch)); ()
       }
       .start()
+  }
 }

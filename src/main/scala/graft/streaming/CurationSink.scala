@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -79,12 +77,7 @@ object CurationSink {
     Artifacts(lm, cut)
   }
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** All committed verdicts up to the pointer: (doc_id, n_spans,
     * n_chars_removed, n_sh, n_hit, n_bigrams, lm_micro_nats, avg_mn,
@@ -94,7 +87,7 @@ object CurationSink {
     latestVersion(dir) match {
       case Some(v) =>
         val dirs = (0L to v).map(i => s"$dir/v=$i")
-          .filter(d => Files.exists(Paths.get(d)))
+          .filter(graft.core.Lake.exists)
         spark.read.parquet(dirs: _*)
       case None =>
         import org.apache.spark.sql.types._
@@ -167,12 +160,12 @@ object CurationSink {
 
   /** Apply one micro-batch of (doc_id, text); false iff already applied. */
   def applyBatch(batch: DataFrame, batchId: Long, fpIndexName: String,
-      benchDir: String, art: Artifacts, outDir: String): Boolean = {
-    val already = latestVersion(outDir).exists(_ >= batchId)
-    if (already) false
+      benchDir: String, art: Artifacts, outDir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(outDir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(outDir))
+      graft.core.Lake.mkdirs(outDir)
       val docs = batch.select("doc_id", "text")
       val out = verdictBatch(spark, docs, fpIndexName, benchDir, art)
         .withColumn("batch_id", lit(batchId))
@@ -184,10 +177,7 @@ object CurationSink {
       FpIndex.append(spark, fpIndexName, docs)
       out.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
       out.unpersist()
-      val tmp = Paths.get(outDir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(outDir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(outDir, batchId, epoch)
       true
     }
   }
@@ -199,12 +189,14 @@ object CurationSink {
     * cutoff ([[artifactsOf]]).
     */
   def attach(docs: DataFrame, fpIndexName: String, benchDir: String,
-      art: Artifacts, outDir: String, checkpointDir: String): StreamingQuery =
+      art: Artifacts, outDir: String, checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, fpIndexName, benchDir, art, outDir); ()
+        applyBatch(batch, batchId, fpIndexName, benchDir, art, outDir, Some(epoch)); ()
       }
       .start()
+  }
 }

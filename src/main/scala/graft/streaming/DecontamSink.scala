@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -41,24 +39,14 @@ object DecontamSink {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** All committed verdicts (doc_id, n_sh, n_hit, admit, batch_id). */
   def decisions(spark: SparkSession, dir: String): DataFrame =
     latestVersion(dir) match {
       case Some(v) =>
-        val dirs = Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
-          .filter(_ <= v).sorted
-          .map(i => s"$dir/v=$i")
-        spark.read.parquet(dirs.toIndexedSeq: _*)
+        val dirs = VersionedPointer.committedDirs(dir)
+        spark.read.parquet(dirs: _*)
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -73,12 +61,12 @@ object DecontamSink {
     * index built from `benchDir`; false iff already applied.
     */
   def applyBatch(batch: DataFrame, batchId: Long, benchDir: String,
-      outDir: String): Boolean = {
-    val already = latestVersion(outDir).exists(_ >= batchId)
-    if (already) false
+      outDir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(outDir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(outDir))
+      graft.core.Lake.mkdirs(outDir)
       val shingled = batch.select(docSchema.fieldNames.map(col): _*)
         .select(col("doc_id"),
           Dedup.shinglesOf(split(trim(col("text")), Ws.Plus)).as("shs"))
@@ -95,22 +83,21 @@ object DecontamSink {
       // micro-batch doc; acceptable for a per-batch decision log
       verdicts.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/v=$batchId")
-      val tmp = Paths.get(outDir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(outDir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(outDir, batchId, epoch)
       true
     }
   }
 
   /** Attach the gate to a (doc_id, text) ingest stream. */
   def attach(docs: DataFrame, benchDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, benchDir, outDir); ()
+        applyBatch(batch, batchId, benchDir, outDir, Some(epoch)); ()
       }
       .start()
+  }
 }

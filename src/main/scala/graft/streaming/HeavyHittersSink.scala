@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -53,18 +51,13 @@ object HeavyHittersSink {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** (summary frame (bg, cnt), total bigrams ingested). */
   def state(spark: SparkSession, dir: String): (DataFrame, Long) =
     latestVersion(dir) match {
       case Some(v) =>
-        val total = Files.readString(Paths.get(dir, s"v=$v", "_TOTAL")).trim.toLong
+        val total = graft.core.Lake.readString(s"$dir/v=$v/_TOTAL").trim.toLong
         (spark.read.parquet(s"$dir/v=$v/summary"), total)
       case None =>
         (spark.createDataFrame(
@@ -106,12 +99,12 @@ object HeavyHittersSink {
   }
 
   /** Apply one micro-batch; false iff skipped as already applied. */
-  def applyBatch(batch: DataFrame, batchId: Long, dir: String): Boolean = {
-    val already = latestVersion(dir).exists(_ >= batchId)
-    if (already) false
+  def applyBatch(batch: DataFrame, batchId: Long, dir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(dir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(dir))
+      graft.core.Lake.mkdirs(dir)
       val (prior, priorTotal) = state(spark, dir)
       val bgs = SketchExact.bigramsOf(
         batch.select(docSchema.fieldNames.map(col): _*))
@@ -133,12 +126,9 @@ object HeavyHittersSink {
       val vDir = s"$dir/v=$batchId"
       // coalesce(1): bounded state — the summary holds at most MgK counter rows
       next.coalesce(1).write.mode("overwrite").parquet(s"$vDir/summary")
-      Files.writeString(Paths.get(vDir, "_TOTAL"),
+      graft.core.Lake.writeString(s"$vDir/_TOTAL",
         (priorTotal + batchN).toString)
-      val tmp = Paths.get(dir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(dir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(dir, batchId, epoch)
       true
     }
   }
@@ -149,12 +139,14 @@ object HeavyHittersSink {
 
   /** Attach the sink to a (doc_id, text) ingest stream. */
   def attach(docs: DataFrame, stateDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, stateDir); ()
+        applyBatch(batch, batchId, stateDir, Some(epoch)); ()
       }
       .start()
+  }
 }

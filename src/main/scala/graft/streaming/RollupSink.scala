@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -41,21 +39,15 @@ object RollupSink {
     StructField("n_keys", LongType),
     StructField("cents_total", LongType)))
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** Newest snapshot version strictly below `batchId` in an UpsertSink
     * directory (None before the first batch).
     */
   def versionBefore(dir: String, batchId: Long): Option[Long] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+    graft.core.Lake.listNames(dir)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
       .filter(_ < batchId)
       .sorted.lastOption
   }
@@ -85,10 +77,8 @@ object RollupSink {
         // would silently zero the minus side and corrupt the rollup —
         // fail loudly instead (the keep >= 2 contract, enforced).
         if (batchId > 0) {
-          val d = new java.io.File(snapDir)
-          val hasState = Files.exists(pointerPath(snapDir)) ||
-            Option(d.listFiles()).getOrElse(Array.empty)
-              .exists(f => f.isDirectory && f.getName.startsWith("v="))
+          val hasState = VersionedPointer.latest(snapDir).isDefined ||
+            graft.core.Lake.listNames(snapDir).exists(_.startsWith("v="))
           if (hasState)
             throw new IllegalStateException(
               s"RollupSink: no snapshot version below batch $batchId in " +
@@ -108,12 +98,12 @@ object RollupSink {
     * reads the post-batch snapshot).
     */
   def applyBatch(batch: DataFrame, batchId: Long, snapDir: String,
-      rollDir: String): Boolean = {
-    val already = latestVersion(rollDir).exists(_ >= batchId)
-    if (already) false
+      rollDir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(rollDir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(rollDir))
+      graft.core.Lake.mkdirs(rollDir)
       val collapsed = UpsertSink.collapse(
         batch.select(UpsertSink.changeSchema.fieldNames.map(col): _*))
       val oldSnap = snapshotAt(spark, snapDir, batchId)
@@ -141,10 +131,7 @@ object RollupSink {
             .as("cents_total"))
         .filter(col("n_keys") > 0)
       merged.write.mode("overwrite").parquet(s"$rollDir/v=$batchId")
-      val tmp = Paths.get(rollDir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(rollDir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(rollDir, batchId, epoch)
       true
     }
   }
@@ -157,14 +144,16 @@ object RollupSink {
     * idempotent, so any crash point replays cleanly.
     */
   def attach(changes: DataFrame, snapshotDir: String, rollupDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     changes.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, snapshotDir, rollupDir)
-        UpsertSink.applyBatch(batch, batchId, snapshotDir)
+        applyBatch(batch, batchId, snapshotDir, rollupDir, Some(epoch))
+        UpsertSink.applyBatch(batch, batchId, snapshotDir, Some(epoch))
         ()
       }
       .start()
+  }
 }

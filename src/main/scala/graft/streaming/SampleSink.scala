@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -50,12 +48,7 @@ object SampleSink {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** Current k-row sample (empty-schema frame before the first batch). */
   def sample(spark: SparkSession, dir: String): DataFrame =
@@ -84,12 +77,12 @@ object SampleSink {
     df.orderBy(col("priority"), col("doc_id")).limit(K)
 
   /** Apply one micro-batch; false iff skipped as already applied. */
-  def applyBatch(batch: DataFrame, batchId: Long, dir: String): Boolean = {
-    val already = latestVersion(dir).exists(_ >= batchId)
-    if (already) false
+  def applyBatch(batch: DataFrame, batchId: Long, dir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(dir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(dir))
+      graft.core.Lake.mkdirs(dir)
       // batch-local bottom-k FIRST: the union the merge sorts is ≤ 2k
       // rows however large the batch was
       val cand = bottomK(prioritized(
@@ -97,10 +90,7 @@ object SampleSink {
       val merged = bottomK(sample(spark, dir).unionByName(cand).distinct())
       // coalesce(1): bounded state — the merged frame is at most k sample rows
       merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$batchId")
-      val tmp = Paths.get(dir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(dir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(dir, batchId, epoch)
       true
     }
   }
@@ -111,12 +101,14 @@ object SampleSink {
 
   /** Attach the sink to a (doc_id, text) ingest stream. */
   def attach(docs: DataFrame, sampleDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, sampleDir); ()
+        applyBatch(batch, batchId, sampleDir, Some(epoch)); ()
       }
       .start()
+  }
 }

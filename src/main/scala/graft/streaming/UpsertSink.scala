@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -70,13 +68,8 @@ object UpsertSink {
         (coalesce(col("s.balance_cents"), lit(0L)) +
           coalesce(col("c.delta_cents"), lit(0L))).as("balance_cents"))
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
   /** Version of the last applied batch, if any. */
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** Current snapshot table (empty-schema frame before the first batch). */
   def snapshot(spark: SparkSession, dir: String): DataFrame =
@@ -94,19 +87,16 @@ object UpsertSink {
     * Streaming-internal columns are projected away so the same method
     * serves foreachBatch and direct (batch-backfill) callers.
     */
-  def applyBatch(batch: DataFrame, batchId: Long, dir: String): Boolean = {
-    val already = latestVersion(dir).exists(_ >= batchId)
-    if (already) false
+  def applyBatch(batch: DataFrame, batchId: Long, dir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(dir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(dir))
+      graft.core.Lake.mkdirs(dir)
       val merged = merge(snapshot(spark, dir),
         collapse(batch.select(changeSchema.fieldNames.map(col): _*)))
       merged.write.mode("overwrite").parquet(s"$dir/v=$batchId")
-      val tmp = Paths.get(dir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(dir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(dir, batchId, epoch)
       true
     }
   }
@@ -122,29 +112,26 @@ object UpsertSink {
     */
   def vacuum(dir: String, keep: Int): Seq[Long] = {
     val pointer = latestVersion(dir)
-    val d = new java.io.File(dir)
-    val versions = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+    val versions = graft.core.Lake.listNames(dir)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
       .sorted
     val drop = versions.dropRight(keep)
       .filter(v => !pointer.contains(v))
-    drop.foreach { v =>
-      val root = Paths.get(dir, s"v=$v")
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
-    drop.toSeq
+    drop.foreach(v => graft.core.Lake.deleteTree(s"$dir/v=$v"))
+    drop
   }
 
   /** Attach the sink to a change stream. */
   def attach(changes: DataFrame, snapshotDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     changes.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, snapshotDir); ()
+        applyBatch(batch, batchId, snapshotDir, Some(epoch)); ()
       }
       .start()
+  }
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -44,12 +42,7 @@ import graft.operators.{FpIndex, Winnow}
   */
 object WinnowIndexSink {
 
-  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
-
-  def latestVersion(dir: String): Option[Long] = {
-    val p = pointerPath(dir)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** All committed cleaned docs (doc_id, n_spans, n_chars_removed,
     * clean_text, batch_id) up to the pointer.
@@ -57,13 +50,8 @@ object WinnowIndexSink {
   def cleanedDocs(spark: SparkSession, dir: String): DataFrame =
     latestVersion(dir) match {
       case Some(v) =>
-        val dirs = Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
-          .filter(_ <= v).sorted
-          .map(i => s"$dir/v=$i")
-        spark.read.parquet(dirs.toIndexedSeq: _*)
+        val dirs = VersionedPointer.committedDirs(dir)
+        spark.read.parquet(dirs: _*)
       case None =>
         import org.apache.spark.sql.types._
         spark.createDataFrame(
@@ -77,12 +65,12 @@ object WinnowIndexSink {
 
   /** Apply one micro-batch of (doc_id, text); false iff already applied. */
   def applyBatch(batch: DataFrame, batchId: Long, indexName: String,
-      outDir: String): Boolean = {
-    val already = latestVersion(outDir).exists(_ >= batchId)
-    if (already) false
+      outDir: String,
+      epoch: Option[String] = None): Boolean = {
+    if (VersionedPointer.alreadyServed(outDir, batchId, epoch)) false
     else {
       val spark = batch.sparkSession
-      Files.createDirectories(Paths.get(outDir))
+      graft.core.Lake.mkdirs(outDir)
       val docs = batch.select("doc_id", "text")
       val spans = FpIndex.probeSpans(spark, indexName, docs,
           excludeBatchFromHistory = true)
@@ -99,10 +87,7 @@ object WinnowIndexSink {
         .withColumn("batch_id", lit(batchId))
       FpIndex.append(spark, indexName, docs)
       out.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
-      val tmp = Paths.get(outDir, s"_LATEST.tmp.$batchId")
-      Files.writeString(tmp, batchId.toString)
-      Files.move(tmp, pointerPath(outDir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      VersionedPointer.commit(outDir, batchId, epoch)
       true
     }
   }
@@ -112,12 +97,14 @@ object WinnowIndexSink {
     * over an existing corpus to seed history.
     */
   def attach(docs: DataFrame, indexName: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val epoch = VersionedPointer.epochOf(checkpointDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, indexName, outDir); ()
+        applyBatch(batch, batchId, indexName, outDir, Some(epoch)); ()
       }
       .start()
+  }
 }

@@ -56,4 +56,21 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(Bench.parsePrev("{\"queries\":") == (Map.empty, Map.empty))
     assert(Bench.parsePrev("not json at all") == (Map.empty, Map.empty))
   }
+
+  test("historyFor gates min-merge on the artifact's sf provenance") {
+    val json = """{"metric":"total","value":6.0,"unit":"sec","queries":{"q1_a":1.25},"spread":{"q1_a":[1.1,1.4]},"order":"reverse","sf":"/root/testdata/sf0.1","out":"bench_out.json"}"""
+    // same corpus → history flows, whatever the run ORDER was (the
+    // ORDER diagnostic reruns the same queries on the same data; its
+    // mins are genuine floors and merging them is the point)
+    val (qs, _) = Bench.historyFor(json, "/root/testdata/sf0.1")
+    assert(qs == Map("q1_a" -> 1.25))
+    // a different scale factor at the same out path must NOT merge —
+    // the historical min would be a different workload's number
+    assert(Bench.historyFor(json, "/root/testdata/sf0.01") ==
+      (Map.empty, Map.empty))
+    // pre-provenance artifacts (no "sf" field) are no-history too
+    val noSf = """{"queries":{"q1_a":1.25},"spread":{"q1_a":[1.1,1.4]}}"""
+    assert(Bench.historyFor(noSf, "/root/testdata/sf0.1") ==
+      (Map.empty, Map.empty))
+  }
 }

@@ -199,6 +199,32 @@ class CurationPipelineSpec extends SparkSpec {
       assert(stages.init.map(mtime) == m1.init,
         "stages before the crash point must resume, not recompute")
       assert(Files.exists(Paths.get(stageRoot, "s5", "_GRAFT_DONE")))
+      // RULE-CHANGE staleness: a marker carrying only the corpus
+      // fingerprint (no stage-rules tag — what a pre-tag binary or a
+      // changed rule set leaves behind) must read as STALE and rebuild;
+      // resuming across a rule change would serve stage output the
+      // current rules never produced
+      val corpusOnly = IndexCommit.sourceFingerprint(dir, "documents.parquet")
+      Files.writeString(Paths.get(stageRoot, "s3", "_GRAFT_DONE"), corpusOnly)
+      val resumed3 = run(dir)
+      assert(resumed3 == baseline)
+      assert(Files.readString(
+          Paths.get(stageRoot, "s3", "_GRAFT_DONE")).trim ==
+          CurationPipeline.lakeFingerprint(dir),
+        "a marker without the stage-rules tag must rebuild under the " +
+          "full corpus+rules fingerprint")
+      // CRASH-LEFTOVER reclaim: an abandoned `.build-<pid>` temp
+      // sibling under the stage root (a crashed prior run's residue)
+      // is swept on the next lake-mode entry — without this, every
+      // crash-resume cycle leaks one tree
+      val dead = Iterator.iterate(3999999999L)(_ - 7)
+        .find(p => !ProcessHandle.of(p).isPresent).get
+      val orphan = Paths.get(stageRoot, s"s1.build-$dead")
+      Files.createDirectories(orphan)
+      Files.writeString(orphan.resolve("marker"), "x")
+      run(dir)
+      assert(!Files.exists(orphan),
+        "an abandoned stage build temp must be reclaimed at lake entry")
     } finally {
       System.clearProperty("graft.stage.dir")
       IndexCommit.deleteTree(Paths.get(stageRoot))

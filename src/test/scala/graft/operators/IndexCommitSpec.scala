@@ -67,6 +67,42 @@ class IndexCommitSpec extends SparkSpec {
     } finally all.foreach(IndexCommit.deleteTree)
   }
 
+  test("legacy coldness is judged on the DEEPEST mtime, not the root's") {
+    // POSIX only bumps a directory's mtime when direct children are
+    // added/removed — a live old binary rewriting files INSIDE nested
+    // subdirectories (partitioned parquet) never refreshes the root.
+    // The gate must therefore spare a tree whose root looks cold but
+    // whose leaves are fresh, and reclaim it only when the whole tree
+    // is cold.
+    val root = Paths.get(IndexCommit.indexRoot)
+    Files.createDirectories(root)
+    val legacy = root.resolve("graft_band_index_icmtime_cmaint")
+    val nested = legacy.resolve("part=0").resolve("bucket=3")
+    Files.createDirectories(nested)
+    val leaf = nested.resolve("data.parquet")
+    Files.writeString(leaf, "x")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    // age every path EXCEPT the leaf — the in-use signal
+    Seq(legacy, legacy.resolve("part=0"), nested)
+      .foreach(p => Files.setLastModifiedTime(p, old))
+    try {
+      assert(IndexCommit.treeMaxMtime(legacy.toFile) >=
+        System.currentTimeMillis() - 60000, "fresh leaf must dominate")
+      System.setProperty("graft.index.legacy.idle.ms", "3600000")
+      IndexCommit.purgeStaleScratch()
+      assert(Files.exists(legacy),
+        "a cold-rooted tree with a FRESH nested file is in use — spared")
+      Files.setLastModifiedTime(leaf, old)
+      IndexCommit.purgeStaleScratch()
+      assert(!Files.exists(legacy),
+        "once every file in the tree is cold, the orphan is reclaimed")
+    } finally {
+      System.clearProperty("graft.index.legacy.idle.ms")
+      IndexCommit.deleteTree(legacy)
+    }
+  }
+
   test("purgeAllScratchRoots sweeps the postings root too") {
     val proot = Paths.get(PostingsIndex.indexRoot)
     Files.createDirectories(proot)

@@ -1,0 +1,109 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q123, the MULTIMODAL curation capstone: the chained oracle gates the
+  * values; this spec pins what the oracle cannot see —
+  *  (a) the run serves THREE persisted indexes (text FpIndex, benchmark
+  *      BloomIndex, image ClusterIndex) and rebuilds none of them;
+  *  (b) the attachment semantics: `has_image` tracks the arrival rule,
+  *      every shipped attachment passed the image prune, and the image
+  *      stage is LOAD-BEARING IN COMPOSITION (docs the text-only chain
+  *      ships are dropped for their attachment alone);
+  *  (c) the s2i plan: the within-cell pair join still rides the image
+  *      index's cid bucketing with the %3 attachment filter pushed into
+  *      the bucketed scan — no exchange appears on either side.
+  */
+class MultimodalCurationSpec extends SparkSpec {
+
+  private val dir = sf0001
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("q123 serves all three persisted indexes; none rebuilt in-line") {
+    val fpName = FpIndex.ensure(spark, dir)
+    val blName = BloomIndex.ensure(spark, dir)
+    val imName = ClusterIndex.ensureImage(spark, dir)
+    def t(root: String, n: String) =
+      Files.getLastModifiedTime(Paths.get(root, n).resolve("_GRAFT_FP"))
+    val named = Seq(FpIndex.indexRoot -> fpName,
+      BloomIndex.indexRoot -> blName, ClusterIndex.indexRoot -> imName)
+    val m0 = named.map { case (r, n) => t(r, n) }
+    // simulate a fresh JVM: catalog entries gone, files on disk
+    named.foreach { case (_, n) => spark.sql(s"DROP TABLE IF EXISTS `$n`") }
+    assert(run("q123_multimodal_curation").collect().nonEmpty)
+    named.foreach { case (_, n) => assert(spark.catalog.tableExists(n),
+      s"q123 must re-register and serve the persisted $n") }
+    assert(named.map { case (r, n) => t(r, n) } == m0,
+      "a q123 run must never rebuild a persisted index in-line")
+  }
+
+  test("attachment semantics: arrival rule, prune respected, load-bearing") {
+    val out = run("q123_multimodal_curation")
+      .select("doc_id", "has_image").distinct().collect()
+    // has_image is exactly the arrival rule (every third doc)
+    out.foreach(r => assert(r.getBoolean(1) == (r.getLong(0) % 3 == 0),
+      s"doc ${r.getLong(0)}: has_image must track the arrival rule"))
+    // the prune verdicts, recomputed from the same persisted index the
+    // pipeline reads
+    val verd = Clustering.semdedupFrom(
+        spark.table(ClusterIndex.ensureImage(spark, dir))
+          .filter(col("vec_id") % 3 === 0))
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val shippedAttach = out.filter(_.getBoolean(1)).map(_.getLong(0))
+    assert(shippedAttach.nonEmpty, "some attachment docs must ship")
+    shippedAttach.foreach(id => assert(verd(id),
+      s"doc $id shipped although its attachment was pruned"))
+    assert(verd.values.exists(!_),
+      "the corpus must actually exercise the image prune")
+    // LOAD-BEARING IN COMPOSITION: a doc the text-only chain ships but
+    // whose attachment is an image near-dup must be dropped here —
+    // the image stage changes the final corpus, not just a column
+    val textOnly = run("q115_full_curation")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val mixed = out.map(_.getLong(0)).toSet
+    val droppedForImage = textOnly
+      .filter(id => id % 3 == 0 && !verd.getOrElse(id, true))
+    assert(droppedForImage.nonEmpty,
+      "corpus must contain text-surviving docs with duplicate attachments")
+    droppedForImage.foreach(id => assert(!mixed.contains(id),
+      s"doc $id has a pruned attachment and must not ship in q123"))
+  }
+
+  test("s2i plan: the %3-filtered pair join stays bucketed, exchange-free") {
+    val name = ClusterIndex.ensureImage(spark, dir)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // exactly the frame the s2i stage builds: the attachment filter
+      // must PUSH into the bucketed scan, not force an exchange
+      val plan = Clustering.semdedupFrom(
+          spark.table(name).filter(col("vec_id") % 3 === 0))
+        .queryExecution.executedPlan
+      def sideBucketedNoShuffle(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+          p.collect {
+            case f: FileSourceScanExec
+                if f.tableIdentifier.exists(_.table == name) => f
+          }.forall(_.bucketedScan)
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.exists(j =>
+          sideBucketedNoShuffle(j.left) && sideBucketedNoShuffle(j.right)),
+        s"no exchange-free bucketed pair join under the %3 filter:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+    }
+  }
+}
