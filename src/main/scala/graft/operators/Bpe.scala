@@ -183,14 +183,25 @@ object Bpe {
     * rule).
     */
   private[graft] def collectVocab(s: SparkSession, dir: String,
-      maxVocab: Option[Int] = None): Seq[(String, Long)] = {
-    val base = vocab(s, dir)
-    val capped = maxVocab match {
+      maxVocab: Option[Int] = None): Seq[(String, Long)] =
+    capVocab(vocab(s, dir), maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** The open-web memory bound: keep the top-`maxVocab` vocab rows by
+    * (cnt DESC, word ASC — binary string order, matching DuckDB's
+    * default varchar comparison). ONE rule shared by the whitespace
+    * path ([[collectVocab]] → q110's serving bound) and the trigram
+    * path (q124's oracle-gated cap-then-train), so the cap cannot
+    * drift between the surfaces. Spark plans this as
+    * TakeOrderedAndProject — per-partition top-N then an N-row merge,
+    * never a global sort.
+    */
+  private[graft] def capVocab(base: DataFrame,
+      maxVocab: Option[Int]): DataFrame =
+    maxVocab match {
       case Some(n) => base.orderBy(col("cnt").desc, col("word")).limit(n)
       case None => base
     }
-    capped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-  }
 
   /** The in-memory incremental merge loop over a weighted vocab. */
   private[graft] def trainInMemory(vocab0: Seq[(String, Long)],
@@ -280,7 +291,8 @@ object Bpe {
     * previously leaned on replace(w, NULL, NULL) nulling the column,
     * which happened to reconcile but was load-bearing by accident.)
     */
-  private def learnCteOver(wordsCte: String, depth: Int): String = {
+  private def learnCteOver(wordsCte: String, depth: Int,
+      cap: Option[Int] = None): String = {
     val iters = (1 to depth).map { i =>
       val j = i - 1
       s"""e$i AS (SELECT cnt, string_split(w, '  ') AS s,
@@ -294,10 +306,21 @@ object Bpe {
          |          ' ' || coalesce((SELECT a FROM t$i), '') || '  ' || coalesce((SELECT b FROM t$i), '') || ' ',
          |          ' ' || coalesce((SELECT m FROM t$i), '') || ' ')) AS w, cnt FROM v$j)""".stripMargin
     }.mkString(",\n")
+    // with a cap, v0 is the top-N vocabulary by (cnt DESC, word) —
+    // capVocab's exact rule — symbolized AFTER the cut
+    val v0 = cap match {
+      case Some(n) =>
+        s"""v0 AS (SELECT rtrim(regexp_replace(word, '(?s)(.)', '\\1  ', 'g')) AS w, cnt
+           |       FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           |             FROM words WHERE word <> '' GROUP BY 1
+           |             ORDER BY cnt DESC, word LIMIT $n) capped)""".stripMargin
+      case None =>
+        s"""v0 AS (SELECT rtrim(regexp_replace(word, '(?s)(.)', '\\1  ', 'g')) AS w,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |       FROM words WHERE word <> '' GROUP BY 1)""".stripMargin
+    }
     s"""WITH $wordsCte,
-       |v0 AS (SELECT rtrim(regexp_replace(word, '(?s)(.)', '\\1  ', 'g')) AS w,
-       |         CAST(count(*) AS BIGINT) AS cnt
-       |       FROM words WHERE word <> '' GROUP BY 1),
+       |$v0,
        |$iters""".stripMargin
   }
 
@@ -336,6 +359,14 @@ object Bpe {
     * Shared by q122 and [[graft.tools.BpeDeepBench]].
     */
   private[graft] def triVocab(s: SparkSession, dir: String): Seq[(String, Long)] =
+    triVocabDf(s, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** The trigram vocabulary as a frame — q122 collects it whole,
+    * q124 caps it first ([[capVocab]]) so the collect is bounded by
+    * the CAP, not the corpus vocabulary.
+    */
+  private def triVocabDf(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .filter(trim(col("text")) =!= "")
       .select(split(lower(trim(col("text"))), Ws.Plus).as("ws"))
@@ -345,7 +376,12 @@ object Bpe {
           "i -> concat_ws('_', ws[i-1], ws[i], ws[i+1]))")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** q124's cap — far below the trigram vocabulary size at every test
+    * scale factor, so cap-then-train diverges visibly from the uncapped
+    * q122 chain and the hash genuinely gates the top-N rule.
+    */
+  private[graft] val CapVocab = 500
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -441,6 +477,38 @@ object Bpe {
           .orderBy("step")
       },
       Some(learnCteOver(TriWordsCte, DeepMerges) + "\n" +
+        (1 to DeepMerges).map(i =>
+          s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, n AS pair_count FROM t$i")
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY step"))),
+
+    /* CAP-then-train at production depth — the open-web memory bound
+     * ([[capVocab]]: top-[[CapVocab]] vocab rows by (cnt DESC, word),
+     * the bound that keeps [[collectVocab]]'s driver collect finite on
+     * an unbounded vocabulary) finally under its own oracle: q122
+     * gates the UNCAPPED chain, so the cap rule — the exact top-N
+     * boundary, its (cnt, word) tie order, and training over only the
+     * survivors — was spec-covered but never hash-checked against an
+     * independent engine. The oracle is q122's generator with v0 cut
+     * to the same ORDER BY cnt DESC, word LIMIT N before
+     * symbolization; the 100-step chain then diverges from q122's
+     * within a few merges (the cap removes tail units that carried
+     * distinct pairs), so a cap off-by-one or a tie-order drift flips
+     * the hash. Scale shape: the cap makes the driver collect
+     * O(CapVocab) instead of O(vocabulary) — Spark plans the cut as
+     * TakeOrderedAndProject (per-partition top-N + N-row merge).
+     */
+    QueryDef(
+      "q124_bpe_train_capped",
+      (s, dir) => {
+        val capped = capVocab(triVocabDf(s, dir), Some(CapVocab))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val steps = trainInMemory(capped, DeepMerges)
+        s.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(steps).asJava), MergeSchema)
+          .orderBy("step")
+      },
+      Some(learnCteOver(TriWordsCte, DeepMerges, Some(CapVocab)) + "\n" +
         (1 to DeepMerges).map(i =>
           s"SELECT $i AS step, a AS left_sym, b AS right_sym, m AS merged, n AS pair_count FROM t$i")
           .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY step")))

@@ -237,6 +237,22 @@ object ScaleBench {
   // at the pair level). Result keys carry a _skew suffix.
   private val skwQueries =
     Seq("q36_minhash_lsh", "q39_dedup_clusters", "q56_dedup_apply")
+  // zipf mode: the suffix-replica corpus with a corpus-wide HOT TERM —
+  // " hash hash" appended to every doc. 'hash' is q91's query-1 term,
+  // so its postings list (and its term bucket in the PostingsIndex) is
+  // O(corpus)-hot at every factor: the probe's work is Ω(df(term)) BY
+  // CONSTRUCTION here, so the adjudicated band for this family is
+  // AT-OR-BELOW linear (no blowup past the forced output), not the
+  // sublinear band uniform corpora earn — what the curve must rule out
+  // is a probe that rescans the vocabulary or the whole corpus per
+  // query. The doubled token also makes "hash hash" a corpus-wide hot
+  // BIGRAM (≈1-2% of all bigrams at any factor), which q96's
+  // Misra-Gries sketch must surface and exactly recount — the
+  // skew-seeking sketch proven on data where one key IS the skew.
+  // HotTermSpec pins the bound at the plan level (bucket-pruned scan,
+  // candidate set ≤ MG capacity). Result keys carry the _skew suffix.
+  private val zpfQueries =
+    Seq("q91_bm25_indexed", "q92_postings_maintenance", "q96_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -296,6 +312,14 @@ object ScaleBench {
           when(col("doc_id") % 2 === 0,
             concat(lit(boiler), lit(" "), col("text")))
             .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+
+    // replica k of the ZIPF corpus: the suffix replica plus the
+    // corpus-wide hot term (doubled: a hot postings list for q91/q92
+    // AND a hot bigram for q96) on every doc
+    def zpfReplica(k: Int): DataFrame =
+      sufReplica(k)
+        .withColumn("text", concat(col("text"), lit(" hash hash")))
         .withColumn("n_chars", length(col("text")).cast("long"))
 
     def evtReplica(k: Int): DataFrame =
@@ -388,11 +412,12 @@ object ScaleBench {
         lit("en").as("lang"), lit("chain").as("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
 
-    def gen(n: Int): (String, String, String, String) = {
+    def gen(n: Int): (String, String, String, String, String) = {
       val rotDir = s"$workDir/x$n-rot"
       val sufDir = s"$workDir/x$n-suf"
       val chnDir = s"$workDir/x$n-chn"
       val skwDir = s"$workDir/x$n-skw"
+      val zpfDir = s"$workDir/x$n-zpf"
       writeIfAbsent((0 until n).map(rotReplica).reduce(_ unionByName _),
         s"$rotDir/documents.parquet")
       writeIfAbsent((0 until n).map(evtReplica).reduce(_ unionByName _),
@@ -415,7 +440,9 @@ object ScaleBench {
       writeIfAbsent(chnDocs(n), s"$chnDir/documents.parquet")
       writeIfAbsent((0 until n).map(skwReplica).reduce(_ unionByName _),
         s"$skwDir/documents.parquet")
-      (rotDir, sufDir, chnDir, skwDir)
+      writeIfAbsent((0 until n).map(zpfReplica).reduce(_ unionByName _),
+        s"$zpfDir/documents.parquet")
+      (rotDir, sufDir, chnDir, skwDir, zpfDir)
     }
 
     // one untimed warm-up then SPARK_GRAFT_SCALE_REPEATS (default 3)
@@ -450,7 +477,7 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     factors.foreach { n =>
-      val (rotDir, sufDir, chnDir, skwDir) = gen(n)
+      val (rotDir, sufDir, chnDir, skwDir, zpfDir) = gen(n)
       (rotQueries.map(q => (q, q, rotDir)) ++
         evtQueries.map(q => (q, q, rotDir)) ++
         prtQueries.map(q => (q, q, rotDir)) ++
@@ -481,18 +508,56 @@ object ScaleBench {
         // one mapPartitions PPM decode + 24-bin histogram per doc
         Seq(("q121_image_features", "__imgfeat__", rotDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)) ++
-        skwQueries.map(q => (s"${q}_skew", q, skwDir)))
+        skwQueries.map(q => (s"${q}_skew", q, skwDir)) ++
+        zpfQueries.map(q => (s"${q}_skew", q, zpfDir)) ++
+        // q115 in LAKE MODE: the stage-snapshot write overhead (every
+        // run starts from a cleared stage root — in-engine cost + 7
+        // parquet snapshot writes) and the RESUME discount (every
+        // stage served from its snapshot). Together they quantify what
+        // the restartability costs per factor and what a rerun saves.
+        Seq(("q115_lake_write", "__lakewrite__", rotDir),
+          ("q115_lake_resume", "__lakeresume__", rotDir)))
         .filter { case (key, _, _) => only.forall(_.contains(key)) }
         .foreach { case (key, q, d) =>
-          val fn: (SparkSession, String) => DataFrame =
-            if (q == "__knob__")
-              (sp, dd) => graft.operators.Clustering.semdedupKnob(sp, dd, 8 * n)
-            else if (q == "__annknob__")
-              (sp, dd) => graft.operators.Clustering.annIndexedKnob(sp, dd, 8 * n)
-            else if (q == "__imgfeat__")
-              (sp, dd) => graft.operators.Clustering.imageFeatures(sp, dd)
-            else SparkEntry.queries(q)
-          val s = time(fn, d)
+          // the lake-mode pair needs per-run stage-root control the
+          // generic harness has no seam for: WRITE times a run whose
+          // stage root is cleared before every execution (in-engine
+          // cost + the snapshot writes), RESUME times a run whose
+          // snapshots are all fresh (every stage served from parquet)
+          def timeLake(resume: Boolean): Double = {
+            val stage = s"$workDir/x$n-lakestage"
+            System.setProperty("graft.stage.dir", stage)
+            try {
+              val fn = SparkEntry.queries("q115_full_curation")
+              def once(clear: Boolean): Double = {
+                if (clear) graft.core.Lake.deleteTree(stage)
+                spark.catalog.clearCache()
+                System.gc()
+                val t0 = System.nanoTime()
+                try { materialize(fn(spark, d)); (System.nanoTime() - t0) / 1e9 }
+                catch { case _: Throwable => -1.0 }
+              }
+              once(clear = true) // warm-up; leaves fresh snapshots
+              val t = (1 to repeats).map(_ => once(clear = !resume))
+              if (t.contains(-1.0)) -1.0
+              else if (useMin) t.min
+              else t.sorted.apply(t.size / 2)
+            } finally System.clearProperty("graft.stage.dir")
+          }
+          val s =
+            if (q == "__lakewrite__") timeLake(resume = false)
+            else if (q == "__lakeresume__") timeLake(resume = true)
+            else {
+              val fn: (SparkSession, String) => DataFrame =
+                if (q == "__knob__")
+                  (sp, dd) => graft.operators.Clustering.semdedupKnob(sp, dd, 8 * n)
+                else if (q == "__annknob__")
+                  (sp, dd) => graft.operators.Clustering.annIndexedKnob(sp, dd, 8 * n)
+                else if (q == "__imgfeat__")
+                  (sp, dd) => graft.operators.Clustering.imageFeatures(sp, dd)
+                else SparkEntry.queries(q)
+              time(fn, d)
+            }
           results(key) = results.getOrElse(key, Seq.empty) :+ s
           println(f"[scale] x$n%-2d $key%-28s $s%8.2f s")
         }
