@@ -220,6 +220,26 @@ object ClusterIndex {
       .join(asg, "vec_id")
   }
 
+  /** (vec_id, cid, v, nrm) of a (vec_id, hist) IMAGE-feature batch
+    * under FROZEN centroids — [[assignBatch]] at the multimodal layer.
+    * Histogram counts are exact integers, so they are the Lloyd
+    * coordinates directly — no micro-unit quantization step
+    * ([[Clustering.imageArtifacts]]'s rule, shared verbatim by the
+    * q125 maintenance loop and [[graft.streaming.ImageDedupSink]] so
+    * batch and stream cannot drift).
+    */
+  private[graft] def assignImageBatch(batch: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qv = batch.select(col("vec_id"),
+      transform(col("hist"), x => x.cast("long")).as("qv"))
+    val asg = Clustering.assign(qv, centroids).select("vec_id", "cid")
+    batch.select(col("vec_id"),
+        transform(col("hist"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .join(asg, "vec_id")
+  }
+
   /** Verdicts (vec_id, cid, dup_of, kept) of an assigned batch frame
     * `b` (vec_id, cid, v, nrm) against the index — the probe half of
     * continuous-ingest SemDeDup, shared VERBATIM by the streaming sink

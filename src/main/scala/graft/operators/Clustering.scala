@@ -138,14 +138,38 @@ object Clustering {
     * channel histogram ([[graft.functions.MediaCodecs.PpmCodec
     * .decodeHistogram]]) in one mapPartitions pass — (vec_id, hist).
     */
-  private[graft] def imageFeatures(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def imageFeatures(s: SparkSession, dir: String): DataFrame =
+    imageFeaturesOf(s,
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** [[imageFeatures]] over an arbitrary (doc_id, text) frame — the
+    * minting+decode composed (q121's index build, q125's maintenance
+    * slices). One mapPartitions pass, codec init amortized.
+    */
+  private[graft] def imageFeaturesOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    docs.as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           (id, graft.functions.MediaCodecs.PpmCodec.decodeHistogram(
             graft.functions.MediaCodecs.PpmCodec.encode(text)))
+        }
+      }.toDF("vec_id", "hist")
+  }
+
+  /** Histogram features of RAW PPM payloads — what an image INGEST
+    * stream carries ((vec_id, image bytes), no text to mint from).
+    * Same decoder, so a payload equal to a minted doc's payload gets
+    * the identical feature row ([[graft.streaming.ImageDedupSink]]).
+    */
+  private[graft] def imageHistogramsOf(s: SparkSession,
+      payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, graft.functions.MediaCodecs.PpmCodec.decodeHistogram(bytes))
         }
       }.toDF("vec_id", "hist")
   }
@@ -374,6 +398,55 @@ object Clustering {
     */
   private val LloydCtes =
     ECte + ",\n" + lloydIterCtes("e") + ",\n" + afCte()
+
+  /** The maintenance-loop probe tail (q116's oracle from `ev` down,
+    * dims-parameterized): admitted-history keep-first over two ingest
+    * batches — batch 1 probes history ∪ earlier-in-batch, batch 2
+    * probes history ∪ batch-2-earlier ∪ batch-1 ADMITTED only. ONE
+    * text for q116 (embeddings, dims=64) and q125 (image features,
+    * dims=24), so the admission semantics cannot drift between the
+    * modalities. Requires `bk` (vec_id → ingest bucket) and `af`
+    * (frozen-cell assignment) in scope.
+    */
+  private def maintTailCtes(dims: Int, evCte: String): String = {
+    val cos = s"list_sum(list_transform(generate_series(1, $dims), " +
+      "i -> b.v[i]*p.v[i])) / (b.nrm*p.nrm)"
+    s"""$evCte,
+       |nv AS (SELECT vec_id, v,
+       |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
+       |ab AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm, bk.bucket
+       |       FROM af JOIN nv USING (vec_id) JOIN bk USING (vec_id)),
+       |pr1 AS (SELECT b.vec_id, p.vec_id AS pid
+       |        FROM ab b JOIN ab p ON p.cid = b.cid
+       |          AND (p.bucket < 200
+       |               OR (p.bucket >= 200 AND p.bucket < 230 AND p.vec_id < b.vec_id))
+       |        WHERE b.bucket >= 200 AND b.bucket < 230 AND $cos >= 0.3),
+       |d1 AS (SELECT vec_id, min(pid) AS dup_of FROM pr1 GROUP BY 1),
+       |p1 AS (SELECT 1 AS batch_no, b.vec_id, b.cid, d1.dup_of,
+       |         d1.dup_of IS NULL AS kept
+       |       FROM ab b LEFT JOIN d1 ON d1.vec_id = b.vec_id
+       |       WHERE b.bucket >= 200 AND b.bucket < 230),
+       |k1 AS (SELECT vec_id FROM p1 WHERE kept),
+       |pr2 AS (SELECT b.vec_id, p.vec_id AS pid
+       |        FROM ab b JOIN ab p ON p.cid = b.cid
+       |          AND (p.bucket < 200
+       |               OR (p.bucket >= 230 AND p.vec_id < b.vec_id))
+       |        WHERE b.bucket >= 230 AND $cos >= 0.3
+       |        UNION ALL
+       |        SELECT b.vec_id, p.vec_id
+       |        FROM ab b JOIN ab p ON p.cid = b.cid
+       |          JOIN k1 ON k1.vec_id = p.vec_id
+       |        WHERE b.bucket >= 230 AND $cos >= 0.3),
+       |d2 AS (SELECT vec_id, min(pid) AS dup_of FROM pr2 GROUP BY 1),
+       |p2 AS (SELECT 2 AS batch_no, b.vec_id, b.cid, d2.dup_of,
+       |         d2.dup_of IS NULL AS kept
+       |       FROM ab b LEFT JOIN d2 ON d2.vec_id = b.vec_id
+       |       WHERE b.bucket >= 230)
+       |SELECT batch_no, vec_id, cid, dup_of, kept FROM p1
+       |UNION ALL
+       |SELECT batch_no, vec_id, cid, dup_of, kept FROM p2
+       |ORDER BY batch_no, vec_id""".stripMargin
+  }
 
   /** q104/q113's shared oracle: Lloyd unrolled + within-cell prune. */
   private def pruneTail(evCte: String, dims: Int): String =
@@ -659,53 +732,16 @@ object Clustering {
           .select("batch_no", "vec_id", "cid", "dup_of", "kept")
           .orderBy("batch_no", "vec_id")
       },
-      {
-        val cos = "list_sum(list_transform(generate_series(1, 64), " +
-          "i -> b.v[i]*p.v[i])) / (b.nrm*p.nrm)"
-        Some(ECte + ",\n" +
-          """bk AS (SELECT vec_id,
-            |         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS INT) AS bucket
-            |       FROM embeddings),
-            |eh AS (SELECT e.vec_id, e.qv FROM e JOIN bk USING (vec_id)
-            |       WHERE bk.bucket < 200),
-            |""".stripMargin +
-          lloydIterCtes("eh") + ",\n" + afCte() + ",\n" +
-          s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |nv AS (SELECT vec_id, v,
-             |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
-             |ab AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm, bk.bucket
-             |       FROM af JOIN nv USING (vec_id) JOIN bk USING (vec_id)),
-             |pr1 AS (SELECT b.vec_id, p.vec_id AS pid
-             |        FROM ab b JOIN ab p ON p.cid = b.cid
-             |          AND (p.bucket < 200
-             |               OR (p.bucket >= 200 AND p.bucket < 230 AND p.vec_id < b.vec_id))
-             |        WHERE b.bucket >= 200 AND b.bucket < 230 AND $cos >= 0.3),
-             |d1 AS (SELECT vec_id, min(pid) AS dup_of FROM pr1 GROUP BY 1),
-             |p1 AS (SELECT 1 AS batch_no, b.vec_id, b.cid, d1.dup_of,
-             |         d1.dup_of IS NULL AS kept
-             |       FROM ab b LEFT JOIN d1 ON d1.vec_id = b.vec_id
-             |       WHERE b.bucket >= 200 AND b.bucket < 230),
-             |k1 AS (SELECT vec_id FROM p1 WHERE kept),
-             |pr2 AS (SELECT b.vec_id, p.vec_id AS pid
-             |        FROM ab b JOIN ab p ON p.cid = b.cid
-             |          AND (p.bucket < 200
-             |               OR (p.bucket >= 230 AND p.vec_id < b.vec_id))
-             |        WHERE b.bucket >= 230 AND $cos >= 0.3
-             |        UNION ALL
-             |        SELECT b.vec_id, p.vec_id
-             |        FROM ab b JOIN ab p ON p.cid = b.cid
-             |          JOIN k1 ON k1.vec_id = p.vec_id
-             |        WHERE b.bucket >= 230 AND $cos >= 0.3),
-             |d2 AS (SELECT vec_id, min(pid) AS dup_of FROM pr2 GROUP BY 1),
-             |p2 AS (SELECT 2 AS batch_no, b.vec_id, b.cid, d2.dup_of,
-             |         d2.dup_of IS NULL AS kept
-             |       FROM ab b LEFT JOIN d2 ON d2.vec_id = b.vec_id
-             |       WHERE b.bucket >= 230)
-             |SELECT batch_no, vec_id, cid, dup_of, kept FROM p1
-             |UNION ALL
-             |SELECT batch_no, vec_id, cid, dup_of, kept FROM p2
-             |ORDER BY batch_no, vec_id""".stripMargin)
-      }),
+      Some(ECte + ",\n" +
+        """bk AS (SELECT vec_id,
+          |         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+          |       FROM embeddings),
+          |eh AS (SELECT e.vec_id, e.qv FROM e JOIN bk USING (vec_id)
+          |       WHERE bk.bucket < 200),
+          |""".stripMargin +
+        lloydIterCtes("eh") + ",\n" + afCte() + ",\n" +
+        maintTailCtes(64,
+          "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"))),
 
     /* ANN top-k SERVED from the persisted cluster index — the
      * similarity family's q113: q42 proved the IVF probe shape
@@ -800,6 +836,85 @@ object Clustering {
         lloydIterCtes("smp", 24) + ",\n" + afCte(24) +
         pruneTail(
           "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)",
-          24)))
+          24))),
+
+    /* IMAGE-cluster-index MAINTENANCE loop — q116's proof structure at
+     * the multimodal layer, certifying the path
+     * [[graft.streaming.ImageDedupSink]] runs per micro-batch: freeze
+     * cells learned on the HISTORY slice's decoded histograms (Lloyd
+     * over exact integer features — no quantization step), build the
+     * bucketed image assignment index over history, probe ingest
+     * batch 1 for within-cell duplicates (admitted-history leg +
+     * within-batch keep-first), append ONLY the admitted rows, probe
+     * batch 2 — whose history now includes batch 1's representatives.
+     * The assignment and probe halves are [[ClusterIndex
+     * .assignImageBatch]] / [[ClusterIndex.probeVerdicts]], the exact
+     * functions the streaming sink calls, so certifying this loop
+     * certifies the sink (the q116 ≡ ClusterIndexSink discipline).
+     * The oracle re-derives the histograms from the characters
+     * ([[Multimodal.ImageFeatureCtes]]), learns cells through the
+     * SAME unrolled Lloyd generator at dims=24, and replays both
+     * probes through the SAME admitted-history tail text as q116
+     * ([[maintTailCtes]] — the admission semantics cannot drift
+     * between the embedding and image modalities). The decode pass is
+     * paid ONCE (eager pin) and reused by the cell learning, the
+     * index build, and both batch probes.
+     */
+    QueryDef(
+      "q125_image_cluster_maintenance",
+      (s, dir) => {
+        val name = ClusterIndex.tableNameForImage(dir) + "_maint_" +
+          ProcessHandle.current().pid()
+        val path = java.nio.file.Paths.get(ClusterIndex.indexRoot, name)
+        IndexCommit.purgeAllScratchRoots()
+        val feats = imageFeaturesOf(s,
+            Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+          .withColumn("bucket",
+            conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+              .cast("int"))
+          .localCheckpoint(true)
+        def slice(lo: Int, hi: Int) =
+          feats.filter(col("bucket") >= lo && col("bucket") < hi)
+            .select("vec_id", "hist")
+        val hist = slice(0, 200)
+        val cents = lloydCentroids(
+          hist.select(col("vec_id"),
+            transform(col("hist"), x => x.cast("long")).as("qv")),
+          K, Iters)
+        ClusterIndex.buildIndexFrame(s,
+          ClusterIndex.assignImageBatch(hist, cents), name, path)
+        val b1 = ClusterIndex.assignImageBatch(slice(200, 230), cents)
+          .localCheckpoint(true)
+        val p1 = ClusterIndex.probeVerdicts(s, name, b1,
+            excludeBatchFromHistory = true)
+          .withColumn("batch_no", lit(1))
+          .localCheckpoint(true)
+        ClusterIndex.append(s, name,
+          b1.join(p1.filter(col("kept")).select("vec_id"), "vec_id"))
+        b1.unpersist()
+        val p2 = ClusterIndex.probeVerdicts(s, name,
+            ClusterIndex.assignImageBatch(slice(230, 256), cents),
+            excludeBatchFromHistory = true)
+          .withColumn("batch_no", lit(2))
+        // pin the small verdict result eagerly, then release the
+        // corpus-sized decoded-feature frame (the q118 discipline)
+        val out = p1.unionByName(p2)
+          .select("batch_no", "vec_id", "cid", "dup_of", "kept")
+          .orderBy("batch_no", "vec_id")
+          .localCheckpoint(true)
+        feats.unpersist(); p1.unpersist()
+        out
+      },
+      Some("WITH " + Multimodal.ImageFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM f),\n" +
+        """bk AS (SELECT doc_id AS vec_id,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+          |       FROM documents),
+          |eh AS (SELECT e.vec_id, e.qv FROM e JOIN bk USING (vec_id)
+          |       WHERE bk.bucket < 200),
+          |""".stripMargin +
+        lloydIterCtes("eh", 24) + ",\n" + afCte(24) + ",\n" +
+        maintTailCtes(24,
+          "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)")))
   )
 }
