@@ -79,6 +79,35 @@ class MultimodalCurationSpec extends SparkSpec {
       s"doc $id has a pruned attachment and must not ship in q123"))
   }
 
+  test("q123 lake mode: m-prefixed snapshots, byte-identical, resumable") {
+    val baseline = run("q123_multimodal_curation").collect().toSeq
+    val stageRoot = Files.createTempDirectory("graft-q123-stages").toString
+    System.setProperty("graft.stage.dir", stageRoot)
+    try {
+      val first = run("q123_multimodal_curation").collect().toSeq
+      assert(first == baseline,
+        "lake-mode q123 must be byte-identical to the in-engine mode")
+      // the image stage has its own snapshot, under the m-prefixed
+      // names that keep the two capstones' stage trees disjoint
+      val stages = Seq("ms0m", "ms1", "ms2", "ms2i", "ms3", "ms4", "ms5")
+      stages.foreach(st => assert(
+        Files.exists(Paths.get(stageRoot, st, "_GRAFT_DONE")),
+        s"stage $st must publish a snapshot"))
+      assert(!Files.exists(Paths.get(stageRoot, "s2")),
+        "q115's un-prefixed stage names must not be touched by q123")
+      def mtime(st: String) = Files.getLastModifiedTime(
+        Paths.get(stageRoot, st, "_GRAFT_DONE"))
+      val m1 = stages.map(mtime)
+      val resumed = run("q123_multimodal_curation").collect().toSeq
+      assert(resumed == baseline)
+      assert(stages.map(mtime) == m1,
+        "a fully-resumed q123 run must not rewrite any snapshot")
+    } finally {
+      System.clearProperty("graft.stage.dir")
+      IndexCommit.deleteTree(Paths.get(stageRoot))
+    }
+  }
+
   test("s2i plan: the %3-filtered pair join stays bucketed, exchange-free") {
     val name = ClusterIndex.ensureImage(spark, dir)
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
