@@ -5,6 +5,8 @@ import java.nio.file.Paths
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
 import graft.SparkSpec
 import graft.functions.MediaCodecs.PpmCodec
 import graft.operators.{ClusterIndex, Clustering}
@@ -96,6 +98,39 @@ class ImageDedupSinkSpec extends SparkSpec {
       assert(!ImageDedupSink.applyBatch(
         payloadSlice(200, 230), 0L, name, cents, out))
       assert(streamed(out) == want)
+    } finally {
+      cents.unpersist()
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      graft.core.Lake.deleteTree(s"${ClusterIndex.indexRoot}/$name")
+      graft.core.Lake.deleteTree(out)
+    }
+  }
+
+  test("engine restart from checkpoint continues the version chain") {
+    val name = "graft_cluster_img_idsrestart_" + ProcessHandle.current().pid()
+    val out = tmp("graft-imgdedup-restart")
+    val ckpt = tmp("graft-imgdedup-ckpt")
+    val cents = seed(name)
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Byte])]
+    def start() = ImageDedupSink.attach(
+      stream.toDF().toDF("vec_id", "image"), name, cents, out, ckpt)
+    def rows(lo: Int, hi: Int) = payloadSlice(lo, hi).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    try {
+      val q1 = start()
+      try {
+        stream.addData(rows(200, 230): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        stream.addData(rows(230, 256): _*)
+        q2.processAllAvailable()
+        assert(ImageDedupSink.latestVersion(out).exists(_ >= 1L))
+      } finally q2.stop()
+      assert(streamed(out) == q125().sortBy(t => (t._1, t._2)),
+        "the restarted stream's verdicts must equal q125's loop")
     } finally {
       cents.unpersist()
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
