@@ -32,6 +32,20 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   *    publish for a table format's atomic snapshot commit; the marker
   *    discipline here is the same contract expressed with files.
   *
+  * Root addressing: the estate's roots (SPARK_GRAFT_INDEX_DIR, the
+  * postings root, SPARK_GRAFT_STAGE_DIR, sink out-dirs) are composed
+  * into artifact paths as SCHEMELESS default-filesystem paths (the
+  * intermediate `java.nio.Path` values are opaque joiners, never used
+  * for I/O). Pointing the estate at HDFS or an object store is a
+  * deployment setting — `fs.defaultFS` in the Hadoop configuration —
+  * not a per-path URI: an explicitly-schemed root ("hdfs://nn/x",
+  * "s3a://bucket/x") would be mangled by the join ("//" collapses)
+  * and is rejected territory until the composition switches to plain
+  * string join (mechanical — every I/O call here is already
+  * string-typed). The scratch JANITOR's roots are host-local by
+  * contract (its liveness test is a local ProcessHandle check) and
+  * stay on java.io deliberately.
+  *
   * Checksum note: Hadoop's local filesystem is checksummed by default
   * (every write grows a `.crc` sibling); markers and pointers are tiny
   * control files whose integrity the content check itself covers, so
