@@ -153,6 +153,44 @@ object Retrieval {
       .orderBy("q_id", "rank")
   }
 
+  /** q90's lexical leg: top-20 docs per query by (bm25_micro DESC,
+    * doc_id) over a (q_id, doc_id, n_hit, bm25_micro) scores frame —
+    * shared by q90 (full-corpus scores) and the hybrid query-stream
+    * sink (indexed probe scores; q88 ≡ q91 under one oracle makes the
+    * two legs value-identical), so the rank rule cannot drift.
+    */
+  private[graft] def lexRanks(scores: DataFrame, n: Int = 20): DataFrame = {
+    val wL = Window.partitionBy("q_id")
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    scores
+      .withColumn("lex_rank", row_number().over(wL))
+      .filter(col("lex_rank") <= n)
+      .select("q_id", "doc_id", "lex_rank")
+  }
+
+  /** q90's reciprocal-rank fusion: full-outer join of the two legs'
+    * (q_id, doc_id, rank) frames, rrf_micro = Σ round(1e9/(60+rank))
+    * over the present legs (integer micro-units — order-independent
+    * cross-engine exact), top-10 by (rrf_micro DESC, doc_id). ONE
+    * function for q90 and [[graft.streaming.HybridServeSink]] — the
+    * fusion rule is oracle-gated through q90 and cannot drift between
+    * batch and stream.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val rrf = coalesce(round(lit(1e9) / (lit(60) + col("lex_rank")))
+        .cast("long"), lit(0L)) +
+      coalesce(round(lit(1e9) / (lit(60) + col("sem_rank")))
+        .cast("long"), lit(0L))
+    val wF = Window.partitionBy("q_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", rrf)
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "doc_id", "lex_rank", "sem_rank", "rrf_micro")
+      .orderBy("q_id", "rank")
+  }
+
   /** Shared by q88 (scores computed from raw text) and q91 (scores from
     * the persisted postings index): the index is a materialization, not
     * a semantics change, so both run under ONE oracle — the q78 gate.
@@ -280,12 +318,7 @@ object Retrieval {
     QueryDef(
       "q90_hybrid_rrf",
       (s, dir) => {
-        val wL = Window.partitionBy("q_id")
-          .orderBy(col("bm25_micro").desc, col("doc_id"))
-        val lex = bm25Scores(s, dir)
-          .withColumn("lex_rank", row_number().over(wL))
-          .filter(col("lex_rank") <= 20)
-          .select("q_id", "doc_id", "lex_rank")
+        val lex = lexRanks(bm25Scores(s, dir))
         val e = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -304,18 +337,7 @@ object Retrieval {
           .withColumn("sem_rank", row_number().over(wS))
           .filter(col("sem_rank") <= 20)
           .select("q_id", "doc_id", "sem_rank")
-        val rrf = coalesce(round(lit(1e9) / (lit(60) + col("lex_rank")))
-            .cast("long"), lit(0L)) +
-          coalesce(round(lit(1e9) / (lit(60) + col("sem_rank")))
-            .cast("long"), lit(0L))
-        val wF = Window.partitionBy("q_id")
-          .orderBy(col("rrf_micro").desc, col("doc_id"))
-        lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
-          .withColumn("rrf_micro", rrf)
-          .withColumn("rank", row_number().over(wF))
-          .filter(col("rank") <= 10)
-          .select("q_id", "rank", "doc_id", "lex_rank", "sem_rank", "rrf_micro")
-          .orderBy("q_id", "rank")
+        rrfFuse(lex, sem)
       },
       Some(s"""WITH $Bm25Cte,
              |lex AS (
