@@ -210,6 +210,20 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            incremental loop through 100 merges over the trigram
   *            units, hash-gated by a 100-step MATERIALIZED unrolled
   *            CTE chain from the same generator as q109/q110
+  *   q123     the MIXED text+image curation capstone: q115's chain
+  *            verbatim plus stage s2i, attachment-level image
+  *            SemDeDup served from the persisted image ClusterIndex
+  *   q124     BPE vocabulary-cap path at production depth: capVocab's
+  *            top-N cut hash-gated by its own 100-step materialized
+  *            chain
+  *   q125     image-cluster-index maintenance loop (q116's proof
+  *            structure at the multimodal layer; certifies
+  *            ImageDedupSink's per-micro-batch path)
+  *   q126     audio SemDeDup SERVED from the persisted audio
+  *            ClusterIndex: q52's REAL WAV decode folded to an
+  *            order-sensitive 8-frame energy envelope → q114's
+  *            sample-trained cells → q104/q113's within-cell prune,
+  *            exchange-free (the third modality in the matrix)
   */
 object SparkEntry {
 

@@ -197,11 +197,13 @@ object MediaCodecs {
       bb.array()
     }
 
-    /** RIFF chunk walker: validates RIFF/WAVE, reads `fmt ` (PCM, mono,
-      * 16-bit enforced), skips unknown chunks by their declared size
-      * (word-aligned), then folds the `data` chunk's samples.
+    /** RIFF chunk walker shared by [[decode]] and [[decodeEnvelope]]:
+      * validates RIFF/WAVE, reads `fmt ` (PCM, mono, 16-bit enforced),
+      * skips unknown chunks by their declared size (word-aligned),
+      * then hands the positioned `data` chunk to `f(rate, bb, n)`.
       */
-    def decode(bytes: Array[Byte]): WavAudio = {
+    private def withData[T](bytes: Array[Byte])(
+        f: (Int, java.nio.ByteBuffer, Int) => T): T = {
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(s"WAV: $msg")
       if (bytes.length < 12) fail("truncated RIFF header")
@@ -238,21 +240,46 @@ object MediaCodecs {
           case "data" =>
             if (!haveFmt) fail("data chunk before fmt")
             if (size % 2 != 0) fail("odd data size for 16-bit samples")
-            val n = size / 2
-            var (sum, mx) = (0L, Int.MinValue)
-            var i = 0
-            while (i < n) {
-              val s: Int = bb.getShort.toInt
-              sum += math.abs(s.toLong)
-              if (s > mx) mx = s
-              i += 1
-            }
-            return WavAudio(rate, n, sum, if (n == 0) 0 else mx)
+            return f(rate, bb, size / 2)
           case _ =>
             bb.position(bb.position() + size + (size & 1)) // skip, word-aligned
         }
       }
       fail("no data chunk")
     }
+
+    /** Strict parse + exact integer sample stats (q52's decoder). */
+    def decode(bytes: Array[Byte]): WavAudio = withData(bytes) { (rate, bb, n) =>
+      var (sum, mx) = (0L, Int.MinValue)
+      var i = 0
+      while (i < n) {
+        val s: Int = bb.getShort.toInt
+        sum += math.abs(s.toLong)
+        if (s > mx) mx = s
+        i += 1
+      }
+      WavAudio(rate, n, sum, if (n == 0) 0 else mx)
+    }
+
+    /** Per-frame |sample| energy envelope: the PCM stream split into
+      * `frames` equal spans (sample j of n lands in frame j*frames/n)
+      * and |sample| summed per span. Unlike q119's position-blind
+      * channel histograms this is an order-SENSITIVE temporal feature
+      * — reversing the audio reverses the envelope — which is what
+      * makes it a usable dedup fingerprint for the SemDeDup
+      * composition at the audio layer (q126). Same strict chunk
+      * walker as [[decode]].
+      */
+    def decodeEnvelope(bytes: Array[Byte], frames: Int = 8): Array[Long] =
+      withData(bytes) { (_, bb, n) =>
+        val env = new Array[Long](frames)
+        var j = 0
+        while (j < n) {
+          val s: Int = bb.getShort.toInt
+          env(((j.toLong * frames) / math.max(n, 1)).toInt) += math.abs(s.toLong)
+          j += 1
+        }
+        env
+      }
   }
 }

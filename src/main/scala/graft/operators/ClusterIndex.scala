@@ -57,43 +57,50 @@ object ClusterIndex {
          |LOCATION '${path.toString}'""".stripMargin)
   }
 
-  /** Ensure the assignment index for `dir` exists, is fresh, and is in
-    * this session's catalog; returns the table name. Warm cost: a
-    * catalog lookup + an O(#files) fingerprint. Cold cost: one Lloyd
-    * run — paid once per embedding-corpus generation, NOT per query.
+  /** One ensure body for every modality's assignment index: warm cost
+    * a catalog lookup + an O(#files) fingerprint check; cold cost one
+    * Lloyd run (`artifacts`, by-name so a fresh index never pays it) —
+    * paid once per corpus generation, NOT per query. Builds go through
+    * a temp sibling + atomic publish ([[IndexCommit]]) so a concurrent
+    * process never observes a half-built index; the frozen learned
+    * cells land as the underscore-prefixed `_CENTROIDS` sidecar
+    * (invisible to the table scan — the PostingsIndex df/meta
+    * discipline): q117's probe ranks cells against these without
+    * re-running the Lloyd chain, and the versioned fingerprint tag
+    * stales pre-sidecar indexes.
     */
-  def ensure(spark: SparkSession, dir: String): String = synchronized {
-    val name = tableNameFor(dir)
-    val path = indexPath(dir)
-    val fp = fingerprint(dir)
-    val validOnDisk = IndexCommit.fpValid(path, fp)
-    if (spark.catalog.tableExists(name) && validOnDisk) name
-    else if (validOnDisk) { register(spark, name, path); name }
-    else {
-      // build into a temp sibling + atomic publish ([[IndexCommit]]) so
-      // a concurrent process never observes a half-built index
-      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
-        val (cents, full) = Clustering.assignmentArtifacts(spark, dir)
-        full
-          .repartition(NumBuckets, col("cid"))
-          .write.format("parquet")
-          .bucketBy(NumBuckets, "cid")
-          .sortBy("cid", "vec_id")
-          .option("path", tp.toString)
-          .saveAsTable(tn)
-        // the frozen learned cells, K rows, as an underscore-prefixed
-        // sidecar (invisible to the table scan — the PostingsIndex
-        // df/meta discipline): q117's probe ranks cells against these
-        // without re-running the Lloyd chain, and the ":cent-v2"
-        // fingerprint tag stales pre-sidecar indexes
-        cents.coalesce(1).write.mode("overwrite")
-          .parquet(tp.resolve("_CENTROIDS").toString)
-        IndexCommit.writeFp(tp, fp)
+  private def ensureModal(spark: SparkSession, name: String, fp: String,
+      artifacts: => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): String =
+    synchronized {
+      val path = Paths.get(indexRoot, name)
+      val validOnDisk = IndexCommit.fpValid(path, fp)
+      if (spark.catalog.tableExists(name) && validOnDisk) name
+      else if (validOnDisk) { register(spark, name, path); name }
+      else {
+        IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+          val (cents, full) = artifacts
+          full
+            .repartition(NumBuckets, col("cid"))
+            .write.format("parquet")
+            .bucketBy(NumBuckets, "cid")
+            .sortBy("cid", "vec_id")
+            .option("path", tp.toString)
+            .saveAsTable(tn)
+          cents.coalesce(1).write.mode("overwrite")
+            .parquet(tp.resolve("_CENTROIDS").toString)
+          IndexCommit.writeFp(tp, fp)
+        }
+        register(spark, name, path)
+        name
       }
-      register(spark, name, path)
-      name
     }
-  }
+
+  /** Ensure the EMBEDDING assignment index for `dir` exists, is
+    * fresh, and is in this session's catalog; returns the table name.
+    */
+  def ensure(spark: SparkSession, dir: String): String =
+    ensureModal(spark, tableNameFor(dir), fingerprint(dir),
+      Clustering.assignmentArtifacts(spark, dir))
 
   // ---- the IMAGE-feature assignment index (q121) ----
 
@@ -116,31 +123,32 @@ object ClusterIndex {
     * table exchange-free exactly like q113 does the embedding index
     * (ClusterIndexSpec pins the plan for both).
     */
-  def ensureImage(spark: SparkSession, dir: String): String = synchronized {
-    val name = tableNameForImage(dir)
-    val path = Paths.get(indexRoot, name)
-    val fp = fingerprintImage(dir)
-    val validOnDisk = IndexCommit.fpValid(path, fp)
-    if (spark.catalog.tableExists(name) && validOnDisk) name
-    else if (validOnDisk) { register(spark, name, path); name }
-    else {
-      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
-        val (cents, full) = Clustering.imageArtifacts(spark, dir)
-        full
-          .repartition(NumBuckets, col("cid"))
-          .write.format("parquet")
-          .bucketBy(NumBuckets, "cid")
-          .sortBy("cid", "vec_id")
-          .option("path", tp.toString)
-          .saveAsTable(tn)
-        cents.coalesce(1).write.mode("overwrite")
-          .parquet(tp.resolve("_CENTROIDS").toString)
-        IndexCommit.writeFp(tp, fp)
-      }
-      register(spark, name, path)
-      name
-    }
-  }
+  def ensureImage(spark: SparkSession, dir: String): String =
+    ensureModal(spark, tableNameForImage(dir), fingerprintImage(dir),
+      Clustering.imageArtifacts(spark, dir))
+
+  // ---- the AUDIO-feature assignment index (q126) ----
+
+  def tableNameForAudio(dir: String): String =
+    IndexCommit.tableName("graft_cluster_aud_", dir)
+
+  /** Freshness = `documents.parquet` metadata (the audio corpus is
+    * minted from the documents) + the envelope pipeline's parameters —
+    * [[fingerprintImage]]'s discipline at the audio layer.
+    */
+  def fingerprintAudio(dir: String): String =
+    IndexCommit.sourceFingerprint(dir, "documents.parquet") +
+      ":" + Clustering.audioParamsTag
+
+  /** [[ensure]] for the AUDIO corpus: the persisted assignment learned
+    * over REAL decoded WAV envelopes ([[Clustering.audioArtifacts]]),
+    * bucketed by cid with the `_CENTROIDS` sidecar — q126's serving
+    * table (AudioDedupSpec pins the exchange-free pair join and the
+    * served-never-rebuilt discipline).
+    */
+  def ensureAudio(spark: SparkSession, dir: String): String =
+    ensureModal(spark, tableNameForAudio(dir), fingerprintAudio(dir),
+      Clustering.audioArtifacts(spark, dir))
 
   /** Build a bucketed assignment table from an arbitrary
     * (vec_id, cid, v, nrm) frame at `path`, registered as `name` — the

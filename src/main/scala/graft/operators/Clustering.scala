@@ -133,6 +133,13 @@ object Clustering {
   private[graft] def imageParamsTag: String =
     s"img-hist8x3-smp$SampleK-lloyd-k$K-i$Iters"
 
+  /** Audio-index parameters — [[ClusterIndex.ensureAudio]]'s
+    * fingerprint tag (8-frame |sample| energy envelope, q114's
+    * sample-trained Lloyd); a change stales persisted audio indexes.
+    */
+  private[graft] def audioParamsTag: String =
+    s"aud-env8-smp$SampleK-lloyd-k$K-i$Iters"
+
   /** q119's feature extractor in the index-build shape: every doc's
     * PPM payload strict-parsed and binned to the 24-dim integer
     * channel histogram ([[graft.functions.MediaCodecs.PpmCodec
@@ -174,20 +181,44 @@ object Clustering {
       }.toDF("vec_id", "hist")
   }
 
-  /** The IMAGE generation artifacts — q114's sample-trained recipe
-    * over REAL decoded features (the CLIP-style SemDeDup shape of
-    * Abbas et al. 2023 at this harness's codec): bounded md5-priority
-    * sample, Lloyd on the sample (corpus-independent learning cost),
-    * one broadcast assignment pass over the corpus. Returns
-    * (centroids, (vec_id, cid, v, nrm)) like [[assignmentArtifacts]]
-    * so [[ClusterIndex.ensureImage]] persists both in one chain.
-    * Histogram counts are exact integers, so they serve as the Lloyd
+  /** q126's feature extractor in the index-build shape: every doc's
+    * WAV payload chunk-walked and folded to the 8-frame |sample|
+    * energy envelope ([[graft.functions.MediaCodecs.WavCodec
+    * .decodeEnvelope]]) in one mapPartitions pass — (vec_id, env).
+    */
+  private[graft] def audioFeatures(s: SparkSession, dir: String): DataFrame =
+    audioFeaturesOf(s,
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** [[audioFeatures]] over an arbitrary (doc_id, text) frame — the
+    * minting+decode composed. One mapPartitions pass, codec init
+    * amortized.
+    */
+  private[graft] def audioFeaturesOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          (id, graft.functions.MediaCodecs.WavCodec.decodeEnvelope(
+            graft.functions.MediaCodecs.WavCodec.encode(text)))
+        }
+      }.toDF("vec_id", "env")
+  }
+
+  /** Sample-trained generation artifacts over ANY exact-integer
+    * feature frame (vec_id, `featCol`) — q114's recipe, shared by the
+    * image (q121) and audio (q126) index builds so the two modalities
+    * cannot drift: bounded md5-priority sample, Lloyd on the sample
+    * (corpus-independent learning cost), one broadcast assignment
+    * pass over the corpus. Returns (centroids, (vec_id, cid, v, nrm))
+    * like [[assignmentArtifacts]] so the `ensure*` builds persist
+    * both in one chain. Integer features serve as the Lloyd
     * coordinates directly — no micro-unit quantization step.
     */
-  private[graft] def imageArtifacts(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val feats = imageFeatures(s, dir)
-    val q = feats.select(col("vec_id"), col("hist").as("qv"))
+  private def sampledArtifacts(feats: DataFrame,
+      featCol: String): (DataFrame, DataFrame) = {
+    val q = feats.select(col("vec_id"), col(featCol).as("qv"))
     val smp = q
       .withColumn("priority", SketchExact.priorityCol(col("vec_id"), lit(1)))
       .orderBy("priority", "vec_id").limit(SampleK)
@@ -197,12 +228,27 @@ object Clustering {
     val asg = assign(q, cents).select("vec_id", "cid")
     val full = feats
       .select(col("vec_id"),
-        transform(col("hist"), x => x.cast("double")).as("v"))
+        transform(col(featCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
       .join(asg, "vec_id")
     (cents, full)
   }
+
+  /** The IMAGE generation artifacts — [[sampledArtifacts]] over REAL
+    * decoded channel histograms (the CLIP-style SemDeDup shape of
+    * Abbas et al. 2023 at this harness's codec).
+    */
+  private[graft] def imageArtifacts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    sampledArtifacts(imageFeatures(s, dir), "hist")
+
+  /** The AUDIO generation artifacts — [[sampledArtifacts]] over REAL
+    * decoded temporal envelopes ([[audioFeatures]]).
+    */
+  private[graft] def audioArtifacts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    sampledArtifacts(audioFeatures(s, dir), "env")
 
   /** SemDeDup's within-cell keep-first prune over a (vec_id, cid, v,
     * nrm) frame — shared by q104 (in-query Lloyd) and q113 (persisted
@@ -915,6 +961,43 @@ object Clustering {
           |""".stripMargin +
         lloydIterCtes("eh", 24) + ",\n" + afCte(24) + ",\n" +
         maintTailCtes(24,
-          "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)")))
+          "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)"))),
+
+    /* AUDIO SemDeDup served from the persisted audio ClusterIndex —
+     * q121's composition at the third modality, completing the
+     * modality matrix (embeddings q113, images q121, audio q126)
+     * through the SAME sample-trained Lloyd recipe
+     * ([[sampledArtifacts]] — one body for image and audio, so the
+     * modalities cannot drift) and the SAME within-cell keep-first
+     * prune ([[semdedupFrom]] verbatim, riding the cid bucketing with
+     * no exchange). The feature is q52's REAL WAV decode folded to an
+     * 8-frame |sample| energy envelope ([[graft.functions.MediaCodecs
+     * .WavCodec.decodeEnvelope]]) — order-SENSITIVE, unlike q119's
+     * position-blind histograms: time-reversed audio fingerprints
+     * differently (AudioDedupSpec pins exactly that separation). The
+     * oracle re-derives the envelope from the CHARACTERS through the
+     * minting codec's closed form ([[Multimodal.AudioFeatureCtes]] —
+     * |sample| = 32768 − 257·code, frame = ((i−1)·8)//n), then runs
+     * the SAME sample/Lloyd/prune CTE generators as q114/q104 at
+     * dims=8 — decoder drift, sampling drift, iteration drift, and
+     * prune drift all flip one hash.
+     *
+     * Scale adjudication: q121's verbatim — the fixed-K prune is
+     * quadratic by design (the q104/q113 adjudication; production is
+     * the cells-∝-corpus knob curved by q104_semdedup_knob), and the
+     * audio-SPECIFIC leg, the per-row decode+envelope pass, is the
+     * same corpus-linear mapPartitions shape as the curved
+     * q121_image_features.
+     */
+    QueryDef(
+      "q126_audio_semdedup",
+      (s, dir) => semdedupFrom(s.table(ClusterIndex.ensureAudio(s, dir))),
+      Some("WITH " + Multimodal.AudioFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM fa),\n" +
+        sampleCtes + ",\n" +
+        lloydIterCtes("smp", 8) + ",\n" + afCte(8) +
+        pruneTail(
+          "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)",
+          8)))
   )
 }

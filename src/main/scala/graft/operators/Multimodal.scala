@@ -159,6 +159,30 @@ object Multimodal {
       |        ]) AS v
       |      FROM codes)""".stripMargin
 
+  /** The q126 audio-feature derivation as oracle CTE text — PCM
+    * samples re-derived from the CHARACTERS through the minting
+    * codec's closed form (sample = 257*code − 32768, always negative
+    * for 7-bit codes, so |sample| = 32768 − 257*code — q52's grammar)
+    * and folded into the 8-frame energy envelope `fa(doc_id, v)`
+    * (1-based sample i of n lands in frame ((i−1)*8)//n —
+    * [[graft.functions.MediaCodecs.WavCodec.decodeEnvelope]]'s rule).
+    * Shared with [[Clustering]]'s q126 so the feature definition
+    * cannot drift from the decoder.
+    */
+  private[operators] val AudioFeatureCtes: String =
+    """acodes AS (
+      |  SELECT doc_id, len(text) AS n,
+      |    list_transform(range(1, len(text) + 1),
+      |      i -> unicode(substr(text, i, 1))) AS cs
+      |  FROM documents),
+      |fa AS (SELECT doc_id,
+      |        list_transform(generate_series(0, 7),
+      |          fr -> CAST(coalesce(list_sum(list_transform(
+      |                  list_filter(range(1, n + 1),
+      |                    i -> ((i - 1) * 8) // n = fr),
+      |                  i -> 32768 - 257 * cs[i])), 0) AS BIGINT)) AS v
+      |      FROM acodes)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ---- deterministic frame sampling + per-frame content hash
     QueryDef(
