@@ -224,6 +224,10 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            order-sensitive 8-frame energy envelope → q114's
   *            sample-trained cells → q104/q113's within-cell prune,
   *            exchange-free (the third modality in the matrix)
+  *   q127     audio-cluster-index maintenance loop — ONE shared loop
+  *            body and oracle generator with q125, so the image and
+  *            audio admission semantics cannot drift; certifies
+  *            AudioDedupSink's per-micro-batch path
   */
 object SparkEntry {
 

@@ -228,25 +228,36 @@ object ClusterIndex {
       .join(asg, "vec_id")
   }
 
-  /** (vec_id, cid, v, nrm) of a (vec_id, hist) IMAGE-feature batch
-    * under FROZEN centroids — [[assignBatch]] at the multimodal layer.
-    * Histogram counts are exact integers, so they are the Lloyd
-    * coordinates directly — no micro-unit quantization step
-    * ([[Clustering.imageArtifacts]]'s rule, shared verbatim by the
-    * q125 maintenance loop and [[graft.streaming.ImageDedupSink]] so
-    * batch and stream cannot drift).
+  /** (vec_id, cid, v, nrm) of an exact-INTEGER feature batch
+    * (vec_id, `featCol`) under FROZEN centroids — [[assignBatch]]
+    * without the micro-unit quantization step: integer features are
+    * the Lloyd coordinates directly ([[Clustering]]'s
+    * sampledArtifacts rule, shared verbatim by the q125/q127
+    * maintenance loops and the image/audio ingest sinks so batch and
+    * stream cannot drift across ANY modality).
     */
-  private[graft] def assignImageBatch(batch: org.apache.spark.sql.DataFrame,
-      centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private def assignIntBatch(batch: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame,
+      featCol: String): org.apache.spark.sql.DataFrame = {
     val qv = batch.select(col("vec_id"),
-      transform(col("hist"), x => x.cast("long")).as("qv"))
+      transform(col(featCol), x => x.cast("long")).as("qv"))
     val asg = Clustering.assign(qv, centroids).select("vec_id", "cid")
     batch.select(col("vec_id"),
-        transform(col("hist"), x => x.cast("double")).as("v"))
+        transform(col(featCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
       .join(asg, "vec_id")
   }
+
+  /** [[assignIntBatch]] over a (vec_id, hist) IMAGE-feature batch. */
+  private[graft] def assignImageBatch(batch: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assignIntBatch(batch, centroids, "hist")
+
+  /** [[assignIntBatch]] over a (vec_id, env) AUDIO-envelope batch. */
+  private[graft] def assignAudioBatch(batch: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assignIntBatch(batch, centroids, "env")
 
   /** Verdicts (vec_id, cid, dup_of, kept) of an assigned batch frame
     * `b` (vec_id, cid, v, nrm) against the index — the probe half of

@@ -181,6 +181,22 @@ object Clustering {
       }.toDF("vec_id", "hist")
   }
 
+  /** Envelope features of RAW WAV payloads — what an audio INGEST
+    * stream carries ((vec_id, audio bytes), no text to mint from).
+    * Same decoder, so a payload equal to a minted doc's payload gets
+    * the identical feature row ([[graft.streaming.AudioDedupSink]]).
+    */
+  private[graft] def audioEnvelopesOf(s: SparkSession,
+      payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, graft.functions.MediaCodecs.WavCodec.decodeEnvelope(bytes))
+        }
+      }.toDF("vec_id", "env")
+  }
+
   /** q126's feature extractor in the index-build shape: every doc's
     * WAV payload chunk-walked and folded to the 8-frame |sample|
     * energy envelope ([[graft.functions.MediaCodecs.WavCodec
@@ -493,6 +509,89 @@ object Clustering {
        |SELECT batch_no, vec_id, cid, dup_of, kept FROM p2
        |ORDER BY batch_no, vec_id""".stripMargin
   }
+
+  /** The modal maintenance loop q125 (image) and q127 (audio) share —
+    * q116's proof structure over any exact-integer feature frame
+    * (vec_id, `featCol`), certifying the per-micro-batch path of the
+    * matching ingest sink: freeze cells learned on the HISTORY
+    * slice's decoded features (Lloyd over exact integers — no
+    * quantization step), build the bucketed assignment index over
+    * history, probe ingest batch 1 for within-cell duplicates
+    * (admitted-history leg + within-batch keep-first), append ONLY
+    * the admitted rows, probe batch 2 — whose history now includes
+    * batch 1's representatives. The assignment and probe halves are
+    * [[ClusterIndex.assignImageBatch]]/[[ClusterIndex
+    * .assignAudioBatch]] (one shared body) and [[ClusterIndex
+    * .probeVerdicts]], the exact functions the streaming sinks call,
+    * so certifying this loop certifies the sink (the q116 ≡
+    * ClusterIndexSink discipline). The decode pass is paid ONCE
+    * (eager pin) and reused by the cell learning, the index build,
+    * and both batch probes.
+    */
+  private def modalMaintenanceLoop(s: SparkSession, dir: String,
+      rawFeats: DataFrame, featCol: String, tableBase: String): DataFrame = {
+    val name = tableBase + "_maint_" + ProcessHandle.current().pid()
+    val path = java.nio.file.Paths.get(ClusterIndex.indexRoot, name)
+    IndexCommit.purgeAllScratchRoots()
+    val feats = rawFeats
+      .withColumn("bucket",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
+          .cast("int"))
+      .localCheckpoint(true)
+    def slice(lo: Int, hi: Int) =
+      feats.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select("vec_id", featCol)
+    def assignB(b: DataFrame, cents: DataFrame): DataFrame =
+      if (featCol == "env") ClusterIndex.assignAudioBatch(b, cents)
+      else ClusterIndex.assignImageBatch(b, cents)
+    val hist = slice(0, 200)
+    val cents = lloydCentroids(
+      hist.select(col("vec_id"),
+        transform(col(featCol), x => x.cast("long")).as("qv")),
+      K, Iters)
+    ClusterIndex.buildIndexFrame(s, assignB(hist, cents), name, path)
+    val b1 = assignB(slice(200, 230), cents).localCheckpoint(true)
+    val p1 = ClusterIndex.probeVerdicts(s, name, b1,
+        excludeBatchFromHistory = true)
+      .withColumn("batch_no", lit(1))
+      .localCheckpoint(true)
+    ClusterIndex.append(s, name,
+      b1.join(p1.filter(col("kept")).select("vec_id"), "vec_id"))
+    b1.unpersist()
+    val p2 = ClusterIndex.probeVerdicts(s, name,
+        assignB(slice(230, 256), cents),
+        excludeBatchFromHistory = true)
+      .withColumn("batch_no", lit(2))
+    // pin the small verdict result eagerly, then release the
+    // corpus-sized decoded-feature frame (the q118 discipline)
+    val out = p1.unionByName(p2)
+      .select("batch_no", "vec_id", "cid", "dup_of", "kept")
+      .orderBy("batch_no", "vec_id")
+      .localCheckpoint(true)
+    feats.unpersist(); p1.unpersist()
+    out
+  }
+
+  /** [[modalMaintenanceLoop]]'s oracle text: the modality's feature
+    * CTEs (`featureCtes` defining `featFrom(doc_id, v)`), the ingest
+    * bucketing, the SAME unrolled Lloyd generator over the history
+    * slice at the modality's dims, and the SAME admitted-history tail
+    * text as q116 ([[maintTailCtes]] — the admission semantics cannot
+    * drift between the embedding, image, and audio modalities).
+    */
+  private def modalMaintOracle(featureCtes: String, featFrom: String,
+      dims: Int): String =
+    "WITH " + featureCtes + ",\n" +
+      s"e AS (SELECT doc_id AS vec_id, v AS qv FROM $featFrom),\n" +
+      """bk AS (SELECT doc_id AS vec_id,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
+        |       FROM documents),
+        |eh AS (SELECT e.vec_id, e.qv FROM e JOIN bk USING (vec_id)
+        |       WHERE bk.bucket < 200),
+        |""".stripMargin +
+      lloydIterCtes("eh", dims) + ",\n" + afCte(dims) + ",\n" +
+      maintTailCtes(dims,
+        "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)")
 
   /** q104/q113's shared oracle: Lloyd unrolled + within-cell prune. */
   private def pruneTail(evCte: String, dims: Int): String =
@@ -908,60 +1007,11 @@ object Clustering {
      */
     QueryDef(
       "q125_image_cluster_maintenance",
-      (s, dir) => {
-        val name = ClusterIndex.tableNameForImage(dir) + "_maint_" +
-          ProcessHandle.current().pid()
-        val path = java.nio.file.Paths.get(ClusterIndex.indexRoot, name)
-        IndexCommit.purgeAllScratchRoots()
-        val feats = imageFeaturesOf(s,
-            Tables(s, dir, "documents").select(col("doc_id"), col("text")))
-          .withColumn("bucket",
-            conv(substring(md5(col("vec_id").cast("string")), 1, 2), 16, 10)
-              .cast("int"))
-          .localCheckpoint(true)
-        def slice(lo: Int, hi: Int) =
-          feats.filter(col("bucket") >= lo && col("bucket") < hi)
-            .select("vec_id", "hist")
-        val hist = slice(0, 200)
-        val cents = lloydCentroids(
-          hist.select(col("vec_id"),
-            transform(col("hist"), x => x.cast("long")).as("qv")),
-          K, Iters)
-        ClusterIndex.buildIndexFrame(s,
-          ClusterIndex.assignImageBatch(hist, cents), name, path)
-        val b1 = ClusterIndex.assignImageBatch(slice(200, 230), cents)
-          .localCheckpoint(true)
-        val p1 = ClusterIndex.probeVerdicts(s, name, b1,
-            excludeBatchFromHistory = true)
-          .withColumn("batch_no", lit(1))
-          .localCheckpoint(true)
-        ClusterIndex.append(s, name,
-          b1.join(p1.filter(col("kept")).select("vec_id"), "vec_id"))
-        b1.unpersist()
-        val p2 = ClusterIndex.probeVerdicts(s, name,
-            ClusterIndex.assignImageBatch(slice(230, 256), cents),
-            excludeBatchFromHistory = true)
-          .withColumn("batch_no", lit(2))
-        // pin the small verdict result eagerly, then release the
-        // corpus-sized decoded-feature frame (the q118 discipline)
-        val out = p1.unionByName(p2)
-          .select("batch_no", "vec_id", "cid", "dup_of", "kept")
-          .orderBy("batch_no", "vec_id")
-          .localCheckpoint(true)
-        feats.unpersist(); p1.unpersist()
-        out
-      },
-      Some("WITH " + Multimodal.ImageFeatureCtes + ",\n" +
-        "e AS (SELECT doc_id AS vec_id, v AS qv FROM f),\n" +
-        """bk AS (SELECT doc_id AS vec_id,
-          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) AS bucket
-          |       FROM documents),
-          |eh AS (SELECT e.vec_id, e.qv FROM e JOIN bk USING (vec_id)
-          |       WHERE bk.bucket < 200),
-          |""".stripMargin +
-        lloydIterCtes("eh", 24) + ",\n" + afCte(24) + ",\n" +
-        maintTailCtes(24,
-          "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)"))),
+      (s, dir) => modalMaintenanceLoop(s, dir,
+        imageFeaturesOf(s,
+          Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "hist", ClusterIndex.tableNameForImage(dir)),
+      Some(modalMaintOracle(Multimodal.ImageFeatureCtes, "f", 24))),
 
     /* AUDIO SemDeDup served from the persisted audio ClusterIndex —
      * q121's composition at the third modality, completing the
@@ -998,6 +1048,24 @@ object Clustering {
         lloydIterCtes("smp", 8) + ",\n" + afCte(8) +
         pruneTail(
           "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)",
-          8)))
+          8))),
+
+    /* AUDIO-cluster-index MAINTENANCE loop — [[modalMaintenanceLoop]]
+     * at the audio layer, certifying [[graft.streaming.AudioDedupSink]]
+     * per micro-batch exactly as q125 certifies ImageDedupSink: ONE
+     * shared loop body and ONE shared oracle generator for both
+     * modalities (only the feature CTEs and dims differ), so the
+     * admission semantics cannot drift between image and audio ingest.
+     * Deliberately NOT curved (the q87/q92/q116/q125 adjudication —
+     * maintenance cost is the proof; the production serving paths are
+     * q126's prune and the knob curves).
+     */
+    QueryDef(
+      "q127_audio_cluster_maintenance",
+      (s, dir) => modalMaintenanceLoop(s, dir,
+        audioFeaturesOf(s,
+          Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "env", ClusterIndex.tableNameForAudio(dir)),
+      Some(modalMaintOracle(Multimodal.AudioFeatureCtes, "fa", 8)))
   )
 }

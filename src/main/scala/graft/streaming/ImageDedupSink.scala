@@ -46,48 +46,20 @@ object ImageDedupSink {
   def latestVersion(dir: String): Option[Long] = VersionedPointer.latest(dir)
 
   /** All committed verdicts (vec_id, cid, dup_of, kept, batch_id). */
-  def verdicts(spark: SparkSession, dir: String): DataFrame = {
-    val dirs = VersionedPointer.committedDirs(dir)
-    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("vec_id", LongType),
-          StructField("cid", LongType),
-          StructField("dup_of", LongType),
-          StructField("kept", BooleanType),
-          StructField("batch_id", LongType))))
-  }
+  def verdicts(spark: SparkSession, dir: String): DataFrame =
+    ModalDedupIngest.verdicts(spark, dir)
 
   /** Apply one micro-batch of (vec_id, image); false iff already
     * applied.
     */
   def applyBatch(batch: DataFrame, batchId: Long, indexName: String,
       centroids: DataFrame, outDir: String,
-      epoch: Option[String] = None): Boolean = {
-    if (VersionedPointer.alreadyServed(outDir, batchId, epoch)) false
-    else {
-      val spark = batch.sparkSession
-      graft.core.Lake.mkdirs(outDir)
-      val feats = Clustering.imageHistogramsOf(spark,
-        batch.select(imageSchema.fieldNames.map(col): _*))
-      val b = ClusterIndex.assignImageBatch(feats, centroids)
-        .localCheckpoint(true)
-      // exclusion on: a crashed previous attempt may have appended this
-      // batch's own rows (the ClusterIndexSink replay seam, by vec_id)
-      val out = ClusterIndex.probeVerdicts(spark, indexName, b,
-          excludeBatchFromHistory = true)
-        .withColumn("batch_id", lit(batchId))
-        .localCheckpoint(true)
-      ClusterIndex.append(spark, indexName,
-        b.join(out.filter(col("kept")).select("vec_id"), "vec_id"))
-      out.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
-      b.unpersist()
-      out.unpersist()
-      VersionedPointer.commit(outDir, batchId, epoch)
-      true
-    }
-  }
+      epoch: Option[String] = None): Boolean =
+    ModalDedupIngest.applyBatch(batch, batchId, indexName, centroids,
+      outDir, epoch,
+      b => Clustering.imageHistogramsOf(b.sparkSession,
+        b.select(imageSchema.fieldNames.map(col): _*)),
+      ClusterIndex.assignImageBatch)
 
   /** Attach to a (vec_id, image) ingest stream. The index must exist —
     * [[ClusterIndex.initIndex]] for a cold start, or a history build
@@ -95,14 +67,8 @@ object ImageDedupSink {
     * generation's frozen learned cells.
     */
   def attach(images: DataFrame, indexName: String, centroids: DataFrame,
-      outDir: String, checkpointDir: String): StreamingQuery = {
-    val epoch = VersionedPointer.epochOf(checkpointDir)
-    images.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, indexName, centroids, outDir, Some(epoch)); ()
-      }
-      .start()
-  }
+      outDir: String, checkpointDir: String): StreamingQuery =
+    ModalDedupIngest.attach(images, checkpointDir) { (batch, id, epoch) =>
+      applyBatch(batch, id, indexName, centroids, outDir, epoch)
+    }
 }
