@@ -507,6 +507,9 @@ object ScaleBench {
         // the image feature-extraction leg (q121's corpus-linear stage):
         // one mapPartitions PPM decode + 24-bin histogram per doc
         Seq(("q121_image_features", "__imgfeat__", rotDir)) ++
+        // the audio feature-extraction leg (q126's corpus-linear stage):
+        // one mapPartitions WAV chunk-walk + 8-frame envelope per doc
+        Seq(("q126_audio_features", "__audfeat__", rotDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)) ++
         skwQueries.map(q => (s"${q}_skew", q, skwDir)) ++
         zpfQueries.map(q => (s"${q}_skew", q, zpfDir)) ++
@@ -555,6 +558,8 @@ object ScaleBench {
                   (sp, dd) => graft.operators.Clustering.annIndexedKnob(sp, dd, 8 * n)
                 else if (q == "__imgfeat__")
                   (sp, dd) => graft.operators.Clustering.imageFeatures(sp, dd)
+                else if (q == "__audfeat__")
+                  (sp, dd) => graft.operators.Clustering.audioFeatures(sp, dd)
                 else SparkEntry.queries(q)
               time(fn, d)
             }
