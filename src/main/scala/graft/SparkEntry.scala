@@ -228,6 +228,12 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            body and oracle generator with q125, so the image and
   *            audio admission semantics cannot drift; certifies
   *            AudioDedupSink's per-micro-batch path
+  *   q128     the TRIMODAL curation capstone: q123's chain plus stage
+  *            s2a, audio-attachment dedup from the persisted audio
+  *            ClusterIndex (overlapping attachment moduli — some docs
+  *            carry both; a doc ships only if every modality it
+  *            carries survives); oracle chains all three estates'
+  *            CTE generators under one hash
   */
 object SparkEntry {
 

@@ -150,16 +150,24 @@ object CurationPipeline {
   private[operators] def lakeFingerprintImage(dir: String): String =
     lakeFp(dir, oracle123)
 
-  /** The composed curation chain — q115 (text corpus) and, with
+  private[operators] def lakeFingerprintTri(dir: String): String =
+    lakeFp(dir, oracle128)
+
+  /** The composed curation chain — q115 (text corpus); with
     * `withImages`, q123 (MIXED text+image corpus: every third doc
     * carries an image attachment, and an attachment-level dedup stage
     * s2i joins its keep-decisions back into the doc-level verdict
-    * stack between the text near-dup stage and the span stage). ONE
-    * body for both so the text stages cannot drift between the two
+    * stack between the text near-dup stage and the span stage); with
+    * `withAudio` additionally, q128 (TRIMODAL corpus: every doc with
+    * doc_id % 4 = 1 also carries an audio attachment — the moduli
+    * overlap, so some docs carry BOTH attachments, the interleaved
+    * shape real multimodal corpora have — and stage s2a prunes on the
+    * audio modality from the persisted AUDIO ClusterIndex). ONE body
+    * for all three so the shared stages cannot drift between the
     * capstones; `withImages=false` is exactly the round-13 q115 chain.
     */
   private def chain(s: SparkSession, dir: String,
-      withImages: Boolean): DataFrame = {
+      withImages: Boolean, withAudio: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // entering lake mode: reclaim `.build-<pid>` temp siblings a
     // CRASHED prior run left under the stage root (the janitor's
@@ -167,13 +175,15 @@ object CurationPipeline {
     // one temp tree, in exactly the scenario lake mode exists for
     stageDir.foreach(root => IndexCommit.purgeStaleScratch(root))
     val corpusFp =
-      if (withImages) lakeFingerprintImage(dir) else lakeFingerprint(dir)
-    // distinct snapshot names per chain variant ("m" prefix): the two
-    // pipelines' stage frames differ from s2i on, and their
+      if (withAudio) lakeFingerprintTri(dir)
+      else if (withImages) lakeFingerprintImage(dir)
+      else lakeFingerprint(dir)
+    // distinct snapshot names per chain variant ("m"/"t" prefix): the
+    // pipelines' stage frames differ from s2i/s2a on, and their
     // fingerprints differ (each hashes its own oracle), so sharing
     // names would thrash
-    val qtag = if (withImages) "q123" else "q115"
-    val pfx = if (withImages) "m" else ""
+    val qtag = if (withAudio) "q128" else if (withImages) "q123" else "q115"
+    val pfx = if (withAudio) "t" else if (withImages) "m" else ""
     def pinStage(stage: String)(df: => DataFrame): DataFrame =
       pin(s, corpusFp, qtag, pfx + stage)(df)
     // s0: ingest — the training-corpus side of q53's boundary; the
@@ -250,13 +260,31 @@ object CurationPipeline {
         .drop("img_kept"))
     }
 
+    // s2a (q128 only): audio-ATTACHMENT dedup — s2i's rule at the
+    // third modality, from the PERSISTED audio ClusterIndex (q126's
+    // within-cell prune; the %4 filter pushes into the bucketed scan).
+    // Verdicts are corpus-generation-wide exactly like s2i's: an
+    // arrival whose clip near-duplicates ANY indexed clip is pruned,
+    // benchmark-slice clips included — eval-leakage decontamination
+    // through the third modality.
+    val base2 = if (!withAudio) base else {
+      val audVerdicts = Clustering.semdedupFrom(
+        s.table(ClusterIndex.ensureAudio(s, dir))
+          .filter(col("vec_id") % 4 === 1))
+        .select(col("vec_id").as("doc_id"), col("kept").as("aud_kept"))
+      pinStage("s2a")(base.join(audVerdicts, Seq("doc_id"), "left")
+        .filter(col("aud_kept").isNull || col("aud_kept"))
+        .withColumn("has_audio", col("aud_kept").isNotNull)
+        .drop("aud_kept"))
+    }
+
     // s3: char-span dedup apply (q108) from the PERSISTED FpIndex,
     // ownership decided among the stage's survivors only
     val fp = s.table(FpIndex.ensure(s, dir))
-      .join(base.select("doc_id"), "doc_id")
-    val alld = base.select(col("doc_id"), trim(col("text")).as("tx"))
+      .join(base2.select("doc_id"), "doc_id")
+    val alld = base2.select(col("doc_id"), trim(col("text")).as("tx"))
       .withColumn("n", length(col("tx")))
-    val s3 = pinStage("s3")(base.drop("text")
+    val s3 = pinStage("s3")(base2.drop("text")
       .join(Winnow.spliceClean(alld, Winnow.foreignSpansOf(fp)), "doc_id")
       .withColumnRenamed("clean_text", "text"))
 
@@ -294,6 +322,7 @@ object CurationPipeline {
     val evidence =
       Seq(col("doc_id"), col("lang"), col("source"), col("n_bp_dropped")) ++
         (if (withImages) Seq(col("has_image")) else Seq.empty) ++
+        (if (withAudio) Seq(col("has_audio")) else Seq.empty) ++
         Seq(col("n_spans"), col("n_chars_removed"), col("n_sh"), col("n_hit"),
           col("avg_mn"), col("group_id"),
           TextAnalysis.sourceWeightCol.as("weight"))
@@ -310,7 +339,8 @@ object CurationPipeline {
     * [[Clustering.afCte]] at dims=24) restricted to attachment-bearing
     * docs, so the image stage cannot drift from the standalone query.
     */
-  private def oracleFor(withImages: Boolean): String = {
+  private def oracleFor(withImages: Boolean,
+      withAudio: Boolean = false): String = {
     val s0 =
       "s0 AS MATERIALIZED (SELECT doc_id, text, lang, source FROM documents\n" +
         s"       WHERE ${Dedup.BucketSql} < 250)"
@@ -365,8 +395,35 @@ object CurationPipeline {
           |  SELECT d.*, (d.doc_id % 3 = 0) AS has_image
           |  FROM s2 d LEFT JOIN irem r ON r.vec_id = d.doc_id
           |  WHERE d.doc_id % 3 <> 0 OR r.dup_of IS NULL)""".stripMargin
-    val s3base = if (withImages) "s2i" else "s2"
-    val s3img = if (withImages) ", d2.has_image" else ""
+    // s2a: the q126 audio chain nested — the s2i block's structure at
+    // the third modality (envelope features, dims=8, %4 attachments),
+    // pruning against the corpus-generation-wide audio index and
+    // joining back to the s2i survivor set
+    val s2a =
+      "s2a AS MATERIALIZED (\n  WITH " + Multimodal.AudioFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM fa),\n" +
+        Clustering.sampleCtes + ",\n" +
+        Clustering.lloydIterCtes("smp", 8) + ",\n" +
+        Clustering.afCte(8) + ",\n" +
+        """aev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v
+          |        FROM e WHERE vec_id % 4 = 1),
+          |anv AS (SELECT vec_id, v,
+          |          sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM aev),
+          |aasg AS (SELECT af.vec_id, af.cid, anv.v, anv.nrm
+          |         FROM af JOIN anv USING (vec_id)),
+          |arem AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+          |         FROM aasg a JOIN aasg b
+          |           ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |         WHERE list_sum(list_transform(generate_series(1, 8),
+          |                 i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3
+          |         GROUP BY 1)
+          |  SELECT d.*, (d.doc_id % 4 = 1) AS has_audio
+          |  FROM s2i d LEFT JOIN arem r ON r.vec_id = d.doc_id
+          |  WHERE d.doc_id % 4 <> 1 OR r.dup_of IS NULL)""".stripMargin
+    val s3base =
+      if (withAudio) "s2a" else if (withImages) "s2i" else "s2"
+    val s3img = (if (withImages) ", d2.has_image" else "") +
+      (if (withAudio) ", d2.has_audio" else "")
     val s3 =
       "s3 AS MATERIALIZED (\n" + Winnow.selCteOver(s3base) +
         Winnow.alldCteOver(s3base) +
@@ -395,7 +452,8 @@ object CurationPipeline {
         Dedup.groupSplitGrpCte("s5") +
         "\nSELECT d.*, g.group_id\nFROM s5 d JOIN grp g USING (doc_id)\n" +
         s"WHERE ${Dedup.GroupSplitCase} = 'train')"
-    val finImg = if (withImages) "has_image, " else ""
+    val finImg = (if (withImages) "has_image, " else "") +
+      (if (withAudio) "has_audio, " else "")
     val fin =
       s"SELECT doc_id, lang, source, n_bp_dropped, $finImg" +
         "n_spans, n_chars_removed,\n" +
@@ -405,13 +463,16 @@ object CurationPipeline {
         s"FROM (SELECT *, ${TextAnalysis.SourceWeightSql} AS weight FROM s6) x\n" +
         "ORDER BY doc_id, epoch"
     val stages =
-      if (withImages) Seq(s0, s0m, s1, s2, s2i, s3, s4, s5, s6)
+      if (withAudio) Seq(s0, s0m, s1, s2, s2i, s2a, s3, s4, s5, s6)
+      else if (withImages) Seq(s0, s0m, s1, s2, s2i, s3, s4, s5, s6)
       else Seq(s0, s0m, s1, s2, s3, s4, s5, s6)
     stages.mkString("WITH ", ",\n", "\n") + fin
   }
 
   private def oracle: String = oracleFor(withImages = false)
   private def oracle123: String = oracleFor(withImages = true)
+  private def oracle128: String =
+    oracleFor(withImages = true, withAudio = true)
 
   /* ------------------------------------------------------------------ *
    * q118 — the CONTINUOUS curation loop, oracle-gated: q112's proof
@@ -560,6 +621,27 @@ object CurationPipeline {
      */
     QueryDef("q123_multimodal_curation",
       (s, dir) => chain(s, dir, withImages = true), Some(oracle123)),
+    /* q128 — the TRIMODAL capstone: q123's chain plus stage s2a, the
+     * audio-attachment dedup. Every doc with doc_id % 4 = 1 carries an
+     * audio attachment (q126's minting — the clip is the WAV render of
+     * the doc, vec_id ≡ doc_id); the moduli overlap the image rule, so
+     * some docs carry BOTH attachments — the interleaved shape real
+     * multimodal pretraining corpora have — and a doc survives only if
+     * EVERY modality it carries survives: text chain ∧ image prune ∧
+     * audio prune. s2a serves the PERSISTED audio ClusterIndex
+     * ([[ClusterIndex.ensureAudio]] — built once per corpus
+     * generation, read here), verdicts corpus-generation-wide like
+     * s2i's (benchmark-slice clips included — eval-leakage
+     * decontamination through the third modality). The oracle chains
+     * q115's stage CTEs with BOTH modalities' CTE generators (image at
+     * dims=24, audio at dims=8) — three estates' shared-constant drift
+     * discipline under ONE hash. MultimodalCurationSpec pins all FOUR
+     * persisted indexes (text FpIndex, benchmark BloomIndex, image +
+     * audio ClusterIndex) read-never-rebuilt and the attachment rules.
+     */
+    QueryDef("q128_trimodal_curation",
+      (s, dir) => chain(s, dir, withImages = true, withAudio = true),
+      Some(oracle128)),
     QueryDef("q118_curation_maintenance", (s, dir) => q118(s, dir),
       Some(oracle118)))
 }

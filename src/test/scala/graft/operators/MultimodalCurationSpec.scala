@@ -9,17 +9,21 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** q123, the MULTIMODAL curation capstone: the chained oracle gates the
-  * values; this spec pins what the oracle cannot see —
-  *  (a) the run serves THREE persisted indexes (text FpIndex, benchmark
-  *      BloomIndex, image ClusterIndex) and rebuilds none of them;
-  *  (b) the attachment semantics: `has_image` tracks the arrival rule,
-  *      every shipped attachment passed the image prune, and the image
-  *      stage is LOAD-BEARING IN COMPOSITION (docs the text-only chain
-  *      ships are dropped for their attachment alone);
+/** q123/q128, the MULTIMODAL curation capstones: the chained oracles
+  * gate the values; this spec pins what they cannot see —
+  *  (a) the runs serve the persisted indexes (text FpIndex, benchmark
+  *      BloomIndex, image ClusterIndex — q128 adds the audio
+  *      ClusterIndex as the fourth) and rebuild none of them;
+  *  (b) the attachment semantics: `has_image`/`has_audio` track their
+  *      arrival rules (overlapping moduli — some docs carry BOTH),
+  *      every shipped attachment passed its modality's prune, and each
+  *      modality stage is LOAD-BEARING IN COMPOSITION (docs the
+  *      previous capstone ships are dropped for the new modality
+  *      alone);
   *  (c) the s2i plan: the within-cell pair join still rides the image
   *      index's cid bucketing with the %3 attachment filter pushed into
-  *      the bucketed scan — no exchange appears on either side.
+  *      the bucketed scan — no exchange appears on either side (the
+  *      audio twin of this plan pin is AudioDedupSpec's).
   */
 class MultimodalCurationSpec extends SparkSpec {
 
@@ -106,6 +110,71 @@ class MultimodalCurationSpec extends SparkSpec {
       System.clearProperty("graft.stage.dir")
       IndexCommit.deleteTree(Paths.get(stageRoot))
     }
+  }
+
+  test("q128 serves all FOUR persisted indexes; none rebuilt in-line") {
+    val fpName = FpIndex.ensure(spark, dir)
+    val blName = BloomIndex.ensure(spark, dir)
+    val imName = ClusterIndex.ensureImage(spark, dir)
+    val auName = ClusterIndex.ensureAudio(spark, dir)
+    def t(root: String, n: String) =
+      Files.getLastModifiedTime(Paths.get(root, n).resolve("_GRAFT_FP"))
+    val named = Seq(FpIndex.indexRoot -> fpName,
+      BloomIndex.indexRoot -> blName, ClusterIndex.indexRoot -> imName,
+      ClusterIndex.indexRoot -> auName)
+    val m0 = named.map { case (r, n) => t(r, n) }
+    named.foreach { case (_, n) => spark.sql(s"DROP TABLE IF EXISTS `$n`") }
+    assert(run("q128_trimodal_curation").collect().nonEmpty)
+    named.foreach { case (_, n) => assert(spark.catalog.tableExists(n),
+      s"q128 must re-register and serve the persisted $n") }
+    assert(named.map { case (r, n) => t(r, n) } == m0,
+      "a q128 run must never rebuild a persisted index in-line")
+  }
+
+  test("q128 attachment semantics: both moduli, both prunes, both load-bearing") {
+    val out = run("q128_trimodal_curation")
+      .select("doc_id", "has_image", "has_audio").distinct().collect()
+    // both flags are exactly their arrival rules — and the moduli
+    // OVERLAP: the corpus must ship docs carrying both attachments
+    out.foreach { r =>
+      assert(r.getBoolean(1) == (r.getLong(0) % 3 == 0),
+        s"doc ${r.getLong(0)}: has_image must track the arrival rule")
+      assert(r.getBoolean(2) == (r.getLong(0) % 4 == 1),
+        s"doc ${r.getLong(0)}: has_audio must track the arrival rule")
+    }
+    // the moduli OVERLAP at the arrival level: both-attachment docs
+    // enter the pipeline (whether one ships is data-dependent — the
+    // audio prune keeps roughly one clip per cell, so surviving BOTH
+    // prunes AND the text chain is rare on a 500-doc corpus)
+    val arrivals = graft.core.Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 3 == 0 && id % 4 == 1)
+    assert(arrivals.nonEmpty,
+      "the corpus must contain docs carrying BOTH attachments")
+    // every shipped audio attachment passed the audio prune, recomputed
+    // from the same persisted index the pipeline reads
+    val verd = Clustering.semdedupFrom(
+        spark.table(ClusterIndex.ensureAudio(spark, dir))
+          .filter(col("vec_id") % 4 === 1))
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val shipped = out.filter(_.getBoolean(2)).map(_.getLong(0))
+    assert(shipped.nonEmpty, "some audio-attachment docs must ship")
+    shipped.foreach(id => assert(verd(id),
+      s"doc $id shipped although its audio attachment was pruned"))
+    assert(verd.values.exists(!_),
+      "the corpus must actually exercise the audio prune")
+    // LOAD-BEARING IN COMPOSITION against q123: a doc the text+image
+    // chain ships but whose audio clip is a near-dup must drop here
+    val mixed = run("q123_multimodal_curation")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val tri = out.map(_.getLong(0)).toSet
+    val droppedForAudio = mixed
+      .filter(id => id % 4 == 1 && !verd.getOrElse(id, true))
+    assert(droppedForAudio.nonEmpty,
+      "corpus must contain q123-surviving docs with duplicate clips")
+    droppedForAudio.foreach(id => assert(!tri.contains(id),
+      s"doc $id has a pruned clip and must not ship in q128"))
   }
 
   test("s2i plan: the %3-filtered pair join stays bucketed, exchange-free") {
