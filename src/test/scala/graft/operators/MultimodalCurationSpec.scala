@@ -177,6 +177,27 @@ class MultimodalCurationSpec extends SparkSpec {
       s"doc $id has a pruned clip and must not ship in q128"))
   }
 
+  test("q128 lake mode: t-prefixed snapshots, byte-identical, disjoint trees") {
+    val baseline = run("q128_trimodal_curation").collect().toSeq
+    val stageRoot = Files.createTempDirectory("graft-q128-stages").toString
+    System.setProperty("graft.stage.dir", stageRoot)
+    try {
+      val first = run("q128_trimodal_curation").collect().toSeq
+      assert(first == baseline,
+        "lake-mode q128 must be byte-identical to the in-engine mode")
+      val stages = Seq("ts0m", "ts1", "ts2", "ts2i", "ts2a", "ts3", "ts4", "ts5")
+      stages.foreach(st => assert(
+        Files.exists(Paths.get(stageRoot, st, "_GRAFT_DONE")),
+        s"stage $st must publish a snapshot"))
+      assert(!Files.exists(Paths.get(stageRoot, "ms2i")) &&
+          !Files.exists(Paths.get(stageRoot, "s2")),
+        "q115/q123 stage names must not be touched by q128")
+    } finally {
+      System.clearProperty("graft.stage.dir")
+      IndexCommit.deleteTree(Paths.get(stageRoot))
+    }
+  }
+
   test("s2i plan: the %3-filtered pair join stays bucketed, exchange-free") {
     val name = ClusterIndex.ensureImage(spark, dir)
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
