@@ -234,6 +234,16 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            carry both; a doc ships only if every modality it
   *            carries survives); oracle chains all three estates'
   *            CTE generators under one hash
+  *   q129     video SemDeDup SERVED from the persisted video
+  *            ClusterIndex — the fourth modality: GVID frame
+  *            container walked with stride-2 SAMPLING (non-sampled
+  *            frames skipped by declared length, never parsed —
+  *            spec-pinned by corrupting them), sampled frames'
+  *            per-channel pixel sums as the 12-dim spatiotemporal
+  *            feature, then the shared cells/prune machinery
+  *   q130     video-cluster-index maintenance loop — the shared
+  *            modal loop body/oracle generator at dims=12; certifies
+  *            VideoDedupSink's per-micro-batch path
   */
 object SparkEntry {
 

@@ -160,6 +160,88 @@ object MediaCodecs {
     }
   }
 
+  object VideoCodec {
+    /** Frames per minted clip (the text split into `Frames` spans on
+      * floor boundaries: frame k covers 0-based chars
+      * [k·n//Frames, (k+1)·n//Frames)).
+      */
+    val Frames = 8
+
+    /** "GVID" container: magic, big-endian frame count, then per frame
+      * a declared byte length + a complete PPM payload (frame k is the
+      * P6 render of the text's k-th span). A container, not a bare
+      * concatenation: decoders must walk declared lengths, which is
+      * what makes frame SAMPLING an IO win ([[decodeSampledSums]]
+      * skips non-sampled frames without parsing them).
+      */
+    def encode(text: String): Array[Byte] = {
+      val n = text.length
+      val frames = (0 until Frames).map { k =>
+        val lo = (k.toLong * n / Frames).toInt
+        val hi = ((k + 1).toLong * n / Frames).toInt
+        PpmCodec.encode(text.substring(lo, hi))
+      }
+      val bb = java.nio.ByteBuffer.allocate(
+        8 + frames.map(4 + _.length).sum)
+      bb.put("GVID".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(Frames)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    /** Strict frame walker: validates magic and count, then hands each
+      * frame's index and payload SLICE to `f` — or, when `f` returns
+      * false for an index, SKIPS the payload by its declared length
+      * without reading it. Overruns and trailing garbage fail loudly.
+      */
+    private def walkFrames(bytes: Array[Byte])(
+        wanted: Int => Boolean)(f: (Int, Array[Byte]) => Unit): Int = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"GVID: $msg")
+      if (bytes.length < 8) fail("truncated header")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val magic = new Array[Byte](4); bb.get(magic)
+      if (new String(magic, "US-ASCII") != "GVID") fail("bad magic (want GVID)")
+      val count = bb.getInt
+      if (count < 0 || count > 65536) fail(s"implausible frame count $count")
+      var k = 0
+      while (k < count) {
+        if (bb.remaining() < 4) fail(s"truncated at frame $k header")
+        val len = bb.getInt
+        if (len < 0 || len > bb.remaining())
+          fail(s"frame $k size $len overruns")
+        if (wanted(k)) {
+          val payload = new Array[Byte](len)
+          bb.get(payload)
+          f(k, payload)
+        } else bb.position(bb.position() + len) // skip, never parsed
+        k += 1
+      }
+      if (bb.remaining() != 0) fail(s"${bb.remaining()} trailing bytes")
+      count
+    }
+
+    /** Frame-SAMPLED spatiotemporal feature: every `stride`-th frame
+      * strict-parsed ([[PpmCodec.decode]]) and its exact per-channel
+      * pixel sums emitted in frame order — (Frames/stride)·3 longs
+      * ([r,g,b] per sampled frame). Non-sampled frames are skipped by
+      * declared length, NEVER parsed — the production video-ingest
+      * pattern (decode cost ∝ sampled frames, IO walk ∝ container),
+      * spec-pinned by corrupting the skipped frames. Order-sensitive
+      * across frames (temporal) AND channel-structured within a frame
+      * (spatial transforms change g/b sums) — a genuinely distinct
+      * feature class from q119's histograms and q126's envelope.
+      */
+    def decodeSampledSums(bytes: Array[Byte], stride: Int = 2): Array[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      walkFrames(bytes)(k => k % stride == 0) { (_, payload) =>
+        val img = PpmCodec.decode(payload)
+        out += img.sumR; out += img.sumG; out += img.sumB
+      }
+      out.toArray
+    }
+  }
+
   /** Decoded PCM summary: format fields + exact integer sample stats. */
   final case class WavAudio(sampleRate: Int, nSamples: Int,
       sumAbs: Long, maxSample: Int)

@@ -150,6 +150,26 @@ object ClusterIndex {
     ensureModal(spark, tableNameForAudio(dir), fingerprintAudio(dir),
       Clustering.audioArtifacts(spark, dir))
 
+  // ---- the VIDEO-feature assignment index (q129) ----
+
+  def tableNameForVideo(dir: String): String =
+    IndexCommit.tableName("graft_cluster_vid_", dir)
+
+  def fingerprintVideo(dir: String): String =
+    IndexCommit.sourceFingerprint(dir, "documents.parquet") +
+      ":" + Clustering.videoParamsTag
+
+  /** [[ensure]] for the VIDEO corpus: the persisted assignment learned
+    * over frame-SAMPLED spatiotemporal sums
+    * ([[Clustering.videoArtifacts]] — non-sampled frames skipped,
+    * never parsed), bucketed by cid with the `_CENTROIDS` sidecar —
+    * q129's serving table (VideoDedupSpec pins the plan and the
+    * stride-decode IO claim).
+    */
+  def ensureVideo(spark: SparkSession, dir: String): String =
+    ensureModal(spark, tableNameForVideo(dir), fingerprintVideo(dir),
+      Clustering.videoArtifacts(spark, dir))
+
   /** Build a bucketed assignment table from an arbitrary
     * (vec_id, cid, v, nrm) frame at `path`, registered as `name` — the
     * sink-managed-index entry ([[graft.streaming.ClusterIndexSink]]),
@@ -258,6 +278,11 @@ object ClusterIndex {
   private[graft] def assignAudioBatch(batch: org.apache.spark.sql.DataFrame,
       centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     assignIntBatch(batch, centroids, "env")
+
+  /** [[assignIntBatch]] over a (vec_id, vfeat) VIDEO-feature batch. */
+  private[graft] def assignVideoBatch(batch: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assignIntBatch(batch, centroids, "vfeat")
 
   /** Verdicts (vec_id, cid, dup_of, kept) of an assigned batch frame
     * `b` (vec_id, cid, v, nrm) against the index — the probe half of

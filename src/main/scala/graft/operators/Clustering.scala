@@ -140,6 +140,13 @@ object Clustering {
   private[graft] def audioParamsTag: String =
     s"aud-env8-smp$SampleK-lloyd-k$K-i$Iters"
 
+  /** Video-index parameters — [[ClusterIndex.ensureVideo]]'s
+    * fingerprint tag (stride-2 frame sampling, per-channel sums,
+    * q114's sample-trained Lloyd).
+    */
+  private[graft] def videoParamsTag: String =
+    s"vid-str2-ch3-smp$SampleK-lloyd-k$K-i$Iters"
+
   /** q119's feature extractor in the index-build shape: every doc's
     * PPM payload strict-parsed and binned to the 24-dim integer
     * channel histogram ([[graft.functions.MediaCodecs.PpmCodec
@@ -221,6 +228,51 @@ object Clustering {
         }
       }.toDF("vec_id", "env")
   }
+
+  /** q129's feature extractor in the index-build shape: every doc's
+    * GVID payload frame-walked with stride-2 SAMPLING — non-sampled
+    * frames skipped by declared length, never parsed — and the
+    * sampled frames' exact per-channel pixel sums emitted as the
+    * 12-dim spatiotemporal feature ([[graft.functions.MediaCodecs
+    * .VideoCodec.decodeSampledSums]]), one mapPartitions pass.
+    */
+  private[graft] def videoFeatures(s: SparkSession, dir: String): DataFrame =
+    videoFeaturesOf(s,
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** [[videoFeatures]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def videoFeaturesOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          (id, graft.functions.MediaCodecs.VideoCodec.decodeSampledSums(
+            graft.functions.MediaCodecs.VideoCodec.encode(text)))
+        }
+      }.toDF("vec_id", "vfeat")
+  }
+
+  /** Sampled-sum features of RAW GVID payloads — what a video INGEST
+    * stream carries ([[graft.streaming.VideoDedupSink]]).
+    */
+  private[graft] def videoSumsOf(s: SparkSession,
+      payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, graft.functions.MediaCodecs.VideoCodec.decodeSampledSums(bytes))
+        }
+      }.toDF("vec_id", "vfeat")
+  }
+
+  /** The VIDEO generation artifacts — [[sampledArtifacts]] over the
+    * frame-sampled spatiotemporal sums ([[videoFeatures]]).
+    */
+  private[graft] def videoArtifacts(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    sampledArtifacts(videoFeatures(s, dir), "vfeat")
 
   /** Sample-trained generation artifacts over ANY exact-integer
     * feature frame (vec_id, `featCol`) — q114's recipe, shared by the
@@ -541,9 +593,11 @@ object Clustering {
     def slice(lo: Int, hi: Int) =
       feats.filter(col("bucket") >= lo && col("bucket") < hi)
         .select("vec_id", featCol)
-    def assignB(b: DataFrame, cents: DataFrame): DataFrame =
-      if (featCol == "env") ClusterIndex.assignAudioBatch(b, cents)
-      else ClusterIndex.assignImageBatch(b, cents)
+    def assignB(b: DataFrame, cents: DataFrame): DataFrame = featCol match {
+      case "env"   => ClusterIndex.assignAudioBatch(b, cents)
+      case "vfeat" => ClusterIndex.assignVideoBatch(b, cents)
+      case _       => ClusterIndex.assignImageBatch(b, cents)
+    }
     val hist = slice(0, 200)
     val cents = lloydCentroids(
       hist.select(col("vec_id"),
@@ -1066,6 +1120,50 @@ object Clustering {
         audioFeaturesOf(s,
           Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
         "env", ClusterIndex.tableNameForAudio(dir)),
-      Some(modalMaintOracle(Multimodal.AudioFeatureCtes, "fa", 8)))
+      Some(modalMaintOracle(Multimodal.AudioFeatureCtes, "fa", 8))),
+
+    /* VIDEO SemDeDup served from the persisted video ClusterIndex —
+     * the FOURTH modality column (embeddings q113, images q121, audio
+     * q126, video q129) through the same shared machinery. The
+     * video-specific capability is the FEATURE: the GVID container is
+     * frame-walked with stride-2 SAMPLING — non-sampled frames are
+     * skipped by their declared byte length and NEVER parsed
+     * (VideoDedupSpec corrupts the skipped frames to prove it), the
+     * production video-ingest pattern where decode cost tracks the
+     * sampled frames while the IO walk tracks the container — and
+     * each sampled frame contributes its exact per-channel pixel sums
+     * (12-dim spatiotemporal vector: temporal across frames, spatial
+     * across channels). The oracle re-derives the sums from the
+     * characters through the minting container's floor-span rule and
+     * the PPM closed form ([[Multimodal.VideoFeatureCtes]]), then
+     * runs the SAME sample/Lloyd/prune CTE generators at dims=12.
+     * Scale adjudication: q121/q126's verbatim (fixed-K prune
+     * quadratic by design; cells ∝ corpus curved by the knob; the
+     * corpus-linear decode leg is the q121/q126 feature-leg shape).
+     */
+    QueryDef(
+      "q129_video_semdedup",
+      (s, dir) => semdedupFrom(s.table(ClusterIndex.ensureVideo(s, dir))),
+      Some("WITH " + Multimodal.VideoFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM fv),\n" +
+        sampleCtes + ",\n" +
+        lloydIterCtes("smp", 12) + ",\n" + afCte(12) +
+        pruneTail(
+          "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)",
+          12))),
+
+    /* VIDEO-cluster-index MAINTENANCE loop — [[modalMaintenanceLoop]]
+     * at the fourth modality: ONE loop body and ONE oracle generator
+     * with q125/q127, certifying [[graft.streaming.VideoDedupSink]]
+     * per micro-batch. Deliberately NOT curved (the maintenance
+     * adjudication).
+     */
+    QueryDef(
+      "q130_video_cluster_maintenance",
+      (s, dir) => modalMaintenanceLoop(s, dir,
+        videoFeaturesOf(s,
+          Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "vfeat", ClusterIndex.tableNameForVideo(dir)),
+      Some(modalMaintOracle(Multimodal.VideoFeatureCtes, "fv", 12)))
   )
 }

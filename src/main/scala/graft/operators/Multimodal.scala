@@ -183,6 +183,37 @@ object Multimodal {
       |                  i -> 32768 - 257 * cs[i])), 0) AS BIGINT)) AS v
       |      FROM acodes)""".stripMargin
 
+  /** The q129 video-feature derivation as oracle CTE text — the
+    * frame-SAMPLED spatiotemporal sums re-derived from the CHARACTERS:
+    * frame k covers 0-based chars [k·n//8, (k+1)·n//8) (the minting
+    * container's floor rule), only frames {0,2,4,6} are sampled
+    * (stride 2 — [[graft.functions.MediaCodecs.VideoCodec
+    * .decodeSampledSums]]), and each sampled frame contributes its
+    * exact per-channel pixel sums through the PPM closed form
+    * (r = code, g = 255−code, b = 7·code mod 256 — q51's grammar):
+    * `fv(doc_id, v)`, 12 BIGINTs. Shared with [[Clustering]]'s q129 so
+    * the feature definition cannot drift from the decoder.
+    */
+  private[operators] val VideoFeatureCtes: String = {
+    def inFrame =
+      "i -> (i - 1) >= (fr * n) // 8 AND (i - 1) < ((fr + 1) * n) // 8"
+    def ch(expr: String) =
+      s"""CAST(coalesce(list_sum(list_transform(list_filter(range(1, n + 1),
+         |        $inFrame),
+         |        i -> $expr)), 0) AS BIGINT)""".stripMargin
+    s"""vcodes AS (
+       |  SELECT doc_id, len(text) AS n,
+       |    list_transform(range(1, len(text) + 1),
+       |      i -> unicode(substr(text, i, 1))) AS cs
+       |  FROM documents),
+       |fv AS (SELECT doc_id,
+       |    flatten(list_transform([0, 2, 4, 6], fr -> [
+       |      ${ch("cs[i]")},
+       |      ${ch("255 - cs[i]")},
+       |      ${ch("(7 * cs[i]) % 256")}])) AS v
+       |  FROM vcodes)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- deterministic frame sampling + per-frame content hash
     QueryDef(

@@ -13,11 +13,11 @@ import graft.operators.{BandIndex, BloomIndex, ClusterIndex, FpIndex, PostingsIn
   * full winnow, shingle, postings, and Lloyd passes — hours of work
   * landing on whatever query happens to run first). A production
   * deployment instead runs THIS entry as the last step of the pipeline
-  * that publishes a new corpus generation: all seven builds execute
+  * that publishes a new corpus generation: all eight builds execute
   * here, atomically published ([[graft.operators.IndexCommit]]), and
   * every subsequent probe from any process is a catalog lookup plus an
   * O(#files) fingerprint check. Idempotent by construction — on a
-  * fresh corpus it builds, on a warm one it is a no-op costing seven
+  * fresh corpus it builds, on a warm one it is a no-op costing eight
   * file listings — so it is safe to schedule unconditionally.
   *
   * Usage: `runMain graft.tools.BuildIndexes <corpusDir>`.
@@ -43,7 +43,8 @@ object BuildIndexes {
       "postings" -> PostingsIndex.ensure(spark, dir)._1,
       "fp" -> FpIndex.ensure(spark, dir),
       "cluster_img" -> ClusterIndex.ensureImage(spark, dir),
-      "cluster_aud" -> ClusterIndex.ensureAudio(spark, dir))
+      "cluster_aud" -> ClusterIndex.ensureAudio(spark, dir),
+      "cluster_vid" -> ClusterIndex.ensureVideo(spark, dir))
     else Seq.empty) ++
     (if (has(dir, "embeddings.parquet")) Seq(
       "cluster" -> ClusterIndex.ensure(spark, dir))

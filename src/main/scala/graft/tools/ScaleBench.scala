@@ -510,6 +510,9 @@ object ScaleBench {
         // the audio feature-extraction leg (q126's corpus-linear stage):
         // one mapPartitions WAV chunk-walk + 8-frame envelope per doc
         Seq(("q126_audio_features", "__audfeat__", rotDir)) ++
+        // the video feature-extraction leg (q129's corpus-linear stage):
+        // one mapPartitions GVID frame walk, stride-2 sampled decode
+        Seq(("q129_video_features", "__vidfeat__", rotDir)) ++
         chnQueries.map(q => (s"${q}_chain", q, chnDir)) ++
         skwQueries.map(q => (s"${q}_skew", q, skwDir)) ++
         zpfQueries.map(q => (s"${q}_skew", q, zpfDir)) ++
@@ -560,6 +563,8 @@ object ScaleBench {
                   (sp, dd) => graft.operators.Clustering.imageFeatures(sp, dd)
                 else if (q == "__audfeat__")
                   (sp, dd) => graft.operators.Clustering.audioFeatures(sp, dd)
+                else if (q == "__vidfeat__")
+                  (sp, dd) => graft.operators.Clustering.videoFeatures(sp, dd)
                 else SparkEntry.queries(q)
               time(fn, d)
             }

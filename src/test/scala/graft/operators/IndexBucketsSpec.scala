@@ -237,6 +237,25 @@ class IndexBucketsSpec extends SparkSpec with BeforeAndAfterAll {
     } finally spark.sql(s"DROP TABLE IF EXISTS `$name`")
   }
 
+  test("video ClusterIndex at 8 buckets: exchange-free cid pair join") {
+    // the eighth persisted family under a non-default bucket count
+    val name = ClusterIndex.ensureVideo(spark, corpus)
+    try {
+      noBroadcastNoAqe {
+        val idx = spark.table(name)
+        val pairs = idx.select(col("cid"), col("vec_id").as("a_id"))
+          .join(idx.select(col("cid"), col("vec_id").as("b_id")), "cid")
+          .filter(col("a_id") < col("b_id"))
+        val plan = pairs.queryExecution.executedPlan
+        assertBucketed(plan, name)
+        val smjs = plan.collect { case j: SortMergeJoinExec => j }
+        assert(smjs.exists(j => indexSideNoShuffle(j.left, name) &&
+            indexSideNoShuffle(j.right, name)),
+          s"video cid pair join must read both 8-bucket sides shuffle-free:\n$plan")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
   test("BloomIndex at 8 buckets: confirm join reads the index shuffle-free") {
     import spark.implicits._
     val name = BloomIndex.ensure(spark, corpus)

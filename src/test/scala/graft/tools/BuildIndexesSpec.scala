@@ -16,18 +16,18 @@ class BuildIndexesSpec extends SparkSpec {
   private def root(kind: String): String =
     if (kind == "postings") PostingsIndex.indexRoot else IndexCommit.indexRoot
 
-  test("build-ahead covers all seven indexes, idempotently, restart-safe") {
+  test("build-ahead covers all eight indexes, idempotently, restart-safe") {
     val dir = sf0001
     val built = BuildIndexes.buildAll(spark, dir)
     assert(built.map(_._1).toSet ==
       Set("band", "bloom", "postings", "fp", "cluster", "cluster_img",
-        "cluster_aud"))
+        "cluster_aud", "cluster_vid"))
     def mtimes = built.map { case (kind, name) =>
       Files.getLastModifiedTime(
         Paths.get(root(kind), name).resolve("_GRAFT_FP"))
     }
     val m1 = mtimes
-    // warm repeat: seven file listings, zero rebuilds
+    // warm repeat: eight file listings, zero rebuilds
     assert(BuildIndexes.buildAll(spark, dir) == built)
     assert(mtimes == m1, "a warm build-ahead must not rewrite any index")
     // simulated JVM restart: catalog gone, files on disk — re-register
