@@ -244,6 +244,11 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *   q130     video-cluster-index maintenance loop — the shared
   *            modal loop body/oracle generator at dims=12; certifies
   *            VideoDedupSink's per-micro-batch path
+  *   q131     the QUADMODAL capstone: q128's chain plus stage s2v —
+  *            every modality the engine supports (text, image, audio,
+  *            video) through one composed run, each non-text modality
+  *            pruned from its own persisted ClusterIndex; oracle
+  *            chains all four estates' generators under one hash
   */
 object SparkEntry {
 

@@ -153,6 +153,9 @@ object CurationPipeline {
   private[operators] def lakeFingerprintTri(dir: String): String =
     lakeFp(dir, oracle128)
 
+  private[operators] def lakeFingerprintQuad(dir: String): String =
+    lakeFp(dir, oracle131)
+
   /** The composed curation chain — q115 (text corpus); with
     * `withImages`, q123 (MIXED text+image corpus: every third doc
     * carries an image attachment, and an attachment-level dedup stage
@@ -162,12 +165,17 @@ object CurationPipeline {
     * doc_id % 4 = 1 also carries an audio attachment — the moduli
     * overlap, so some docs carry BOTH attachments, the interleaved
     * shape real multimodal corpora have — and stage s2a prunes on the
-    * audio modality from the persisted AUDIO ClusterIndex). ONE body
-    * for all three so the shared stages cannot drift between the
+    * audio modality from the persisted AUDIO ClusterIndex); with
+    * `withVideo` additionally, q131 (QUADMODAL: docs with
+    * doc_id % 5 = 2 also carry a video attachment, pruned by stage
+    * s2v from the persisted VIDEO ClusterIndex — every modality the
+    * engine supports flowing through one composed run). ONE body for
+    * all four so the shared stages cannot drift between the
     * capstones; `withImages=false` is exactly the round-13 q115 chain.
     */
   private def chain(s: SparkSession, dir: String,
-      withImages: Boolean, withAudio: Boolean = false): DataFrame = {
+      withImages: Boolean, withAudio: Boolean = false,
+      withVideo: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // entering lake mode: reclaim `.build-<pid>` temp siblings a
     // CRASHED prior run left under the stage root (the janitor's
@@ -175,15 +183,18 @@ object CurationPipeline {
     // one temp tree, in exactly the scenario lake mode exists for
     stageDir.foreach(root => IndexCommit.purgeStaleScratch(root))
     val corpusFp =
-      if (withAudio) lakeFingerprintTri(dir)
+      if (withVideo) lakeFingerprintQuad(dir)
+      else if (withAudio) lakeFingerprintTri(dir)
       else if (withImages) lakeFingerprintImage(dir)
       else lakeFingerprint(dir)
-    // distinct snapshot names per chain variant ("m"/"t" prefix): the
-    // pipelines' stage frames differ from s2i/s2a on, and their
-    // fingerprints differ (each hashes its own oracle), so sharing
-    // names would thrash
-    val qtag = if (withAudio) "q128" else if (withImages) "q123" else "q115"
-    val pfx = if (withAudio) "t" else if (withImages) "m" else ""
+    // distinct snapshot names per chain variant ("m"/"t"/"v" prefix):
+    // the pipelines' stage frames differ from s2i/s2a/s2v on, and
+    // their fingerprints differ (each hashes its own oracle), so
+    // sharing names would thrash
+    val qtag = if (withVideo) "q131" else if (withAudio) "q128"
+      else if (withImages) "q123" else "q115"
+    val pfx = if (withVideo) "v" else if (withAudio) "t"
+      else if (withImages) "m" else ""
     def pinStage(stage: String)(df: => DataFrame): DataFrame =
       pin(s, corpusFp, qtag, pfx + stage)(df)
     // s0: ingest — the training-corpus side of q53's boundary; the
@@ -278,13 +289,28 @@ object CurationPipeline {
         .drop("aud_kept"))
     }
 
+    // s2v (q131 only): video-ATTACHMENT dedup — the s2i/s2a rule at
+    // the fourth modality, from the PERSISTED video ClusterIndex
+    // (q129's within-cell prune over frame-sampled sums; the %5
+    // filter pushes into the bucketed scan).
+    val base3 = if (!withVideo) base2 else {
+      val vidVerdicts = Clustering.semdedupFrom(
+        s.table(ClusterIndex.ensureVideo(s, dir))
+          .filter(col("vec_id") % 5 === 2))
+        .select(col("vec_id").as("doc_id"), col("kept").as("vid_kept"))
+      pinStage("s2v")(base2.join(vidVerdicts, Seq("doc_id"), "left")
+        .filter(col("vid_kept").isNull || col("vid_kept"))
+        .withColumn("has_video", col("vid_kept").isNotNull)
+        .drop("vid_kept"))
+    }
+
     // s3: char-span dedup apply (q108) from the PERSISTED FpIndex,
     // ownership decided among the stage's survivors only
     val fp = s.table(FpIndex.ensure(s, dir))
-      .join(base2.select("doc_id"), "doc_id")
-    val alld = base2.select(col("doc_id"), trim(col("text")).as("tx"))
+      .join(base3.select("doc_id"), "doc_id")
+    val alld = base3.select(col("doc_id"), trim(col("text")).as("tx"))
       .withColumn("n", length(col("tx")))
-    val s3 = pinStage("s3")(base2.drop("text")
+    val s3 = pinStage("s3")(base3.drop("text")
       .join(Winnow.spliceClean(alld, Winnow.foreignSpansOf(fp)), "doc_id")
       .withColumnRenamed("clean_text", "text"))
 
@@ -323,6 +349,7 @@ object CurationPipeline {
       Seq(col("doc_id"), col("lang"), col("source"), col("n_bp_dropped")) ++
         (if (withImages) Seq(col("has_image")) else Seq.empty) ++
         (if (withAudio) Seq(col("has_audio")) else Seq.empty) ++
+        (if (withVideo) Seq(col("has_video")) else Seq.empty) ++
         Seq(col("n_spans"), col("n_chars_removed"), col("n_sh"), col("n_hit"),
           col("avg_mn"), col("group_id"),
           TextAnalysis.sourceWeightCol.as("weight"))
@@ -340,7 +367,7 @@ object CurationPipeline {
     * docs, so the image stage cannot drift from the standalone query.
     */
   private def oracleFor(withImages: Boolean,
-      withAudio: Boolean = false): String = {
+      withAudio: Boolean = false, withVideo: Boolean = false): String = {
     val s0 =
       "s0 AS MATERIALIZED (SELECT doc_id, text, lang, source FROM documents\n" +
         s"       WHERE ${Dedup.BucketSql} < 250)"
@@ -420,10 +447,35 @@ object CurationPipeline {
           |  SELECT d.*, (d.doc_id % 4 = 1) AS has_audio
           |  FROM s2i d LEFT JOIN arem r ON r.vec_id = d.doc_id
           |  WHERE d.doc_id % 4 <> 1 OR r.dup_of IS NULL)""".stripMargin
+    // s2v: the q129 video chain nested — the s2i/s2a block at the
+    // fourth modality (frame-sampled sums, dims=12, %5 attachments)
+    val s2v =
+      "s2v AS MATERIALIZED (\n  WITH " + Multimodal.VideoFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM fv),\n" +
+        Clustering.sampleCtes + ",\n" +
+        Clustering.lloydIterCtes("smp", 12) + ",\n" +
+        Clustering.afCte(12) + ",\n" +
+        """vev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v
+          |        FROM e WHERE vec_id % 5 = 2),
+          |vnv AS (SELECT vec_id, v,
+          |          sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vev),
+          |vasg AS (SELECT af.vec_id, af.cid, vnv.v, vnv.nrm
+          |         FROM af JOIN vnv USING (vec_id)),
+          |vrem AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+          |         FROM vasg a JOIN vasg b
+          |           ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |         WHERE list_sum(list_transform(generate_series(1, 12),
+          |                 i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3
+          |         GROUP BY 1)
+          |  SELECT d.*, (d.doc_id % 5 = 2) AS has_video
+          |  FROM s2a d LEFT JOIN vrem r ON r.vec_id = d.doc_id
+          |  WHERE d.doc_id % 5 <> 2 OR r.dup_of IS NULL)""".stripMargin
     val s3base =
-      if (withAudio) "s2a" else if (withImages) "s2i" else "s2"
+      if (withVideo) "s2v" else if (withAudio) "s2a"
+      else if (withImages) "s2i" else "s2"
     val s3img = (if (withImages) ", d2.has_image" else "") +
-      (if (withAudio) ", d2.has_audio" else "")
+      (if (withAudio) ", d2.has_audio" else "") +
+      (if (withVideo) ", d2.has_video" else "")
     val s3 =
       "s3 AS MATERIALIZED (\n" + Winnow.selCteOver(s3base) +
         Winnow.alldCteOver(s3base) +
@@ -453,7 +505,8 @@ object CurationPipeline {
         "\nSELECT d.*, g.group_id\nFROM s5 d JOIN grp g USING (doc_id)\n" +
         s"WHERE ${Dedup.GroupSplitCase} = 'train')"
     val finImg = (if (withImages) "has_image, " else "") +
-      (if (withAudio) "has_audio, " else "")
+      (if (withAudio) "has_audio, " else "") +
+      (if (withVideo) "has_video, " else "")
     val fin =
       s"SELECT doc_id, lang, source, n_bp_dropped, $finImg" +
         "n_spans, n_chars_removed,\n" +
@@ -463,7 +516,8 @@ object CurationPipeline {
         s"FROM (SELECT *, ${TextAnalysis.SourceWeightSql} AS weight FROM s6) x\n" +
         "ORDER BY doc_id, epoch"
     val stages =
-      if (withAudio) Seq(s0, s0m, s1, s2, s2i, s2a, s3, s4, s5, s6)
+      if (withVideo) Seq(s0, s0m, s1, s2, s2i, s2a, s2v, s3, s4, s5, s6)
+      else if (withAudio) Seq(s0, s0m, s1, s2, s2i, s2a, s3, s4, s5, s6)
       else if (withImages) Seq(s0, s0m, s1, s2, s2i, s3, s4, s5, s6)
       else Seq(s0, s0m, s1, s2, s3, s4, s5, s6)
     stages.mkString("WITH ", ",\n", "\n") + fin
@@ -473,6 +527,8 @@ object CurationPipeline {
   private def oracle123: String = oracleFor(withImages = true)
   private def oracle128: String =
     oracleFor(withImages = true, withAudio = true)
+  private def oracle131: String =
+    oracleFor(withImages = true, withAudio = true, withVideo = true)
 
   /* ------------------------------------------------------------------ *
    * q118 — the CONTINUOUS curation loop, oracle-gated: q112's proof
@@ -642,6 +698,21 @@ object CurationPipeline {
     QueryDef("q128_trimodal_curation",
       (s, dir) => chain(s, dir, withImages = true, withAudio = true),
       Some(oracle128)),
+    /* q131 — the QUADMODAL capstone: q128's chain plus stage s2v, the
+     * video-attachment dedup (docs with doc_id % 5 = 2 carry a GVID
+     * clip; the three attachment moduli pairwise overlap). Every
+     * modality the engine supports — text, image, audio, video — now
+     * flows through ONE composed run, each non-text modality pruned
+     * from its own persisted ClusterIndex (read, never rebuilt), each
+     * verdict corpus-generation-wide (benchmark-slice attachments
+     * decontaminate through every modality). The oracle chains all
+     * four estates' CTE generators (text stages + dims 24/8/12)
+     * under one hash.
+     */
+    QueryDef("q131_quadmodal_curation",
+      (s, dir) => chain(s, dir, withImages = true, withAudio = true,
+        withVideo = true),
+      Some(oracle131)),
     QueryDef("q118_curation_maintenance", (s, dir) => q118(s, dir),
       Some(oracle118)))
 }

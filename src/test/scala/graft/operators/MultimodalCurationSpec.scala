@@ -177,6 +177,46 @@ class MultimodalCurationSpec extends SparkSpec {
       s"doc $id has a pruned clip and must not ship in q128"))
   }
 
+  test("q131 serves all FIVE persisted indexes; video stage load-bearing") {
+    val named = Seq(
+      FpIndex.indexRoot -> FpIndex.ensure(spark, dir),
+      BloomIndex.indexRoot -> BloomIndex.ensure(spark, dir),
+      ClusterIndex.indexRoot -> ClusterIndex.ensureImage(spark, dir),
+      ClusterIndex.indexRoot -> ClusterIndex.ensureAudio(spark, dir),
+      ClusterIndex.indexRoot -> ClusterIndex.ensureVideo(spark, dir))
+    def t(root: String, n: String) =
+      Files.getLastModifiedTime(Paths.get(root, n).resolve("_GRAFT_FP"))
+    val m0 = named.map { case (r, n) => t(r, n) }
+    named.foreach { case (_, n) => spark.sql(s"DROP TABLE IF EXISTS `$n`") }
+    val out = run("q131_quadmodal_curation")
+      .select("doc_id", "has_video").distinct().collect()
+    assert(out.nonEmpty)
+    named.foreach { case (_, n) => assert(spark.catalog.tableExists(n),
+      s"q131 must re-register and serve the persisted $n") }
+    assert(named.map { case (r, n) => t(r, n) } == m0,
+      "a q131 run must never rebuild a persisted index in-line")
+    // has_video is exactly the arrival rule; every shipped clip passed
+    // the video prune; and the stage is load-bearing vs q128
+    out.foreach(r => assert(r.getBoolean(1) == (r.getLong(0) % 5 == 2),
+      s"doc ${r.getLong(0)}: has_video must track the arrival rule"))
+    val verd = Clustering.semdedupFrom(
+        spark.table(ClusterIndex.ensureVideo(spark, dir))
+          .filter(col("vec_id") % 5 === 2))
+      .select("vec_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.filter(_.getBoolean(1)).map(_.getLong(0)).foreach(id =>
+      assert(verd(id), s"doc $id shipped although its clip was pruned"))
+    val tri = run("q128_trimodal_curation")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val quad = out.map(_.getLong(0)).toSet
+    val droppedForVideo = tri
+      .filter(id => id % 5 == 2 && !verd.getOrElse(id, true))
+    assert(droppedForVideo.nonEmpty,
+      "corpus must contain q128-surviving docs with duplicate clips")
+    droppedForVideo.foreach(id => assert(!quad.contains(id),
+      s"doc $id has a pruned clip and must not ship in q131"))
+  }
+
   test("q128 lake mode: t-prefixed snapshots, byte-identical, disjoint trees") {
     val baseline = run("q128_trimodal_curation").collect().toSeq
     val stageRoot = Files.createTempDirectory("graft-q128-stages").toString
