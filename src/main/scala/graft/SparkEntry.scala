@@ -249,6 +249,11 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            video) through one composed run, each non-text modality
   *            pruned from its own persisted ClusterIndex; oracle
   *            chains all four estates' generators under one hash
+  *   q132     image ANN top-k SERVED from the persisted image
+  *            ClusterIndex — q117's bucket-pruned probe (shared
+  *            annProbeFrom, shared dims-parameterized oracle tail) at
+  *            the multimodal layer: the LAION-style image-similarity
+  *            query path
   */
 object SparkEntry {
 

@@ -224,6 +224,15 @@ object ClusterIndex {
   def centroids(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(indexPath(dir).resolve("_CENTROIDS").toString)
 
+  /** The `_CENTROIDS` sidecar of ANY ensure*()-managed index by table
+    * name — every modality's build persists one, so every modality's
+    * index can serve ANN probes ([[Clustering.annProbeFrom]]).
+    */
+  def centroidsOf(spark: SparkSession,
+      name: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(
+      Paths.get(indexRoot, name).resolve("_CENTROIDS").toString)
+
   /** SemDeDup's within-cell duplicate threshold (q104's rule) — shared
     * by the streaming sink and the q116 maintenance loop.
     */

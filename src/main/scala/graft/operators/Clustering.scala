@@ -647,6 +647,37 @@ object Clustering {
       maintTailCtes(dims,
         "ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)")
 
+  /** The ANN-probe oracle tail (q117's from `nv` down,
+    * dims-parameterized): queries = vec_id < 8, cells ranked by exact
+    * integer distance to the learned c2 (nprobe 2), candidates from
+    * the probed cells, exact-cosine top-3. ONE text for q117
+    * (embeddings, dims=64) and q132 (image features, dims=24) so the
+    * probe semantics cannot drift between the modalities. Requires
+    * `e` (vec_id, integer qv) and `ev` (vec_id, double v) in scope.
+    */
+  private def annOracleTail(dims: Int): String =
+    s"""
+      |, nv AS (SELECT vec_id, v,
+      |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
+      |qs AS (SELECT nv.vec_id AS q_id, nv.v AS qv, nv.nrm AS qn, e.qv AS qq
+      |       FROM nv JOIN e USING (vec_id) WHERE vec_id < 8),
+      |pc AS (SELECT q_id, qv, qn, cid FROM (
+      |        SELECT qs.q_id, qs.qv, qs.qn, c.cid,
+      |          row_number() OVER (PARTITION BY qs.q_id ORDER BY
+      |            list_sum(list_transform(generate_series(1, $dims),
+      |              i -> (qs.qq[i]-c.cv[i])*(qs.qq[i]-c.cv[i]))), c.cid) AS rk
+      |        FROM qs CROSS JOIN c2 c) t WHERE rk <= 2),
+      |asgv AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm
+      |         FROM af JOIN nv USING (vec_id)),
+      |cand AS (SELECT p.q_id, a.vec_id AS n_id,
+      |    list_sum(list_transform(generate_series(1, $dims),
+      |      i -> p.qv[i]*a.v[i]))/(p.qn*a.nrm) AS cos
+      |  FROM pc p JOIN asgv a ON a.cid = p.cid AND a.vec_id <> p.q_id)
+      |SELECT q_id, rank, n_id, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, n_id) AS rank FROM cand) t
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   /** q104/q113's shared oracle: Lloyd unrolled + within-cell prune. */
   private def pruneTail(evCte: String, dims: Int): String =
     s"""
@@ -974,28 +1005,9 @@ object Clustering {
           ClusterIndex.centroids(s, dir), q)
           .orderBy("q_id", "rank")
       },
-      Some(LloydCtes + """
-        |, ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |nv AS (SELECT vec_id, v,
-        |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
-        |qs AS (SELECT nv.vec_id AS q_id, nv.v AS qv, nv.nrm AS qn, e.qv AS qq
-        |       FROM nv JOIN e USING (vec_id) WHERE vec_id < 8),
-        |pc AS (SELECT q_id, qv, qn, cid FROM (
-        |        SELECT qs.q_id, qs.qv, qs.qn, c.cid,
-        |          row_number() OVER (PARTITION BY qs.q_id ORDER BY
-        |            list_sum(list_transform(generate_series(1, 64),
-        |              i -> (qs.qq[i]-c.cv[i])*(qs.qq[i]-c.cv[i]))), c.cid) AS rk
-        |        FROM qs CROSS JOIN c2 c) t WHERE rk <= 2),
-        |asgv AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm
-        |         FROM af JOIN nv USING (vec_id)),
-        |cand AS (SELECT p.q_id, a.vec_id AS n_id,
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> p.qv[i]*a.v[i]))/(p.qn*a.nrm) AS cos
-        |  FROM pc p JOIN asgv a ON a.cid = p.cid AND a.vec_id <> p.q_id)
-        |SELECT q_id, rank, n_id, cos FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cos DESC, n_id) AS rank FROM cand) t
-        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+      Some(LloydCtes +
+        "\n, ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)" +
+        annOracleTail(64))),
 
     /* IMAGE SemDeDup served from the persisted image ClusterIndex —
      * the multimodal estate composed with the dedup estate (the
@@ -1164,6 +1176,40 @@ object Clustering {
         videoFeaturesOf(s,
           Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
         "vfeat", ClusterIndex.tableNameForVideo(dir)),
-      Some(modalMaintOracle(Multimodal.VideoFeatureCtes, "fv", 12)))
+      Some(modalMaintOracle(Multimodal.VideoFeatureCtes, "fv", 12))),
+
+    /* IMAGE ANN top-k SERVED from the persisted image ClusterIndex —
+     * q117's serving shape at the multimodal layer, the query path of
+     * a LAION-style image-similarity service: probe images rank the
+     * generation's frozen cells ([[ClusterIndex.centroidsOf]] — the
+     * `_CENTROIDS` sidecar EVERY modal build persists, which is what
+     * makes the whole ANN serving estate modality-generic), read
+     * candidates from ONLY the probed cells' buckets (the bounded
+     * cell-id collect pushes an IN filter on the bucket column —
+     * BUCKET-PRUNED, the q117/q91 discipline, spec-pinned), exact
+     * cosine top-3 rerank. [[annProbeFrom]] is shared VERBATIM with
+     * q117 and the streaming AnnServeSink; the oracle is q117's tail
+     * generator at dims=24 over the image feature CTEs — probe drift
+     * between the modalities flips one hash. Image histogram counts
+     * are exact integers, so `qq` is a lossless long cast (no
+     * micro-unit quantization step).
+     */
+    QueryDef(
+      "q132_image_ann_indexed",
+      (s, dir) => {
+        val name = ClusterIndex.ensureImage(s, dir)
+        val q = s.table(name).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qn"),
+            transform(col("v"), x => x.cast("long")).as("qq"))
+        annProbeFrom(s, name, ClusterIndex.centroidsOf(s, name), q)
+          .orderBy("q_id", "rank")
+      },
+      Some("WITH " + Multimodal.ImageFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM f),\n" +
+        sampleCtes + ",\n" +
+        lloydIterCtes("smp", 24) + ",\n" + afCte(24) +
+        "\n, ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)" +
+        annOracleTail(24)))
   )
 }

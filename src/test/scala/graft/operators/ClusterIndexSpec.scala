@@ -275,6 +275,36 @@ class ClusterIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
+  test("q132 plan: the IMAGE candidate scan is bucket-pruned to the probed cells") {
+    // q117's serving discipline at the multimodal layer: the image
+    // probe must read ONLY the probed cells' buckets of the image index
+    val name = ClusterIndex.ensureImage(spark, dir)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("q132_image_ann_indexed")(spark, dir)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == name) => f
+      }
+      assert(scans.nonEmpty)
+      val pruned = scans.filter(f => f.optionalBucketSet.isDefined &&
+        f.optionalBucketSet.get.cardinality() < ClusterIndex.NumBuckets)
+      assert(pruned.nonEmpty,
+        s"image candidate scan must be bucket-pruned below ${ClusterIndex.NumBuckets}:\n$plan")
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.exists(j => j.collect {
+          case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == name) &&
+                f.optionalBucketSet.isDefined => f
+        }.nonEmpty),
+        s"image probes must broadcast onto the pruned index scan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("a fresh session re-registers a valid on-disk index without rebuilding") {
     val name = ClusterIndex.ensure(spark, dir)
     val r1 = rows("q113_semdedup_indexed")
