@@ -254,6 +254,12 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            annProbeFrom, shared dims-parameterized oracle tail) at
   *            the multimodal layer: the LAION-style image-similarity
   *            query path
+  *   q133     the WIDE typed multimodal record: one row per doc with
+  *            each modality a NULLABLE opaque binary column
+  *            (Dataset[MultimodalRecord], Option[Array[Byte]]
+  *            fields), decoded in one sparse pass touching only
+  *            present attachments; all three codecs' stats and the
+  *            null pattern under one oracle hash
   */
 object SparkEntry {
 

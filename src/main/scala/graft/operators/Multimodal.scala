@@ -21,6 +21,14 @@ object Multimodal {
 
   /** Typed media record: opaque payload + metadata, as a real dataset row. */
   final case class MediaRecord(media_id: Long, mime: String, payload: Array[Byte])
+
+  /** The WIDE multimodal row (q133): text plus each modality as a
+    * nullable opaque binary column — the interleaved-document data
+    * model a multimodal pretraining corpus ships as one table.
+    */
+  final case class MultimodalRecord(doc_id: Long, text: String,
+      image: Option[Array[Byte]], audio: Option[Array[Byte]],
+      video: Option[Array[Byte]])
   final case class MediaFeatures(media_id: Long, mime: String, n_bytes: Int,
       n_frames: Int, first_byte: Int, checksum: Long)
 
@@ -345,6 +353,72 @@ object Multimodal {
              |SELECT doc_id, 8000 AS sample_rate, n AS n_samples,
              |  CAST(32768 * n - 257 * list_sum(cs) AS BIGINT) AS sum_abs,
              |  CAST(257 * list_max(cs) - 32768 AS INT) AS max_sample
-             |FROM codes ORDER BY doc_id""".stripMargin))
+             |FROM codes ORDER BY doc_id""".stripMargin)),
+
+    /* The WIDE typed multimodal record — the brief's data model
+     * stated directly: one row per document with each modality as a
+     * NULLABLE opaque binary column (image/audio/video under the
+     * capstones' arrival moduli — any subset present), decoded in ONE
+     * pass that touches ONLY the attachments a row actually carries
+     * (the Option.map sparse-decode shape; at 100 TB the decode cost
+     * is Σ present-attachment bytes, not rows × modalities). The
+     * typed path is real: a Dataset[MultimodalRecord] with
+     * Option[Array[Byte]] attachment fields, built and consumed
+     * through case-class Encoders, mapPartitions both ways (codec
+     * init amortized per batch). Evidence columns are each codec's
+     * exact integer stats; the oracle re-derives every one from the
+     * characters through the three closed forms — so the minting, the
+     * three strict decoders, and the null pattern are all under one
+     * hash.
+     */
+    QueryDef(
+      "q133_multimodal_records",
+      (s, dir) => {
+        import s.implicits._
+        val recs: org.apache.spark.sql.Dataset[MultimodalRecord] =
+          Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              it.map { case (id, text) =>
+                MultimodalRecord(id, text,
+                  if (id % 3 == 0) Some(MediaCodecs.PpmCodec.encode(text)) else None,
+                  if (id % 4 == 1) Some(MediaCodecs.WavCodec.encode(text)) else None,
+                  if (id % 5 == 2) Some(MediaCodecs.VideoCodec.encode(text)) else None)
+              }
+            }
+        recs.mapPartitions { it =>
+          it.map { r =>
+            val img = r.image.map(MediaCodecs.PpmCodec.decode)
+            val aud = r.audio.map(MediaCodecs.WavCodec.decode)
+            val vid = r.video.map(MediaCodecs.VideoCodec.decodeSampledSums(_))
+            (r.doc_id, r.image.isDefined, r.audio.isDefined,
+              r.video.isDefined, img.map(_.sumR), aud.map(_.sumAbs),
+              vid.map(_.sum))
+          }
+        }.toDF("doc_id", "has_image", "has_audio", "has_video",
+            "img_r_sum", "aud_abs_sum", "vid_all_sum")
+          .orderBy("doc_id")
+      },
+      Some("""WITH mcodes AS (
+             |  SELECT doc_id, len(text) AS n,
+             |    list_transform(range(1, len(text) + 1),
+             |      i -> unicode(substr(text, i, 1))) AS cs
+             |  FROM documents)
+             |SELECT doc_id,
+             |  doc_id % 3 = 0 AS has_image,
+             |  doc_id % 4 = 1 AS has_audio,
+             |  doc_id % 5 = 2 AS has_video,
+             |  CASE WHEN doc_id % 3 = 0
+             |    THEN CAST(coalesce(list_sum(cs), 0) AS BIGINT) END AS img_r_sum,
+             |  CASE WHEN doc_id % 4 = 1
+             |    THEN CAST(32768 * n - 257 * coalesce(list_sum(cs), 0) AS BIGINT)
+             |    END AS aud_abs_sum,
+             |  CASE WHEN doc_id % 5 = 2
+             |    THEN CAST(coalesce(list_sum(list_transform([0, 2, 4, 6], fr ->
+             |      coalesce(list_sum(list_transform(list_filter(range(1, n + 1),
+             |        i -> (i - 1) >= (fr * n) // 8 AND (i - 1) < ((fr + 1) * n) // 8),
+             |        i -> 255 + (7 * cs[i]) % 256)), 0))), 0) AS BIGINT)
+             |    END AS vid_all_sum
+             |FROM mcodes ORDER BY doc_id""".stripMargin))
   )
 }
