@@ -260,6 +260,10 @@ import graft.operators.{Analytic, Bpe, Bridge, Clustering, Curation, CurationPip
   *            fields), decoded in one sparse pass touching only
   *            present attachments; all three codecs' stats and the
   *            null pattern under one oracle hash
+  *   q134     multimodal sequence packing: q58's two-phase prefix sum
+  *            (ONE shared packBins body) over interleaved-sample
+  *            token costs — text tokens + fixed per-modality token
+  *            budgets (the vision-token batching rule), budget 512
   */
 object SparkEntry {
 

@@ -30,6 +30,39 @@ object TextAnalysis {
   private def ratio(num: Column, den: Column): Column =
     num.cast("double") / den.cast("double")
 
+  /** The distributed concat-and-chunk bin bookkeeping shared by q58
+    * (text token costs) and q134 (multimodal token costs): a two-phase
+    * prefix sum — per-block windowed cumsum over a (doc_id, n_tok)
+    * frame + broadcast block offsets — NEVER a global-order
+    * single-partition window. The offsets window is single-partition
+    * BY DESIGN: it runs over the per-block totals (≤ #blocks rows),
+    * never over the corpus. At cluster scale block sizing comes from
+    * parquet column stats (max doc_id is a footer read, not a scan);
+    * local[32] uses 32 blocks.
+    */
+  private def packBins(d: DataFrame, budget: Int): DataFrame = {
+    val span = d.agg(max("doc_id")).head().getLong(0) + 1L
+    val block = math.max(1L, (span + 31) / 32)
+    val sized = d
+      .withColumn("pid", (col("doc_id") / lit(block)).cast("long"))
+      .repartition(col("pid"))
+    val pw = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ow = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy("pid").agg(sum("n_tok").as("ptot"))
+      .withColumn("poff", coalesce(sum("ptot").over(ow), lit(0L)))
+      .select("pid", "poff")
+    sized.join(broadcast(offsets), "pid")
+      .withColumn("cum",
+        coalesce(sum("n_tok").over(pw), lit(0L)) + col("poff"))
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"cum div $budget").as("first_bin"),
+        expr(s"(cum + n_tok - 1) div $budget").as("last_bin"),
+        (col("cum") % budget).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   // stopword-vote language markers: deliberately tiny dictionaries, one
   // regex scan per language in q31 (acceptable at 4 langs); q49 is the
   // broadcast-dictionary ONE-PASS form of the same computation, pinned
@@ -591,34 +624,11 @@ object TextAnalysis {
     //      is a footer read, not a scan); local[32] uses 32 blocks.
     QueryDef(
       "q58_sequence_pack",
-      (s, dir) => {
-        val budget = 16
-        val d = docs(s, dir)
+      (s, dir) => packBins(
+        docs(s, dir)
           .filter(trim(col("text")) =!= "")
-          .select(col("doc_id"), size(toks).as("n_tok"))
-        val span = d.agg(max("doc_id")).head().getLong(0) + 1L
-        val block = math.max(1L, (span + 31) / 32)
-        val sized = d
-          .withColumn("pid", (col("doc_id") / lit(block)).cast("long"))
-          .repartition(col("pid"))
-        val pw = Window.partitionBy("pid").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        // the offsets window is single-partition BY DESIGN: it runs over
-        // the per-block totals (≤ #blocks rows), never over the corpus
-        val ow = Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = sized.groupBy("pid").agg(sum("n_tok").as("ptot"))
-          .withColumn("poff", coalesce(sum("ptot").over(ow), lit(0L)))
-          .select("pid", "poff")
-        sized.join(broadcast(offsets), "pid")
-          .withColumn("cum",
-            coalesce(sum("n_tok").over(pw), lit(0L)) + col("poff"))
-          .select(col("doc_id"), col("n_tok"),
-            expr(s"cum div $budget").as("first_bin"),
-            expr(s"(cum + n_tok - 1) div $budget").as("last_bin"),
-            (col("cum") % budget).as("bin_offset"))
-          .orderBy("doc_id")
-      },
+          .select(col("doc_id"), size(toks).as("n_tok")),
+        budget = 16),
       Some("""WITH d AS (SELECT doc_id,
              |        len(string_split_regex(trim(text), '[ \t\n\f\r]+')) AS n_tok
              |      FROM documents WHERE trim(text) <> ''),
@@ -933,7 +943,47 @@ object TextAnalysis {
              |  SELECT doc_id, $BoilerplateFixtureSql AS markup FROM documents),
              |${boilerplateCtes("bp_m", "markup", "")}
              |SELECT doc_id, clean_text, n_lines, n_kept, n_short, n_link, n_stop
-             |FROM bp_docs ORDER BY doc_id""".stripMargin))
+             |FROM bp_docs ORDER BY doc_id""".stripMargin)),
+
+    /* MULTIMODAL sequence packing — q58's distributed two-phase
+     * prefix sum over the token cost of INTERLEAVED multimodal
+     * samples: a doc's context-window footprint is its text tokens
+     * plus a FIXED per-modality token budget for each attachment it
+     * carries (the vision-token model: an image maps to a constant
+     * number of patch tokens regardless of content — the LLaVA/
+     * Flamingo batching rule — here 64/32/128 for image/audio/video
+     * under q133's arrival moduli). Budget 512 so bins hold a few
+     * mixed samples. ONE packing body with q58 ([[packBins]]) — the
+     * bookkeeping cannot drift between the text and multimodal
+     * forms; only the cost column differs, and the oracle states the
+     * same cost arithmetic inline.
+     */
+    QueryDef(
+      "q134_multimodal_pack",
+      (s, dir) => packBins(
+        docs(s, dir)
+          .filter(trim(col("text")) =!= "")
+          .select(col("doc_id"),
+            (size(toks) +
+              when(col("doc_id") % 3 === 0, 64).otherwise(0) +
+              when(col("doc_id") % 4 === 1, 32).otherwise(0) +
+              when(col("doc_id") % 5 === 2, 128).otherwise(0)).as("n_tok")),
+        budget = 512),
+      Some("""WITH d AS (SELECT doc_id,
+             |        CAST(len(string_split_regex(trim(text), '[ \t\n\f\r]+'))
+             |          + CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END
+             |          + CASE WHEN doc_id % 4 = 1 THEN 32 ELSE 0 END
+             |          + CASE WHEN doc_id % 5 = 2 THEN 128 ELSE 0 END AS INT) AS n_tok
+             |      FROM documents WHERE trim(text) <> ''),
+             |c AS (SELECT doc_id, n_tok,
+             |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+             |      FROM d)
+             |SELECT doc_id, n_tok,
+             |  cum // 512 AS first_bin,
+             |  (cum + n_tok - 1) // 512 AS last_bin,
+             |  cum % 512 AS bin_offset
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   /** q120's markup fixture — ONE SQL text evaluated verbatim by BOTH

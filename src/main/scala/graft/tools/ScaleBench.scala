@@ -49,7 +49,12 @@ object ScaleBench {
     // boilerplate extraction: the native expression is per-row map-side
     // (the only exchange is the output sort), so the curve must track
     // the scan — rotation replicas give N× distinct markup fixtures
-    "q120_boilerplate_extract")
+    "q120_boilerplate_extract",
+    // the wide typed multimodal record: mint + sparse decode are both
+    // per-row mapPartitions (only the output sort exchanges), so the
+    // curve must track the scan; id shifts rotate the attachment
+    // moduli classes but every replica keeps the same subset mix
+    "q133_multimodal_records")
   // q121's fixed-K within-cell prune is deliberately NOT curved — the
   // q104/q113 adjudication verbatim: with K fixed, cell size grows with
   // the corpus and within-cell pairs are quadratic BY DESIGN (measured
