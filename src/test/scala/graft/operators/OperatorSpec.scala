@@ -157,6 +157,37 @@ class OperatorSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "block offsets must join back via broadcast")
   }
 
+  test("q134 multimodal packing replays sequentially and stays partitioned") {
+    // q58's semantic + plan pins on the MULTIMODAL cost form: the
+    // shared packBins body must produce the exact sequential cumsum of
+    // the attachment-aware token costs, and the corpus window must
+    // stay partitioned with the broadcast offsets join-back
+    val df = run("q134_multimodal_pack")
+    val rows = df.collect().sortBy(_.getAs[Long]("doc_id"))
+    var cum = 0L
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Int]("n_tok").toLong
+      assert(r.getAs[Long]("first_bin") == cum / 512, s"doc $id")
+      assert(r.getAs[Long]("last_bin") == (cum + n - 1) / 512, s"doc $id")
+      assert(r.getAs[Long]("bin_offset") == cum % 512, s"doc $id")
+      cum += n
+    }
+    assert(rows.nonEmpty && cum > 0)
+    // the modal budgets are genuinely load-bearing: an attachment doc
+    // must cost more than its text tokens alone
+    assert(rows.exists(r => r.getAs[Long]("doc_id") % 3 == 0 &&
+      r.getAs[Int]("n_tok") >= 64))
+    val plan = df.queryExecution.executedPlan
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "corpus cumsum must run in a PARTITIONED window")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "block offsets must join back via broadcast")
+  }
+
   test("q59 flags exactly the eval docs with a train-side LSH partner") {
     // recompose the query from its two building blocks' own outputs:
     // q44's split + q36's pairs must predict q59 row for row
