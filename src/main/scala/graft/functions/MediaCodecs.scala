@@ -31,6 +31,26 @@ object MediaCodecs {
   /** Row-side form of [[asciiOnly]] (same contract the encoders enforce). */
   def isAscii(text: String): Boolean = text.forall(_ <= 127)
 
+  /** Pipeline-level bad-record policy over the strict codecs: decode →
+    * `Either`, so ONE malformed container quarantines ONE attachment
+    * (with the decoder's own failure message as the reason evidence)
+    * instead of killing a 100-TB run — the missing piece between
+    * "codecs fail fast per ATTACHMENT" and "a curation job survives
+    * scraped media". Only [[IllegalArgumentException]] — the codecs'
+    * stated contract-violation channel (every `fail` in this file) —
+    * is quarantinable; any other throwable (an engine bug, OOM) still
+    * propagates, because swallowing those would hide real failures as
+    * data quality. The strict codecs themselves stay fail-fast: that
+    * is the right default when a caller has NOT stated a policy (the
+    * reference validates per row and aborts loudly — prepare.py:57-59);
+    * this wrapper IS the stated policy, applied at the pipeline seams
+    * (q135's ingest stage, the multimodal curation sink's decode leg).
+    */
+  def quarantining[T](decode: Array[Byte] => T): Array[Byte] => Either[String, T] =
+    bytes =>
+      try Right(decode(bytes))
+      catch { case e: IllegalArgumentException => Left(e.getMessage) }
+
   /** The synthetic payloads are minted "one pixel / one sample per
     * CHARACTER", and the DuckDB oracle recomputes the expected stats
     * with code-point functions (`unicode(substr(..))`, `len`). JVM-side
@@ -193,8 +213,14 @@ object MediaCodecs {
       * frame's index and payload SLICE to `f` — or, when `f` returns
       * false for an index, SKIPS the payload by its declared length
       * without reading it. Overruns and trailing garbage fail loudly.
+      * `expectCount` pins the declared frame count BEFORE any frame is
+      * touched: feature consumers are dimensioned on the count (3 longs
+      * per sampled frame), so a container whose count differs from the
+      * trained geometry must fail here, not surface as a
+      * wrong-dimension vector that null-taints a zip_with distance
+      * downstream.
       */
-    private def walkFrames(bytes: Array[Byte])(
+    private def walkFrames(bytes: Array[Byte], expectCount: Option[Int] = None)(
         wanted: Int => Boolean)(f: (Int, Array[Byte]) => Unit): Int = {
       def fail(msg: String): Nothing =
         throw new IllegalArgumentException(s"GVID: $msg")
@@ -204,6 +230,9 @@ object MediaCodecs {
       if (new String(magic, "US-ASCII") != "GVID") fail("bad magic (want GVID)")
       val count = bb.getInt
       if (count < 0 || count > 65536) fail(s"implausible frame count $count")
+      expectCount.foreach { e =>
+        if (count != e) fail(s"frame count $count != expected $e")
+      }
       var k = 0
       while (k < count) {
         if (bb.remaining() < 4) fail(s"truncated at frame $k header")
@@ -231,12 +260,21 @@ object MediaCodecs {
       * across frames (temporal) AND channel-structured within a frame
       * (spatial transforms change g/b sums) — a genuinely distinct
       * feature class from q119's histograms and q126's envelope.
+      *
+      * The declared frame count is pinned to [[Frames]] BEFORE any
+      * frame is decoded: the output's dimensionality is
+      * (count/stride)·3, and every consumer (the Lloyd centroids, the
+      * frozen-cell assignment) is trained at [[Frames]]=8 → 12 dims —
+      * a container with a different count must fail loudly here, not
+      * ship a wrong-dimension vector whose zip_with distance
+      * null-taints into an arbitrary cluster assignment.
       */
     def decodeSampledSums(bytes: Array[Byte], stride: Int = 2): Array[Long] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      walkFrames(bytes)(k => k % stride == 0) { (_, payload) =>
-        val img = PpmCodec.decode(payload)
-        out += img.sumR; out += img.sumG; out += img.sumB
+      walkFrames(bytes, expectCount = Some(Frames))(k => k % stride == 0) {
+        (_, payload) =>
+          val img = PpmCodec.decode(payload)
+          out += img.sumR; out += img.sumG; out += img.sumB
       }
       out.toArray
     }

@@ -562,18 +562,20 @@ object Clustering {
        |ORDER BY batch_no, vec_id""".stripMargin
   }
 
-  /** The modal maintenance loop q125 (image) and q127 (audio) share —
-    * q116's proof structure over any exact-integer feature frame
-    * (vec_id, `featCol`), certifying the per-micro-batch path of the
-    * matching ingest sink: freeze cells learned on the HISTORY
-    * slice's decoded features (Lloyd over exact integers — no
-    * quantization step), build the bucketed assignment index over
-    * history, probe ingest batch 1 for within-cell duplicates
-    * (admitted-history leg + within-batch keep-first), append ONLY
-    * the admitted rows, probe batch 2 — whose history now includes
-    * batch 1's representatives. The assignment and probe halves are
-    * [[ClusterIndex.assignImageBatch]]/[[ClusterIndex
-    * .assignAudioBatch]] (one shared body) and [[ClusterIndex
+  /** The modal maintenance loop q125 (image), q127 (audio) and q130
+    * (video) share — q116's proof structure over any exact-integer
+    * feature frame (vec_id, `featCol`), certifying the
+    * per-micro-batch path of the matching ingest sink: freeze cells
+    * learned on the HISTORY slice's decoded features (Lloyd over
+    * exact integers — no quantization step), build the bucketed
+    * assignment index over history, probe ingest batch 1 for
+    * within-cell duplicates (admitted-history leg + within-batch
+    * keep-first), append ONLY the admitted rows, probe batch 2 —
+    * whose history now includes batch 1's representatives. The
+    * assignment and probe halves are [[ClusterIndex
+    * .assignImageBatch]]/[[ClusterIndex.assignAudioBatch]]/
+    * [[ClusterIndex.assignVideoBatch]] (one shared body,
+    * exhaustively dispatched on `featCol`) and [[ClusterIndex
     * .probeVerdicts]], the exact functions the streaming sinks call,
     * so certifying this loop certifies the sink (the q116 ≡
     * ClusterIndexSink discipline). The decode pass is paid ONCE
@@ -593,10 +595,15 @@ object Clustering {
     def slice(lo: Int, hi: Int) =
       feats.filter(col("bucket") >= lo && col("bucket") < hi)
         .select("vec_id", featCol)
+    // exhaustive dispatch: an unknown feature column must fail loudly,
+    // never silently train and probe through another modality's path
     def assignB(b: DataFrame, cents: DataFrame): DataFrame = featCol match {
+      case "hist"  => ClusterIndex.assignImageBatch(b, cents)
       case "env"   => ClusterIndex.assignAudioBatch(b, cents)
       case "vfeat" => ClusterIndex.assignVideoBatch(b, cents)
-      case _       => ClusterIndex.assignImageBatch(b, cents)
+      case other => throw new IllegalArgumentException(
+        s"modalMaintenanceLoop: unknown feature column '$other' " +
+          "(want hist | env | vfeat)")
     }
     val hist = slice(0, 200)
     val cents = lloydCentroids(
@@ -631,7 +638,8 @@ object Clustering {
     * bucketing, the SAME unrolled Lloyd generator over the history
     * slice at the modality's dims, and the SAME admitted-history tail
     * text as q116 ([[maintTailCtes]] — the admission semantics cannot
-    * drift between the embedding, image, and audio modalities).
+    * drift between the embedding, image, audio, and video
+    * modalities).
     */
   private def modalMaintOracle(featureCtes: String, featFrom: String,
       dims: Int): String =

@@ -176,6 +176,7 @@ object CurationPipeline {
   private def chain(s: SparkSession, dir: String,
       withImages: Boolean, withAudio: Boolean = false,
       withVideo: Boolean = false): DataFrame = {
+    requireLadder(withImages, withAudio, withVideo)
     graft.functions.GraftFunctions.register(s)
     // entering lake mode: reclaim `.build-<pid>` temp siblings a
     // CRASHED prior run left under the stage root (the janitor's
@@ -366,8 +367,26 @@ object CurationPipeline {
     * [[Clustering.afCte]] at dims=24) restricted to attachment-bearing
     * docs, so the image stage cannot drift from the standalone query.
     */
+  /** Only the capstone LADDER q115 ⊂ q123 ⊂ q128 ⊂ q131 is coherent:
+    * the stage wiring is cumulative (s2a selects FROM s2i's survivor
+    * set, s2v from s2a's) and [[oracleFor]]'s CTE chain hard-codes the
+    * same nesting — an off-ladder combination (video without audio,
+    * audio without images) would run a chain its oracle text does not
+    * describe and silently diverge. Shared by [[chain]] and
+    * [[oracleFor]] so neither side can accept a rung the other
+    * rejects.
+    */
+  private def requireLadder(withImages: Boolean, withAudio: Boolean,
+      withVideo: Boolean): Unit = {
+    require(!withAudio || withImages,
+      "capstone ladder: withAudio requires withImages (q115⊂q123⊂q128⊂q131)")
+    require(!withVideo || withAudio,
+      "capstone ladder: withVideo requires withAudio (q115⊂q123⊂q128⊂q131)")
+  }
+
   private def oracleFor(withImages: Boolean,
       withAudio: Boolean = false, withVideo: Boolean = false): String = {
+    requireLadder(withImages, withAudio, withVideo)
     val s0 =
       "s0 AS MATERIALIZED (SELECT doc_id, text, lang, source FROM documents\n" +
         s"       WHERE ${Dedup.BucketSql} < 250)"

@@ -143,6 +143,57 @@ object Multimodal {
     }
   }
 
+  /** Attachments that arrive CORRUPTED under [[mintWide]]'s poison
+    * rule — deliberate, deterministic, and known to the oracle by
+    * construction. The rule is PER MODALITY (image corrupt iff
+    * doc_id % 7 = 3, audio iff % 7 = 5, video iff % 7 = 6) so docs
+    * carrying BOTH a corrupt and a healthy attachment exist — the
+    * shape that proves quarantine is per attachment, never per doc.
+    * Poisoning flips the first payload byte to 'X', which kills each
+    * codec's magic check: the cheapest corruption that is still REAL
+    * (the decoder genuinely parses poisoned bytes and throws its own
+    * contract error).
+    */
+  val CorruptMod = 7L
+  val CorruptImgRem = 3L
+  val CorruptAudRem = 5L
+  val CorruptVidRem = 6L
+
+  private def poison(b: Array[Byte]): Array[Byte] = {
+    val c = b.clone(); c(0) = 'X'.toByte; c
+  }
+
+  /** ONE minting body for the wide multimodal record — q133 (clean),
+    * q135 (deliberately corrupted), and the curation-sink fixtures all
+    * arrive through it, so the arrival moduli (image %3=0, audio %4=1,
+    * video %5=2) and the corruption rule cannot drift between the
+    * batch queries and the stream. Minting is per-row mapPartitions
+    * (codec init amortized per batch); corruption poisons the ENCODED
+    * bytes, so downstream decoders face genuinely malformed containers,
+    * not a flag.
+    */
+  private[graft] def mintWide(s: SparkSession, docs: DataFrame,
+      corrupt: Boolean): org.apache.spark.sql.Dataset[MultimodalRecord] = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          def mint(enc: String => Array[Byte], rem: Long): Array[Byte] = {
+            val b = enc(text)
+            if (corrupt && id % CorruptMod == rem) poison(b) else b
+          }
+          MultimodalRecord(id, text,
+            if (id % 3 == 0)
+              Some(mint(MediaCodecs.PpmCodec.encode, CorruptImgRem)) else None,
+            if (id % 4 == 1)
+              Some(mint(MediaCodecs.WavCodec.encode, CorruptAudRem)) else None,
+            if (id % 5 == 2)
+              Some(mint(MediaCodecs.VideoCodec.encode, CorruptVidRem)) else None)
+        }
+      }
+  }
+
   /** The q119 image-feature derivation as oracle CTE text — PPM
     * pixels re-derived from the CHARACTERS through the minting codec's
     * closed form (pixel r = code, g = 255-code, b = 7*code mod 256 —
@@ -375,17 +426,7 @@ object Multimodal {
       "q133_multimodal_records",
       (s, dir) => {
         import s.implicits._
-        val recs: org.apache.spark.sql.Dataset[MultimodalRecord] =
-          Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-            .as[(Long, String)]
-            .mapPartitions { it =>
-              it.map { case (id, text) =>
-                MultimodalRecord(id, text,
-                  if (id % 3 == 0) Some(MediaCodecs.PpmCodec.encode(text)) else None,
-                  if (id % 4 == 1) Some(MediaCodecs.WavCodec.encode(text)) else None,
-                  if (id % 5 == 2) Some(MediaCodecs.VideoCodec.encode(text)) else None)
-              }
-            }
+        val recs = mintWide(s, Tables(s, dir, "documents"), corrupt = false)
         recs.mapPartitions { it =>
           it.map { r =>
             val img = r.image.map(MediaCodecs.PpmCodec.decode)
@@ -419,6 +460,96 @@ object Multimodal {
              |        i -> (i - 1) >= (fr * n) // 8 AND (i - 1) < ((fr + 1) * n) // 8),
              |        i -> 255 + (7 * cs[i]) % 256)), 0))), 0) AS BIGINT)
              |    END AS vid_all_sum
+             |FROM mcodes ORDER BY doc_id""".stripMargin)),
+
+    /* The QUARANTINE policy for corrupt attachments — the bad-record
+     * stage a 100-TB ingest places in front of every modal estate.
+     * q133's wide record arrives with DELIBERATELY corrupted
+     * attachments ([[mintWide]]'s PER-MODALITY poison rule: the image
+     * corrupt iff doc_id % 7 = 3, the audio iff % 7 = 5, the video iff
+     * % 7 = 6 — first byte flipped, killing each codec's magic check,
+     * and the per-modality classes mean docs carrying both a corrupt
+     * AND a healthy attachment exist), and each present attachment is
+     * decoded
+     * through [[graft.functions.MediaCodecs.quarantining]]: a corrupt
+     * attachment is DIVERTED — per-modality ok flag false, the
+     * decoder's OWN failure message as the reason column, stats null —
+     * while the doc's OTHER modalities are still processed and the doc
+     * keeps flowing (the stated rule: quarantine is per ATTACHMENT,
+     * never per doc, never per job). n_quarantined counts the doc's
+     * diverted attachments. The oracle knows the corrupt ids by
+     * construction and re-derives the healthy stats through the three
+     * closed forms, so the poison rule, the Either seam, the reason
+     * strings (the decoders' real messages, not re-derived constants),
+     * and the sparse null pattern are all under one hash. QuarantineSpec
+     * pins the job-survival claim on more corruption classes
+     * (truncation, size-field lies) and that the strict codecs still
+     * fail loudly when called directly.
+     */
+    QueryDef(
+      "q135_quarantine_decode",
+      (s, dir) => {
+        import s.implicits._
+        val safeImg = MediaCodecs.quarantining(MediaCodecs.PpmCodec.decode)
+        val safeAud = MediaCodecs.quarantining(MediaCodecs.WavCodec.decode)
+        val safeVid = MediaCodecs.quarantining(
+          MediaCodecs.VideoCodec.decodeSampledSums(_))
+        mintWide(s, Tables(s, dir, "documents"), corrupt = true)
+          .mapPartitions { it =>
+            it.map { r =>
+              val img = r.image.map(safeImg)
+              val aud = r.audio.map(safeAud)
+              val vid = r.video.map(safeVid)
+              (r.doc_id,
+                r.image.isDefined, r.audio.isDefined, r.video.isDefined,
+                img.map(_.isRight), aud.map(_.isRight), vid.map(_.isRight),
+                img.flatMap(_.left.toOption), aud.flatMap(_.left.toOption),
+                vid.flatMap(_.left.toOption),
+                img.flatMap(_.toOption).map(_.sumR),
+                aud.flatMap(_.toOption).map(_.sumAbs),
+                vid.flatMap(_.toOption).map(_.sum),
+                Seq(img, aud, vid).flatten.count(_.isLeft))
+            }
+          }
+          .toDF("doc_id", "has_image", "has_audio", "has_video",
+            "img_ok", "aud_ok", "vid_ok",
+            "img_reason", "aud_reason", "vid_reason",
+            "img_r_sum", "aud_abs_sum", "vid_all_sum", "n_quarantined")
+          .orderBy("doc_id")
+      },
+      Some("""WITH mcodes AS (
+             |  SELECT doc_id, len(text) AS n,
+             |    list_transform(range(1, len(text) + 1),
+             |      i -> unicode(substr(text, i, 1))) AS cs
+             |  FROM documents)
+             |SELECT doc_id,
+             |  doc_id % 3 = 0 AS has_image,
+             |  doc_id % 4 = 1 AS has_audio,
+             |  doc_id % 5 = 2 AS has_video,
+             |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 <> 3 END AS img_ok,
+             |  CASE WHEN doc_id % 4 = 1 THEN doc_id % 7 <> 5 END AS aud_ok,
+             |  CASE WHEN doc_id % 5 = 2 THEN doc_id % 7 <> 6 END AS vid_ok,
+             |  CASE WHEN doc_id % 3 = 0 AND doc_id % 7 = 3
+             |    THEN 'PPM: bad magic (want P6) at byte 0' END AS img_reason,
+             |  CASE WHEN doc_id % 4 = 1 AND doc_id % 7 = 5
+             |    THEN 'WAV: bad magic (want RIFF)' END AS aud_reason,
+             |  CASE WHEN doc_id % 5 = 2 AND doc_id % 7 = 6
+             |    THEN 'GVID: bad magic (want GVID)' END AS vid_reason,
+             |  CASE WHEN doc_id % 3 = 0 AND doc_id % 7 <> 3
+             |    THEN CAST(coalesce(list_sum(cs), 0) AS BIGINT) END AS img_r_sum,
+             |  CASE WHEN doc_id % 4 = 1 AND doc_id % 7 <> 5
+             |    THEN CAST(32768 * n - 257 * coalesce(list_sum(cs), 0) AS BIGINT)
+             |    END AS aud_abs_sum,
+             |  CASE WHEN doc_id % 5 = 2 AND doc_id % 7 <> 6
+             |    THEN CAST(coalesce(list_sum(list_transform([0, 2, 4, 6], fr ->
+             |      coalesce(list_sum(list_transform(list_filter(range(1, n + 1),
+             |        i -> (i - 1) >= (fr * n) // 8 AND (i - 1) < ((fr + 1) * n) // 8),
+             |        i -> 255 + (7 * cs[i]) % 256)), 0))), 0) AS BIGINT)
+             |    END AS vid_all_sum,
+             |  CAST((CASE WHEN doc_id % 3 = 0 AND doc_id % 7 = 3 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN doc_id % 4 = 1 AND doc_id % 7 = 5 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN doc_id % 5 = 2 AND doc_id % 7 = 6 THEN 1 ELSE 0 END)
+             |    AS INT) AS n_quarantined
              |FROM mcodes ORDER BY doc_id""".stripMargin))
   )
 }
