@@ -21,13 +21,19 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   *    rename — the connector emulates it as copy+delete, so the rename
   *    step loses its atomicity. The protocols here remain CORRECT on
   *    such stores because validity never rests on the rename alone:
-  *    every publish writes its freshness marker (`_GRAFT_FP` /
-  *    `_GRAFT_DONE`) LAST, and readers treat a missing or mismatched
-  *    marker as "no artifact" — a torn copy is indistinguishable from
-  *    an unfinished build and is rebuilt, never served. What object
-  *    stores lose is only rename SPEED (copy cost ∝ artifact size) and
-  *    last-writer-wins on concurrent publishes of the same generation
-  *    (benign: builds are idempotent, same input → same artifact). A
+  *    the freshness marker (`_GRAFT_FP` / `_GRAFT_DONE`) is NEVER part
+  *    of the renamed tree — publishers write it at the DESTINATION,
+  *    strictly after the publish — so marker-last holds even when the
+  *    "rename" is a connector-internal copy that moves files in
+  *    arbitrary order, and readers treat a missing or mismatched
+  *    marker as "no artifact": a torn copy is indistinguishable from
+  *    an unfinished build and is rebuilt, never served (LakeSpec
+  *    proves this against a hostile rename-as-unordered-torn-copy
+  *    filesystem). What object stores lose is only rename SPEED (copy
+  *    cost ∝ artifact size) and last-writer-wins on concurrent
+  *    publishes of the same generation (benign: builds are
+  *    idempotent, same input → same artifact; the marker-after-publish
+  *    window adds at most a redundant same-generation rebuild). A
   *    production deployment at that layer should swap the directory
   *    publish for a table format's atomic snapshot commit; the marker
   *    discipline here is the same contract expressed with files.
@@ -109,6 +115,25 @@ object Lake {
     val p = new HPath(path)
     val f = fs(p)
     if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** Bounded wait for a marker file to carry the expected content —
+    * the LOSER's side of a publish race under the marker-after-publish
+    * protocol: the winner writes its marker right AFTER the rename
+    * (marker-last, at the destination), so a loser that just observed
+    * the rename failure may be reading a beat before the winner's
+    * marker lands. ~1 s worst case; false means the survivor really
+    * is not this generation.
+    */
+  def awaitMarker(path: String, expect: String, attempts: Int = 40,
+      sleepMs: Long = 25): Boolean = {
+    var i = 0
+    while (i < attempts) {
+      if (exists(path) && readString(path).trim == expect.trim) return true
+      i += 1
+      if (i < attempts) Thread.sleep(sleepMs)
+    }
+    false
   }
 
   /** Publish `src` as `dst` without overwrite — the temp-sibling

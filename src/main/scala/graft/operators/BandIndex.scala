@@ -145,9 +145,8 @@ object BandIndex {
     val fp = IndexCommit.readFp(path)
     val before = spark.table(name).count()
     val rows = spark.table(name).distinct().localCheckpoint(true)
-    IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+    IndexCommit.commitBuild(spark, name, path, fp) { (tn, tp) =>
       writeIndexRows(spark, rows, tn, tp)
-      fp.foreach(IndexCommit.writeFp(tp, _))
     }
     register(spark, name, path)
     (before, spark.table(name).count())
@@ -200,9 +199,8 @@ object BandIndex {
         .select("doc_id", "text")
       // build into a temp sibling + atomic publish ([[IndexCommit]]) so
       // a concurrent process never observes a half-built index
-      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+      IndexCommit.commitBuild(spark, name, path, Some(fp)) { (tn, tp) =>
         buildIndex(spark, hist, tn, tp)
-        IndexCommit.writeFp(tp, fp)
       }
       register(spark, name, path)
       name

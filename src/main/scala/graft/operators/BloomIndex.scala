@@ -80,7 +80,7 @@ object BloomIndex {
       // a concurrent process never observes a half-built index; table,
       // _BLOOM sidecar, and fingerprint land together, the rename IS
       // the commit marker
-      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+      IndexCommit.commitBuild(spark, name, path, Some(fp)) { (tn, tp) =>
         bench.repartition(NumBuckets, col("sh"))
           .write.format("parquet")
           .bucketBy(NumBuckets, "sh")
@@ -95,7 +95,6 @@ object BloomIndex {
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         Lake.writeBytes(tp.resolve("_BLOOM").toString, bos.toByteArray)
-        IndexCommit.writeFp(tp, fp)
       }
       register(spark, name, path)
       name

@@ -77,7 +77,7 @@ object ClusterIndex {
       if (spark.catalog.tableExists(name) && validOnDisk) name
       else if (validOnDisk) { register(spark, name, path); name }
       else {
-        IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+        IndexCommit.commitBuild(spark, name, path, Some(fp)) { (tn, tp) =>
           val (cents, full) = artifacts
           full
             .repartition(NumBuckets, col("cid"))
@@ -88,7 +88,6 @@ object ClusterIndex {
             .saveAsTable(tn)
           cents.coalesce(1).write.mode("overwrite")
             .parquet(tp.resolve("_CENTROIDS").toString)
-          IndexCommit.writeFp(tp, fp)
         }
         register(spark, name, path)
         name

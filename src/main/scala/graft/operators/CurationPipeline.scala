@@ -67,10 +67,12 @@ object CurationPipeline {
     *    scale (no files, no restartability; a crashed run restarts
     *    from zero).
     *  - LAKE MODE ([[stageDir]] set): each stage frame is written as a
-    *    GENERATION SNAPSHOT — parquet data + a `_GRAFT_DONE` marker
-    *    carrying the corpus fingerprint, temp-sibling build + atomic
-    *    rename (the [[IndexCommit]] publish discipline) — and read
-    *    back. A rerun finds a marker whose fingerprint matches the
+    *    GENERATION SNAPSHOT — parquet data via temp-sibling build +
+    *    rename, then a `_GRAFT_DONE` marker carrying the corpus
+    *    fingerprint written at the destination strictly LAST (the
+    *    [[IndexCommit]] publish discipline: the marker never rides
+    *    inside the renamed tree, so a torn copy-emulated rename can
+    *    never read as valid) — and read back. A rerun finds a marker whose fingerprint matches the
     *    live corpus and RESUMES from the snapshot without recomputing
     *    the stage; a corpus regeneration stales every marker at once.
     *    This is the 100-TB shape: a crashed 8-stage run over 100 TB
@@ -100,15 +102,21 @@ object CurationPipeline {
           Lake.deleteTree(tmp)
           Lake.mkdirs(tmp)
           df.write.mode("overwrite").parquet(s"$tmp/data")
-          // marker written LAST: a half-written snapshot reads as
-          // absent, never as valid
-          Lake.writeString(s"$tmp/_GRAFT_DONE", fp)
           Lake.deleteTree(p)
-          if (!Lake.publishDir(tmp, p)) {
+          if (Lake.publishDir(tmp, p))
+            // marker written LAST, at the DESTINATION — never part of
+            // the renamed tree, so even a copy-emulated (object-store)
+            // rename cannot reorder it ahead of the data: a torn or
+            // crashed publish leaves no marker and reads as absent,
+            // never as valid (IndexCommit.commitBuild's rule; LakeSpec
+            // proves it against a hostile non-atomic rename)
+            Lake.writeString(marker, fp)
+          else {
             // lost a concurrent publish race: benign only if the
-            // winner wrote the same generation (IndexCommit's rule)
-            val benign = Lake.exists(marker) &&
-              Lake.readString(marker).trim == fp
+            // winner wrote the same generation (IndexCommit's rule;
+            // bounded wait — the winner's marker lands just after its
+            // rename)
+            val benign = Lake.awaitMarker(marker, fp)
             Lake.deleteTree(tmp)
             if (!benign) throw new java.io.IOException(
               s"stage snapshot publish of $tmp as $p failed and the " +
@@ -175,8 +183,15 @@ object CurationPipeline {
     */
   private def chain(s: SparkSession, dir: String,
       withImages: Boolean, withAudio: Boolean = false,
-      withVideo: Boolean = false): DataFrame = {
+      withVideo: Boolean = false,
+      modalCells: Option[Int] = None): DataFrame = {
     requireLadder(withImages, withAudio, withVideo)
+    // knob-mode stage frames are NOT the generation the lake snapshots
+    // are fingerprinted on (the fingerprint hashes the fixed-K oracle
+    // text) — mixing them would resume wrong frames; fail loudly
+    require(modalCells.isEmpty || stageDir.isEmpty,
+      "quadmodalKnob cannot run in lake mode (snapshot fingerprints " +
+        "describe the fixed-K oracle generation)")
     graft.functions.GraftFunctions.register(s)
     // entering lake mode: reclaim `.build-<pid>` temp siblings a
     // CRASHED prior run left under the stage root (the janitor's
@@ -261,9 +276,20 @@ object CurationPipeline {
     // within-cell self-join stays exchange-free (q113's shape,
     // MultimodalCurationSpec pins read-never-rebuilt), and the
     // doc-level join-back is one narrow equi-join.
+    // the modal verdict SOURCE: the persisted fixed-K assignment index
+    // (the oracle-gated form), or — knob mode ([[quadmodalKnob]]) —
+    // hash cells ∝ corpus over the same decoded features; the stage
+    // wiring below is identical either way
+    def modalFull(ensured: => String,
+        feats: => DataFrame, featCol: String): DataFrame =
+      modalCells match {
+        case None    => s.table(ensured)
+        case Some(c) => Clustering.modalKnobFrame(feats, featCol, c)
+      }
     val base = if (!withImages) s2 else {
       val imgVerdicts = Clustering.semdedupFrom(
-        s.table(ClusterIndex.ensureImage(s, dir))
+        modalFull(ClusterIndex.ensureImage(s, dir),
+          Clustering.imageFeatures(s, dir), "hist")
           .filter(col("vec_id") % 3 === 0))
         .select(col("vec_id").as("doc_id"), col("kept").as("img_kept"))
       pinStage("s2i")(s2.join(imgVerdicts, Seq("doc_id"), "left")
@@ -281,7 +307,8 @@ object CurationPipeline {
     // through the third modality.
     val base2 = if (!withAudio) base else {
       val audVerdicts = Clustering.semdedupFrom(
-        s.table(ClusterIndex.ensureAudio(s, dir))
+        modalFull(ClusterIndex.ensureAudio(s, dir),
+          Clustering.audioFeatures(s, dir), "env")
           .filter(col("vec_id") % 4 === 1))
         .select(col("vec_id").as("doc_id"), col("kept").as("aud_kept"))
       pinStage("s2a")(base.join(audVerdicts, Seq("doc_id"), "left")
@@ -296,7 +323,8 @@ object CurationPipeline {
     // filter pushes into the bucketed scan).
     val base3 = if (!withVideo) base2 else {
       val vidVerdicts = Clustering.semdedupFrom(
-        s.table(ClusterIndex.ensureVideo(s, dir))
+        modalFull(ClusterIndex.ensureVideo(s, dir),
+          Clustering.videoFeatures(s, dir), "vfeat")
           .filter(col("vec_id") % 5 === 2))
         .select(col("vec_id").as("doc_id"), col("kept").as("vid_kept"))
       pinStage("s2v")(base2.join(vidVerdicts, Seq("doc_id"), "left")
@@ -541,6 +569,21 @@ object CurationPipeline {
       else Seq(s0, s0m, s1, s2, s3, s4, s5, s6)
     stages.mkString("WITH ", ",\n", "\n") + fin
   }
+
+  /** The q131 capstone in the PRODUCTION scale regime — the ScaleBench
+    * knob curve's entry ([[Clustering.semdedupKnob]]'s device at the
+    * capstone layer): the SAME chain body as q131, with each modal
+    * prune served from hash cells ∝ corpus (cell size bounded) over
+    * the same decoded features, instead of the fixed-K persisted
+    * index. The fixed-K form stays the oracle-gated query (its Lloyd
+    * constants are baked into the DuckDB oracle); this form is what a
+    * 100-TB deployment runs, and the curve proves the composed modal
+    * marginal cost stays sublinear as the corpus grows.
+    */
+  private[graft] def quadmodalKnob(s: SparkSession, dir: String,
+      cells: Int): DataFrame =
+    chain(s, dir, withImages = true, withAudio = true, withVideo = true,
+      modalCells = Some(cells))
 
   private def oracle: String = oracleFor(withImages = false)
   private def oracle123: String = oracleFor(withImages = true)

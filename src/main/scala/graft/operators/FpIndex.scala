@@ -124,7 +124,7 @@ object FpIndex {
     val fp = IndexCommit.readFp(path)
     val before = spark.table(name).count()
     val rows = spark.table(name).distinct().localCheckpoint(true)
-    IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+    IndexCommit.commitBuild(spark, name, path, fp) { (tn, tp) =>
       rows
         .repartition(NumBuckets, col("h"))
         .write.format("parquet")
@@ -132,7 +132,6 @@ object FpIndex {
         .sortBy("h")
         .option("path", tp.toString)
         .saveAsTable(tn)
-      fp.foreach(IndexCommit.writeFp(tp, _))
     }
     register(spark, name, path)
     val after = spark.table(name).count()
@@ -205,11 +204,10 @@ object FpIndex {
     else {
       // build into a temp sibling + atomic publish ([[IndexCommit]]) so
       // a concurrent process never observes a half-built index
-      IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+      IndexCommit.commitBuild(spark, name, path, Some(fp)) { (tn, tp) =>
         buildIndex(spark,
           graft.core.Tables(spark, dir, "documents").select("doc_id", "text"),
           tn, tp)
-        IndexCommit.writeFp(tp, fp)
       }
       register(spark, name, path)
       name

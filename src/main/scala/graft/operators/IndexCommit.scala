@@ -106,12 +106,28 @@ object IndexCommit {
     Lake.writeString(s"${path.toString}/_GRAFT_FP", fp)
 
   /** Run `build(tmpName, tmpPath)` — which must write the bucketed
-    * table AS `tmpName` at `tmpPath` plus all sidecars INCLUDING
-    * `_GRAFT_FP` — then atomically publish `tmpPath` as `path`. The
+    * table AS `tmpName` at `tmpPath` plus all data sidecars — then
+    * publish `tmpPath` as `path` and write the `_GRAFT_FP` marker (for
+    * builds that carry one) at the DESTINATION, strictly LAST. The
     * caller re-registers its real table name afterwards.
+    *
+    * The marker is deliberately NOT part of the renamed tree: on a
+    * store whose directory rename is emulated as copy+delete (S3/GCS
+    * connectors), the copy may move files in any order — a marker
+    * riding inside the tree could land before the data, making a TORN
+    * copy read as a valid artifact. Written at the destination after
+    * the publish, marker-last holds on EVERY store: a torn or
+    * crashed publish leaves no marker and reads as "no artifact",
+    * rebuilt, never served ([[graft.LakeSpec]] proves it against a
+    * hostile non-atomic-rename filesystem). The cost is a short
+    * published-but-unmarked window in which a concurrent `ensure`
+    * reads "stale" and starts a redundant rebuild of the same
+    * generation — benign (builds are idempotent; last writer wins,
+    * the documented object-store caveat), and the losing publisher's
+    * benign-race check below waits out the winner's marker write.
     */
-  def commitBuild(spark: SparkSession, name: String, path: Path)
-      (build: (String, Path) => Unit): Unit = {
+  def commitBuild(spark: SparkSession, name: String, path: Path,
+      fp: Option[String])(build: (String, Path) => Unit): Unit = {
     val tmpPath = Paths.get(
       path.toString + ".build-" + ProcessHandle.current().pid())
     val tmpName = name + "_building"
@@ -122,7 +138,9 @@ object IndexCommit {
     // catalog entry leaves the files for the rename
     spark.sql(s"DROP TABLE IF EXISTS `$tmpName`")
     deleteTree(path)
-    if (!Lake.publishDir(tmpPath.toString, path.toString)) {
+    if (Lake.publishDir(tmpPath.toString, path.toString))
+      fp.foreach(writeFp(path, _)) // marker LAST, at the destination
+    else {
       // only a CONCURRENT PUBLISH is benign (the winner's idempotent
       // build is byte-equivalent — discard the temp). "Target has a
       // _GRAFT_FP" alone is NOT proof of that: a partial deleteTree
@@ -130,9 +148,11 @@ object IndexCommit {
       // OLD fingerprint intact, and swallowing that would silently
       // serve the stale index. Benign requires the surviving marker
       // to carry the SAME fingerprint this build was publishing —
-      // only a concurrent builder of the same generation writes that.
-      val ours = readFp(tmpPath)
-      val benign = ours.isDefined && readFp(path) == ours
+      // only a concurrent builder of the same generation writes that
+      // (bounded wait: the winner's marker lands just after its
+      // rename).
+      val benign = fp.exists(f =>
+        Lake.awaitMarker(s"${path.toString}/_GRAFT_FP", f))
       deleteTree(tmpPath)
       if (!benign) throw new java.io.IOException(
         s"publish of $tmpPath as $path failed and the surviving target " +

@@ -220,9 +220,8 @@ object PostingsIndex {
         // postings table AND sidecar v=0 land together, the rename is
         // the commit, so a concurrent process never observes a
         // half-built index
-        IndexCommit.commitBuild(spark, name, path) { (tn, tp) =>
+        IndexCommit.commitBuild(spark, name, path, Some(fp)) { (tn, tp) =>
           buildIndex(spark, dir, tn, tp)
-          IndexCommit.writeFp(tp, fp)
         }
         register(spark, name, path)
       } else if (!spark.catalog.tableExists(name)) {
