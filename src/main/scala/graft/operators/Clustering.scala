@@ -366,6 +366,24 @@ object Clustering {
     semdedupFrom(full)
   }
 
+  /** [[semdedupKnob]]'s hash-cell device over an exact-INTEGER feature
+    * frame (vec_id, `featCol`) — the scale-curve form of the MODAL
+    * assignment frames: cells ∝ corpus by deterministic hash so cell
+    * SIZE stays bounded as the knob tracks the corpus (the production
+    * regime the fixed-K modal indexes deliberately do not measure; the
+    * q104/q113 adjudication at the image/audio/video layers). Feeds
+    * [[semdedupFrom]] exactly like the persisted `ensure*` tables do,
+    * so the capstone knob curve ([[CurationPipeline.quadmodalKnob]])
+    * swaps only the verdict SOURCE, never the stage wiring.
+    */
+  private[graft] def modalKnobFrame(feats: DataFrame, featCol: String,
+      cells: Int): DataFrame =
+    feats.select(col("vec_id"),
+        transform(col(featCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("cid", pmod(xxhash64(col("vec_id")), lit(cells.toLong)))
+
   /** q117's ANN probe over HASH cells ∝ corpus — the scale-curve form
     * of the indexed serving path ([[semdedupKnob]]'s device at the
     * probe layer): cell membership by deterministic hash so cell SIZE

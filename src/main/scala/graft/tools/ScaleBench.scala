@@ -388,6 +388,23 @@ object ScaleBench {
           col("label"))
       }
 
+    // replica k of the DENSE embedding corpus: every vector pulled to
+    // ONE dominant direction (v' = 0.9·e1 + 0.1·v) — the whole corpus
+    // is a single natural cluster and essentially EVERY within-cell
+    // pair clears the 0.3 cosine prune threshold. The adversarial
+    // shape for SemDeDup (the clustering analog of the hot-term
+    // corpus): output is forced Ω(corpus) by construction, so the
+    // adjudicated band is at-or-below linear; what the curve must rule
+    // out is pair work beyond the forced output — hash cells keep cell
+    // SIZE bounded however degenerate the geometry is.
+    def dnsReplica(k: Int): DataFrame =
+      embReplica(k).select(
+        col("vec_id"),
+        expr("""transform(embedding,
+                | (x, i) -> CAST(0.9 * (CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END)
+                |   + 0.1 * x AS FLOAT))""".stripMargin).as("embedding"),
+        col("label"))
+
     val lineitem = spark.read.parquet(s"$baseDir/lineitem.parquet")
     val orderSpan = lineitem.agg(max("l_orderkey")).head().getLong(0) + 1L
     // replica k of the range-join probe side: orderkeys shift (distinct
@@ -417,12 +434,13 @@ object ScaleBench {
         lit("en").as("lang"), lit("chain").as("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
 
-    def gen(n: Int): (String, String, String, String, String) = {
+    def gen(n: Int): (String, String, String, String, String, String) = {
       val rotDir = s"$workDir/x$n-rot"
       val sufDir = s"$workDir/x$n-suf"
       val chnDir = s"$workDir/x$n-chn"
       val skwDir = s"$workDir/x$n-skw"
       val zpfDir = s"$workDir/x$n-zpf"
+      val dnsDir = s"$workDir/x$n-dns"
       writeIfAbsent((0 until n).map(rotReplica).reduce(_ unionByName _),
         s"$rotDir/documents.parquet")
       writeIfAbsent((0 until n).map(evtReplica).reduce(_ unionByName _),
@@ -447,7 +465,9 @@ object ScaleBench {
         s"$skwDir/documents.parquet")
       writeIfAbsent((0 until n).map(zpfReplica).reduce(_ unionByName _),
         s"$zpfDir/documents.parquet")
-      (rotDir, sufDir, chnDir, skwDir, zpfDir)
+      writeIfAbsent((0 until n).map(dnsReplica).reduce(_ unionByName _),
+        s"$dnsDir/embeddings.parquet")
+      (rotDir, sufDir, chnDir, skwDir, zpfDir, dnsDir)
     }
 
     // one untimed warm-up then SPARK_GRAFT_SCALE_REPEATS (default 3)
@@ -482,7 +502,7 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     factors.foreach { n =>
-      val (rotDir, sufDir, chnDir, skwDir, zpfDir) = gen(n)
+      val (rotDir, sufDir, chnDir, skwDir, zpfDir, dnsDir) = gen(n)
       (rotQueries.map(q => (q, q, rotDir)) ++
         evtQueries.map(q => (q, q, rotDir)) ++
         prtQueries.map(q => (q, q, rotDir)) ++
@@ -521,6 +541,22 @@ object ScaleBench {
         chnQueries.map(q => (s"${q}_chain", q, chnDir)) ++
         skwQueries.map(q => (s"${q}_skew", q, skwDir)) ++
         zpfQueries.map(q => (s"${q}_skew", q, zpfDir)) ++
+        // the SemDeDup knob on the DEGENERATE one-cluster corpus: all
+        // points in one natural cluster, essentially every within-cell
+        // pair clears the prune threshold — hash cells ∝ factor must
+        // keep pair work at the forced-output bound (the hot-term
+        // discipline at the clustering layer; DenseRegionSpec pins the
+        // learned-cell half of the same claim)
+        Seq(("q104_semdedup_knob_skew", "__knobdns__", dnsDir)) ++
+        // the CAPSTONE knob curve: q131's full chain body with each
+        // modal prune served from hash cells = 8·factor over the same
+        // decoded features (the production cells-∝-corpus regime; the
+        // fixed-K persisted form stays the oracle-gated query). The
+        // warm-up pays the per-factor FpIndex/BloomIndex builds, so
+        // timed runs measure the warm composed serving shape — the
+        // direct measurement that the modal marginal cost stays
+        // sublinear as the corpus grows
+        Seq(("q131_quadmodal_knob", "__quadknob__", sufDir)) ++
         // q115 in LAKE MODE: the stage-snapshot write overhead (every
         // run starts from a cleared stage root — in-engine cost + 7
         // parquet snapshot writes) and the RESUME discount (every
@@ -560,8 +596,10 @@ object ScaleBench {
             else if (q == "__lakeresume__") timeLake(resume = true)
             else {
               val fn: (SparkSession, String) => DataFrame =
-                if (q == "__knob__")
+                if (q == "__knob__" || q == "__knobdns__")
                   (sp, dd) => graft.operators.Clustering.semdedupKnob(sp, dd, 8 * n)
+                else if (q == "__quadknob__")
+                  (sp, dd) => graft.operators.CurationPipeline.quadmodalKnob(sp, dd, 8 * n)
                 else if (q == "__annknob__")
                   (sp, dd) => graft.operators.Clustering.annIndexedKnob(sp, dd, 8 * n)
                 else if (q == "__imgfeat__")
