@@ -42,16 +42,27 @@ object AudioDedupSink {
   def verdicts(spark: SparkSession, dir: String): DataFrame =
     ModalDedupIngest.verdicts(spark, dir)
 
+  /** All committed quarantine rows (vec_id, reason, batch_id) — the
+    * corrupt arrivals diverted by the decode leg (q135's policy: one
+    * malformed container never kills the stream).
+    */
+  def quarantined(spark: SparkSession, dir: String): DataFrame =
+    ModalDedupIngest.quarantined(spark, dir)
+
   /** Apply one micro-batch of (vec_id, audio); false iff already
-    * applied.
+    * applied. The decode leg quarantines malformed payloads (same
+    * decoder as [[graft.operators.Clustering.audioEnvelopesOf]],
+    * Either-wrapped).
     */
   def applyBatch(batch: DataFrame, batchId: Long, indexName: String,
       centroids: DataFrame, outDir: String,
       epoch: Option[String] = None): Boolean =
     ModalDedupIngest.applyBatch(batch, batchId, indexName, centroids,
       outDir, epoch,
-      b => Clustering.audioEnvelopesOf(b.sparkSession,
-        b.select(audioSchema.fieldNames.map(col): _*)),
+      b => ModalDedupIngest.safeFeaturize(b.sparkSession,
+        b.select(audioSchema.fieldNames.map(col): _*), "env",
+        graft.functions.MediaCodecs.quarantining((x: Array[Byte]) =>
+          graft.functions.MediaCodecs.WavCodec.decodeEnvelope(x))),
       ClusterIndex.assignAudioBatch)
 
   /** Attach to a (vec_id, audio) ingest stream. The index must exist —

@@ -49,16 +49,27 @@ object ImageDedupSink {
   def verdicts(spark: SparkSession, dir: String): DataFrame =
     ModalDedupIngest.verdicts(spark, dir)
 
+  /** All committed quarantine rows (vec_id, reason, batch_id) — the
+    * corrupt arrivals diverted by the decode leg (q135's policy: one
+    * malformed container never kills the stream).
+    */
+  def quarantined(spark: SparkSession, dir: String): DataFrame =
+    ModalDedupIngest.quarantined(spark, dir)
+
   /** Apply one micro-batch of (vec_id, image); false iff already
-    * applied.
+    * applied. The decode leg quarantines malformed payloads (same
+    * decoder as [[graft.operators.Clustering.imageHistogramsOf]],
+    * Either-wrapped).
     */
   def applyBatch(batch: DataFrame, batchId: Long, indexName: String,
       centroids: DataFrame, outDir: String,
       epoch: Option[String] = None): Boolean =
     ModalDedupIngest.applyBatch(batch, batchId, indexName, centroids,
       outDir, epoch,
-      b => Clustering.imageHistogramsOf(b.sparkSession,
-        b.select(imageSchema.fieldNames.map(col): _*)),
+      b => ModalDedupIngest.safeFeaturize(b.sparkSession,
+        b.select(imageSchema.fieldNames.map(col): _*), "hist",
+        graft.functions.MediaCodecs.quarantining((x: Array[Byte]) =>
+          graft.functions.MediaCodecs.PpmCodec.decodeHistogram(x))),
       ClusterIndex.assignImageBatch)
 
   /** Attach to a (vec_id, image) ingest stream. The index must exist —

@@ -48,11 +48,56 @@ private[streaming] object ModalDedupIngest {
           StructField("batch_id", LongType))))
   }
 
+  /** All committed quarantine rows (vec_id, reason, batch_id) — the
+    * bad-record evidence stream of a modal ingest (q135's policy at
+    * the standalone-sink layer).
+    */
+  def quarantined(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = VersionedPointer.committedDirs(dir)
+      .map(_.replaceFirst("/v=", "/quarantine/v="))
+      .filter(graft.core.Lake.exists)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("reason", StringType),
+          StructField("batch_id", LongType))))
+  }
+
+  /** The quarantining featurize shared by the three modal sinks: each
+    * raw (vec_id, payload) row decoded through a
+    * [[graft.functions.MediaCodecs.quarantining]]-wrapped strict
+    * decoder in one mapPartitions pass, emitting (vec_id, feature,
+    * reason) — feature null iff the payload was malformed, reason the
+    * decoder's own message. ONE body for image/audio/video so the
+    * policy cannot drift between the modalities.
+    */
+  def safeFeaturize(spark: SparkSession, payloads: DataFrame,
+      featCol: String,
+      safe: Array[Byte] => Either[String, Array[Long]]): DataFrame = {
+    import spark.implicits._
+    payloads.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val r = safe(bytes)
+        (id, r.toOption, r.left.toOption)
+      }
+    }.toDF("vec_id", featCol, "reason")
+  }
+
   /** Apply one featurized micro-batch; false iff already applied.
     * `featurize` maps the raw (vec_id, payload) rows to the modality's
-    * feature frame; `assignB` is the modality's frozen-cell assignment
+    * QUARANTINING feature frame — (vec_id, feature, reason), reason
+    * non-null iff the payload was malformed (the q135 policy: the
+    * sinks decode through [[graft.functions.MediaCodecs.quarantining]],
+    * so one corrupt container in a 100-TB ingest stream diverts ONE
+    * arrival to the quarantine log with the decoder's own reason,
+    * never killing the stream; a quarantined arrival gets no verdict
+    * row — it is neither admitted nor pruned, only logged). `assignB`
+    * is the modality's frozen-cell assignment
     * ([[graft.operators.ClusterIndex.assignImageBatch]] /
-    * [[graft.operators.ClusterIndex.assignAudioBatch]]).
+    * [[graft.operators.ClusterIndex.assignAudioBatch]] /
+    * [[graft.operators.ClusterIndex.assignVideoBatch]]).
     */
   def applyBatch(batch: DataFrame, batchId: Long, indexName: String,
       centroids: DataFrame, outDir: String, epoch: Option[String],
@@ -62,7 +107,14 @@ private[streaming] object ModalDedupIngest {
     else {
       val spark = batch.sparkSession
       graft.core.Lake.mkdirs(outDir)
-      val b = assignB(featurize(batch), centroids).localCheckpoint(true)
+      // ONE decode pass, pinned: consumed by the quarantine log and
+      // the healthy assignment leg
+      val f = featurize(batch).localCheckpoint(true)
+      val quar = f.filter(col("reason").isNotNull)
+        .select(col("vec_id"), col("reason"))
+        .withColumn("batch_id", lit(batchId))
+      val b = assignB(f.filter(col("reason").isNull).drop("reason"),
+        centroids).localCheckpoint(true)
       // exclusion on: a crashed previous attempt may have appended this
       // batch's own rows (the ClusterIndexSink replay seam, by vec_id)
       val out = ClusterIndex.probeVerdicts(spark, indexName, b,
@@ -72,6 +124,8 @@ private[streaming] object ModalDedupIngest {
       ClusterIndex.append(spark, indexName,
         b.join(out.filter(col("kept")).select("vec_id"), "vec_id"))
       out.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
+      quar.write.mode("overwrite").parquet(s"$outDir/quarantine/v=$batchId")
+      f.unpersist()
       b.unpersist()
       out.unpersist()
       VersionedPointer.commit(outDir, batchId, epoch)

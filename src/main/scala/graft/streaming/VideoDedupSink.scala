@@ -40,16 +40,28 @@ object VideoDedupSink {
   def verdicts(spark: SparkSession, dir: String): DataFrame =
     ModalDedupIngest.verdicts(spark, dir)
 
+  /** All committed quarantine rows (vec_id, reason, batch_id) — the
+    * corrupt arrivals diverted by the decode leg (q135's policy: one
+    * malformed container never kills the stream).
+    */
+  def quarantined(spark: SparkSession, dir: String): DataFrame =
+    ModalDedupIngest.quarantined(spark, dir)
+
   /** Apply one micro-batch of (vec_id, video); false iff already
-    * applied.
+    * applied. The decode leg quarantines malformed payloads (same
+    * decoder as [[graft.operators.Clustering.videoSumsOf]],
+    * Either-wrapped — a frame-count lie or torn container diverts,
+    * never kills).
     */
   def applyBatch(batch: DataFrame, batchId: Long, indexName: String,
       centroids: DataFrame, outDir: String,
       epoch: Option[String] = None): Boolean =
     ModalDedupIngest.applyBatch(batch, batchId, indexName, centroids,
       outDir, epoch,
-      b => Clustering.videoSumsOf(b.sparkSession,
-        b.select(videoSchema.fieldNames.map(col): _*)),
+      b => ModalDedupIngest.safeFeaturize(b.sparkSession,
+        b.select(videoSchema.fieldNames.map(col): _*), "vfeat",
+        graft.functions.MediaCodecs.quarantining((x: Array[Byte]) =>
+          graft.functions.MediaCodecs.VideoCodec.decodeSampledSums(x))),
       ClusterIndex.assignVideoBatch)
 
   /** Attach to a (vec_id, video) ingest stream. The index must exist —
