@@ -151,6 +151,16 @@ object Lake {
   /** Atomically replace `dst` with `src` (both files) — the version
     * pointer swap. `FileContext` is used because the `FileSystem` API
     * has no portable overwrite-rename.
+    *
+    * Degraded-store contract (spec-pinned in LakeSpec against the
+    * hostile `torn://` store): on a filesystem whose rename is
+    * copy+delete, the swap is NOT atomic — a crash window can leave
+    * the pointer ABSENT (hiding the committed prefix until the stream
+    * replays and recommits, an idempotent rewrite) or keep the OLD
+    * pointer, but it can never surface the NEW commit early: nothing
+    * ever serves uncommitted results as committed. On file:// and
+    * HDFS the FileContext rename is atomic and the window does not
+    * exist.
     */
   def overwriteRename(src: String, dst: String): Unit = {
     val s = new HPath(src)

@@ -1236,6 +1236,89 @@ object Clustering {
         sampleCtes + ",\n" +
         lloydIterCtes("smp", 24) + ",\n" + afCte(24) +
         "\n, ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e)" +
-        annOracleTail(24)))
+        annOracleTail(24))),
+
+    /* QUARANTINED SemDeDup — q135's bad-record policy composed INTO a
+     * curation decision, under one hash: image attachments arrive
+     * deliberately corrupted ([[Multimodal.mintWide]]'s poison rule,
+     * image corrupt iff doc_id % 7 = 3), the decode leg diverts them
+     * through [[graft.functions.MediaCodecs.quarantining]], and the
+     * WHOLE downstream estate — the bounded training sample, the
+     * Lloyd cells, the assignment, the within-cell prune — is built
+     * over the HEALTHY features only (q121's sample-trained recipe on
+     * the surviving corpus, the shape a 100-TB scraped-media index
+     * build actually has). One row per attachment-bearing doc:
+     * quarantined + the decoder's reason, or the prune verdict
+     * (cid/dup_of/kept). The oracle knows the corrupt ids by
+     * construction and re-learns the cells over exactly the healthy
+     * set through the SAME CTE generators (sample/Lloyd/assign at
+     * dims=24) — if a quarantined row leaked into the sample, the
+     * Lloyd iterations, or the pair join, the centroids (and so every
+     * cid and dup_of) would shift and the hash would flip: the
+     * quarantine boundary is load-bearing in the learned geometry,
+     * not just in the row count.
+     */
+    QueryDef(
+      "q136_quarantined_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val safe = graft.functions.MediaCodecs.quarantining(
+          (b: Array[Byte]) =>
+            graft.functions.MediaCodecs.PpmCodec.decodeHistogram(b))
+        val dec = Multimodal.mintWide(s, Tables(s, dir, "documents"),
+            corrupt = true)
+          .flatMap { r =>
+            r.image.map { b =>
+              val x = safe(b)
+              (r.doc_id, x.toOption, x.left.toOption)
+            }
+          }
+          .toDF("vec_id", "hist", "reason")
+          .localCheckpoint(true)
+        val healthy = dec.filter(col("reason").isNull)
+          .select("vec_id", "hist")
+        val (_, full) = sampledArtifacts(healthy, "hist")
+        val verd = semdedupFrom(full)
+          .select(col("vec_id"), col("cid"), col("dup_of"), col("kept"))
+        val out = dec
+          .select(col("vec_id"), col("reason").isNotNull.as("quarantined"),
+            col("reason"))
+          .join(verd, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("quarantined"), col("reason"),
+            col("cid"), col("dup_of"), col("kept"))
+          .orderBy("vec_id")
+          .localCheckpoint(true)
+        dec.unpersist()
+        out
+      },
+      Some("WITH " + Multimodal.ImageFeatureCtes + ",\n" +
+        "e AS (SELECT doc_id AS vec_id, v AS qv FROM f\n" +
+        "      WHERE doc_id % 3 = 0 AND doc_id % 7 <> 3),\n" +
+        sampleCtes + ",\n" +
+        lloydIterCtes("smp", 24) + ",\n" + afCte(24) + """,
+          |ev AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v
+          |       FROM e),
+          |nv AS (SELECT vec_id, v,
+          |         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ev),
+          |asg AS (SELECT af.vec_id, af.cid, nv.v, nv.nrm
+          |        FROM af JOIN nv USING (vec_id)),
+          |rem AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+          |        FROM asg a JOIN asg b
+          |          ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |        WHERE list_sum(list_transform(generate_series(1, 24),
+          |                i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3
+          |        GROUP BY 1),
+          |allatt AS (SELECT doc_id AS vec_id FROM documents
+          |           WHERE doc_id % 3 = 0)
+          |SELECT a.vec_id,
+          |  a.vec_id % 7 = 3 AS quarantined,
+          |  CASE WHEN a.vec_id % 7 = 3
+          |    THEN 'PPM: bad magic (want P6) at byte 0' END AS reason,
+          |  g.cid, r.dup_of,
+          |  CASE WHEN a.vec_id % 7 <> 3 THEN r.dup_of IS NULL END AS kept
+          |FROM allatt a
+          |LEFT JOIN asg g ON g.vec_id = a.vec_id
+          |LEFT JOIN rem r ON r.vec_id = a.vec_id
+          |ORDER BY a.vec_id""".stripMargin))
   )
 }

@@ -63,6 +63,38 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("pointer swap on the copy+delete store: a torn swap never reads as the new commit; replay repairs it") {
+    import graft.streaming.VersionedPointer
+    val out = tornDir("graft-lake-ptr")
+    try {
+      // the shim works end-to-end: a clean commit lands
+      VersionedPointer.commit(out, 0L, None)
+      assert(VersionedPointer.latest(out).contains(0L))
+      // a TORN swap: the copy+delete rename dies before the new
+      // pointer content lands
+      TornRenameFileSystem.arm("_LATEST", afterNFiles = 0)
+      intercept[Exception](VersionedPointer.commit(out, 1L, None))
+      assert(TornRenameFileSystem.crashes > 0)
+      // the degraded-store contract, stated: the swap is no longer
+      // atomic, so the crash window may HIDE the committed prefix
+      // (pointer absent) or keep the old pointer — but it can NEVER
+      // read as the new commit, so nothing ever serves uncommitted
+      // results as committed
+      val seen = VersionedPointer.latest(out)
+      assert(seen.isEmpty || seen.contains(0L),
+        s"a torn swap must never surface the new commit (saw $seen)")
+      // ...and the replay guard lets the batch recommit (idempotent
+      // rewrite), repairing visibility
+      assert(!VersionedPointer.alreadyServed(out, 1L, None))
+      TornRenameFileSystem.disarm()
+      VersionedPointer.commit(out, 1L, None)
+      assert(VersionedPointer.latest(out).contains(1L))
+    } finally {
+      TornRenameFileSystem.disarm()
+      Lake.deleteTree(out)
+    }
+  }
+
   test("lake-mode capstone on the hostile store: a torn stage publish crashes the run, the rerun rebuilds byte-identically") {
     // the clean reference: q115 with in-engine barriers (no lake mode)
     val fn = graft.SparkEntry.queries("q115_full_curation")

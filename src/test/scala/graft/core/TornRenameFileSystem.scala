@@ -68,6 +68,18 @@ class TornRenameFileSystem extends RawLocalFileSystem {
   }
 }
 
+/** The `AbstractFileSystem` face of [[TornRenameFileSystem]] — what
+  * `FileContext` (the version-pointer swap, [[Lake.overwriteRename]])
+  * resolves for the `torn` scheme; delegates every operation to the
+  * hostile FileSystem, so the pointer swap's rename degrades to the
+  * same adversarial copy+delete. Registered via
+  * `fs.AbstractFileSystem.torn.impl`.
+  */
+class TornAbstractFs(uri: java.net.URI,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new TornRenameFileSystem, conf, "torn", false)
+
 object TornRenameFileSystem {
   /** When armed for a destination-path substring, the copy loop throws
     * after `afterFiles` files have landed — the torn-publish crash.
