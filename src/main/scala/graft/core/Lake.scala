@@ -129,7 +129,13 @@ object Lake {
       sleepMs: Long = 25): Boolean = {
     var i = 0
     while (i < attempts) {
-      if (exists(path) && readString(path).trim == expect.trim) return true
+      // a concurrent stale-rebuild's deleteTree can remove the marker
+      // between exists() and the read — an I/O error here is just a
+      // failed attempt (the race this probe exists for), not a crash
+      val ok =
+        try exists(path) && readString(path).trim == expect.trim
+        catch { case _: java.io.IOException => false }
+      if (ok) return true
       i += 1
       if (i < attempts) Thread.sleep(sleepMs)
     }

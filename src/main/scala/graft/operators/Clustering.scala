@@ -356,15 +356,10 @@ object Clustering {
     * turns the "cell count ∝ corpus" argument into a measurement.
     */
   private[graft] def semdedupKnob(s: SparkSession, dir: String,
-      cells: Int): DataFrame = {
-    val full = Tables(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .withColumn("cid", pmod(xxhash64(col("vec_id")), lit(cells.toLong)))
-    semdedupFrom(full)
-  }
+      cells: Int): DataFrame =
+    semdedupFrom(modalKnobFrame(
+      Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+      "embedding", cells))
 
   /** [[semdedupKnob]]'s hash-cell device over an exact-INTEGER feature
     * frame (vec_id, `featCol`) — the scale-curve form of the MODAL

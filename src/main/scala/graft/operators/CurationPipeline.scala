@@ -95,15 +95,20 @@ object CurationPipeline {
         val p = s"$root/$stage"
         val marker = s"$p/_GRAFT_DONE"
         val dataDir = s"$p/data"
+        // freshness requires marker AND data: a concurrent rebuild's
+        // deleteTree racing a winner's marker write can strand a
+        // marker-only snapshot, which must read as absent and rebuild
+        // (IndexCommit.fpValid's rule) — marker-match alone would wedge
+        // every later run on a dataless read
         val fresh = Lake.exists(marker) &&
-          Lake.readString(marker).trim == fp
+          Lake.readString(marker).trim == fp && Lake.exists(dataDir)
         if (!fresh) {
           val tmp = p + ".build-" + ProcessHandle.current().pid()
           Lake.deleteTree(tmp)
           Lake.mkdirs(tmp)
           df.write.mode("overwrite").parquet(s"$tmp/data")
           Lake.deleteTree(p)
-          if (Lake.publishDir(tmp, p))
+          if (Lake.publishDir(tmp, p)) {
             // marker written LAST, at the DESTINATION — never part of
             // the renamed tree, so even a copy-emulated (object-store)
             // rename cannot reorder it ahead of the data: a torn or
@@ -111,12 +116,21 @@ object CurationPipeline {
             // never as valid (IndexCommit.commitBuild's rule; LakeSpec
             // proves it against a hostile non-atomic rename)
             Lake.writeString(marker, fp)
-          else {
+            // re-verify: a concurrent rebuild's deleteTree between our
+            // rename and our marker write stranded a marker-only
+            // snapshot — self-invalidate (IndexCommit's rule)
+            if (!Lake.exists(dataDir)) {
+              Lake.deleteTree(p)
+              throw new java.io.IOException(
+                s"stage snapshot $p was deleted by a concurrent rebuild " +
+                  "before the marker write completed; rerun rebuilds")
+            }
+          } else {
             // lost a concurrent publish race: benign only if the
-            // winner wrote the same generation (IndexCommit's rule;
-            // bounded wait — the winner's marker lands just after its
-            // rename)
-            val benign = Lake.awaitMarker(marker, fp)
+            // winner wrote the same generation WITH its data intact
+            // (IndexCommit's rule; bounded wait — the winner's marker
+            // lands just after its rename)
+            val benign = Lake.awaitMarker(marker, fp) && Lake.exists(dataDir)
             Lake.deleteTree(tmp)
             if (!benign) throw new java.io.IOException(
               s"stage snapshot publish of $tmp as $p failed and the " +
@@ -279,7 +293,15 @@ object CurationPipeline {
     // the modal verdict SOURCE: the persisted fixed-K assignment index
     // (the oracle-gated form), or — knob mode ([[quadmodalKnob]]) —
     // hash cells ∝ corpus over the same decoded features; the stage
-    // wiring below is identical either way
+    // wiring below is identical either way. Knob mode featurizes ONLY
+    // the attachment-bearing docs: the modulus filter cannot push
+    // below a typed mapPartitions decode, so it is applied to the doc
+    // scan BEFORE minting (result-identical — cid/nrm are per-row) —
+    // the timed knob curve must not pay 3x/4x/5x wasted codec work
+    def knobDocs(mod: Int, rem: Int): DataFrame =
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % mod === rem)
+        .select(col("doc_id"), col("text"))
     def modalFull(ensured: => String,
         feats: => DataFrame, featCol: String): DataFrame =
       modalCells match {
@@ -289,7 +311,7 @@ object CurationPipeline {
     val base = if (!withImages) s2 else {
       val imgVerdicts = Clustering.semdedupFrom(
         modalFull(ClusterIndex.ensureImage(s, dir),
-          Clustering.imageFeatures(s, dir), "hist")
+          Clustering.imageFeaturesOf(s, knobDocs(3, 0)), "hist")
           .filter(col("vec_id") % 3 === 0))
         .select(col("vec_id").as("doc_id"), col("kept").as("img_kept"))
       pinStage("s2i")(s2.join(imgVerdicts, Seq("doc_id"), "left")
@@ -308,7 +330,7 @@ object CurationPipeline {
     val base2 = if (!withAudio) base else {
       val audVerdicts = Clustering.semdedupFrom(
         modalFull(ClusterIndex.ensureAudio(s, dir),
-          Clustering.audioFeatures(s, dir), "env")
+          Clustering.audioFeaturesOf(s, knobDocs(4, 1)), "env")
           .filter(col("vec_id") % 4 === 1))
         .select(col("vec_id").as("doc_id"), col("kept").as("aud_kept"))
       pinStage("s2a")(base.join(audVerdicts, Seq("doc_id"), "left")
@@ -324,7 +346,7 @@ object CurationPipeline {
     val base3 = if (!withVideo) base2 else {
       val vidVerdicts = Clustering.semdedupFrom(
         modalFull(ClusterIndex.ensureVideo(s, dir),
-          Clustering.videoFeatures(s, dir), "vfeat")
+          Clustering.videoFeaturesOf(s, knobDocs(5, 2)), "vfeat")
           .filter(col("vec_id") % 5 === 2))
         .select(col("vec_id").as("doc_id"), col("kept").as("vid_kept"))
       pinStage("s2v")(base2.join(vidVerdicts, Seq("doc_id"), "left")

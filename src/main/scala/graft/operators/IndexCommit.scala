@@ -95,11 +95,23 @@ object IndexCommit {
     if (Lake.exists(f)) Some(Lake.readString(f).trim) else None
   }
 
+  /** True iff the artifact at `path` carries anything beyond its own
+    * marker. Under the marker-after-publish protocol a concurrent
+    * same-generation rebuild's deleteTree can land between a winner's
+    * rename and its marker write, leaving a MARKER-ONLY directory —
+    * which must read as "no artifact", never as valid (the
+    * marker-matches-alone check would silently serve an empty index).
+    */
+  private[graft] def hasData(path: Path): Boolean =
+    Lake.listNames(path.toString).exists(_ != "_GRAFT_FP")
+
   /** True iff the artifact at `path` is complete AND was built from
-    * exactly the `fp` generation.
+    * exactly the `fp` generation: marker matches AND data exists
+    * beside it (see [[hasData]] — a marker-only directory is a torn
+    * race remnant, not an artifact).
     */
   private[graft] def fpValid(path: Path, fp: String): Boolean =
-    readFp(path).contains(fp.trim)
+    readFp(path).contains(fp.trim) && hasData(path)
 
   /** Write the freshness marker — the build's LAST write. */
   private[graft] def writeFp(path: Path, fp: String): Unit =
@@ -118,13 +130,23 @@ object IndexCommit {
     * copy read as a valid artifact. Written at the destination after
     * the publish, marker-last holds on EVERY store: a torn or
     * crashed publish leaves no marker and reads as "no artifact",
-    * rebuilt, never served ([[graft.LakeSpec]] proves it against a
+    * rebuilt, never served ([[graft.core.LakeSpec]] proves it against a
     * hostile non-atomic-rename filesystem). The cost is a short
     * published-but-unmarked window in which a concurrent `ensure`
     * reads "stale" and starts a redundant rebuild of the same
-    * generation — benign (builds are idempotent; last writer wins,
-    * the documented object-store caveat), and the losing publisher's
-    * benign-race check below waits out the winner's marker write.
+    * generation. That rebuild's deleteTree can itself race the
+    * winner's marker write (rename done, marker pending) and strand a
+    * MARKER-ONLY directory; the protocol stays safe because validity
+    * requires marker AND data ([[fpValid]]/[[hasData]] — a
+    * marker-only remnant reads as stale and is rebuilt, never
+    * served), the winner re-verifies its data AFTER the marker write
+    * and self-invalidates if it lost the race, and the loser's benign
+    * check demands a marker-AND-data survivor. Builds are idempotent,
+    * so whoever completes last wins with the same bytes (the
+    * documented object-store caveat). Residual gap, inherited from
+    * the pre-round protocol: a builder CRASHING mid-deleteTree can
+    * leave old marker + partial old data (marker+data both present),
+    * which only a table format's atomic snapshot commit closes.
     */
   def commitBuild(spark: SparkSession, name: String, path: Path,
       fp: Option[String])(build: (String, Path) => Unit): Unit = {
@@ -138,9 +160,20 @@ object IndexCommit {
     // catalog entry leaves the files for the rename
     spark.sql(s"DROP TABLE IF EXISTS `$tmpName`")
     deleteTree(path)
-    if (Lake.publishDir(tmpPath.toString, path.toString))
+    if (Lake.publishDir(tmpPath.toString, path.toString)) {
       fp.foreach(writeFp(path, _)) // marker LAST, at the destination
-    else {
+      // re-verify: a concurrent same-generation rebuild's deleteTree
+      // can land between our rename and our marker write, leaving a
+      // marker-only remnant — self-invalidate rather than let a later
+      // partial state masquerade (readers already reject marker-only
+      // via fpValid, but our caller is about to register the table)
+      if (fp.isDefined && !hasData(path)) {
+        deleteTree(path)
+        throw new java.io.IOException(
+          s"publish of $tmpPath as $path was deleted by a concurrent " +
+            "rebuild before the marker write completed; rerun rebuilds")
+      }
+    } else {
       // only a CONCURRENT PUBLISH is benign (the winner's idempotent
       // build is byte-equivalent — discard the temp). "Target has a
       // _GRAFT_FP" alone is NOT proof of that: a partial deleteTree
@@ -152,7 +185,8 @@ object IndexCommit {
       // (bounded wait: the winner's marker lands just after its
       // rename).
       val benign = fp.exists(f =>
-        Lake.awaitMarker(s"${path.toString}/_GRAFT_FP", f))
+        Lake.awaitMarker(s"${path.toString}/_GRAFT_FP", f) &&
+          hasData(path))
       deleteTree(tmpPath)
       if (!benign) throw new java.io.IOException(
         s"publish of $tmpPath as $path failed and the surviving target " +

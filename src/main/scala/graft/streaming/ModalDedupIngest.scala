@@ -53,9 +53,7 @@ private[streaming] object ModalDedupIngest {
     * the standalone-sink layer).
     */
   def quarantined(spark: SparkSession, dir: String): DataFrame = {
-    val dirs = VersionedPointer.committedDirs(dir)
-      .map(_.replaceFirst("/v=", "/quarantine/v="))
-      .filter(graft.core.Lake.exists)
+    val dirs = VersionedPointer.committedSubDirs(dir, "quarantine")
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else
       spark.createDataFrame(
@@ -79,7 +77,12 @@ private[streaming] object ModalDedupIngest {
     import spark.implicits._
     payloads.as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val r = safe(bytes)
+        // a NULL payload is the commonest bad-record class in scraped
+        // media and the binary column is nullable by schema — it must
+        // divert like any other malformed arrival, not NPE the stream
+        // inside the decoder
+        val r =
+          if (bytes == null) Left("null payload") else safe(bytes)
         (id, r.toOption, r.left.toOption)
       }
     }.toDF("vec_id", featCol, "reason")

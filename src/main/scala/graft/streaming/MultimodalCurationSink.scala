@@ -132,9 +132,7 @@ object MultimodalCurationSink {
     * batch_id) up to the pointer — the bad-record evidence stream.
     */
   def quarantined(spark: SparkSession, dir: String): DataFrame = {
-    val dirs = VersionedPointer.committedDirs(dir)
-      .map(_.replaceFirst("/v=", "/quarantine/v="))
-      .filter(graft.core.Lake.exists)
+    val dirs = VersionedPointer.committedSubDirs(dir, "quarantine")
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -104,4 +104,17 @@ object VersionedPointer {
           .map(i => s"$dir/v=$i")
       case None => Seq.empty
     }
+
+  /** Committed SIBLING logs under `dir/sub` — `dir/sub/v=N` for every
+    * committed batch id N that wrote one (the quarantine-log listing,
+    * shared by the modal sinks and the multimodal curation sink).
+    * Composed as paths, never by string-rewriting the verdict paths —
+    * an outDir that itself contains "/v=" must not be mangled.
+    */
+  def committedSubDirs(dir: String, sub: String): Seq[String] =
+    latest(dir) match {
+      case Some(v) =>
+        (0L to v).map(i => s"$dir/$sub/v=$i").filter(Lake.exists)
+      case None => Seq.empty
+    }
 }

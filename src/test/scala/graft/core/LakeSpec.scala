@@ -63,6 +63,33 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("a marker-only remnant (concurrent-rebuild race) reads as stale and is rebuilt") {
+    // the marker-after-publish window: a concurrent same-generation
+    // rebuild's deleteTree can land between a winner's rename and its
+    // marker write, stranding a directory that holds ONLY the marker —
+    // validity requires marker AND data, so the remnant must read as
+    // stale (never served as an empty index) and the next build must
+    // repair it through the normal protocol
+    val root = Files.createTempDirectory("graft-lake-remnant")
+    val dst = root.resolve("artifact")
+    val fp = "generation-2:bk32"
+    val name = "graft_lake_spec_remnant_" + ProcessHandle.current().pid()
+    try {
+      Lake.mkdirs(dst.toString)
+      IndexCommit.writeFp(dst, fp)
+      assert(IndexCommit.readFp(dst).contains(fp),
+        "the remnant genuinely carries a matching marker")
+      assert(!IndexCommit.fpValid(dst, fp),
+        "a marker-only remnant must read as stale, never as valid")
+      IndexCommit.commitBuild(spark, name, dst, Some(fp)) { (_, tp) =>
+        Lake.mkdirs(tp.toString)
+        Lake.writeString(s"${tp.toString}/part-0", "data")
+      }
+      assert(IndexCommit.fpValid(dst, fp),
+        "the rebuild must land a complete (marker AND data) artifact")
+    } finally Lake.deleteTree(root.toString)
+  }
+
   test("pointer swap on the copy+delete store: a torn swap never reads as the new commit; replay repairs it") {
     import graft.streaming.VersionedPointer
     val out = tornDir("graft-lake-ptr")
@@ -126,6 +153,15 @@ class LakeSpec extends SparkSpec {
         "the resumed run over the torn store must equal the clean run")
       assert(Files.exists(s4.resolve("_GRAFT_DONE")),
         "the rebuilt stage must be marked at the destination")
+
+      // run 3: the CONCURRENT-REBUILD remnant — marker intact, data
+      // gone (the deleteTree-vs-late-marker race). Freshness requires
+      // marker AND data, so the stage rebuilds instead of wedging on a
+      // dataless read, and the output stays byte-identical
+      Lake.deleteTree(s4.resolve("data").toString)
+      assert(Files.exists(s4.resolve("_GRAFT_DONE")))
+      assert(rows(fn(spark, sf0001)) == want,
+        "a marker-only stage snapshot must rebuild, never wedge")
     } finally {
       TornRenameFileSystem.disarm()
       System.clearProperty("graft.stage.dir")

@@ -107,6 +107,28 @@ class ModalQuarantineSpec extends SparkSpec {
     }
   }
 
+  test("a NULL payload diverts like any other bad record (never an NPE)") {
+    val name = s"graft_img_quar_null_$pid"
+    val out = tmp("graft-imgq-null")
+    val cents = seed(name, Clustering.imageFeaturesOf(spark, _), "hist",
+      ClusterIndex.assignImageBatch)
+    try {
+      val (batch, victim) = payloads(MediaCodecs.PpmCodec.encode,
+        "image", poisonFirst = false)
+      val withNull = batch.collect().toSeq
+        .map(r => (r.getLong(0),
+          if (r.getLong(0) == victim) null else r.getAs[Array[Byte]](1)))
+        .toDF("vec_id", "image")
+      assert(ImageDedupSink.applyBatch(withNull, 0L, name, cents, out),
+        "a null attachment must never kill the batch")
+      val quar = ImageDedupSink.quarantined(spark, out).collect()
+      assert(quar.map(_.getLong(0)).toSeq == Seq(victim))
+      assert(quar.head.getString(1) == "null payload")
+      assert(!ModalDedupIngest.verdicts(spark, out).collect()
+        .exists(_.getLong(0) == victim))
+    } finally cleanup(name, cents, out)
+  }
+
   test("audio and video sinks divert corrupt arrivals with the decoders' reasons") {
     val nameA = s"graft_aud_quar_$pid"
     val nameV = s"graft_vid_quar_$pid"
